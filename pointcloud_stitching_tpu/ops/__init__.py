@@ -1,0 +1,18 @@
+from .deproject import deproject, deproject_with_color
+from .se3 import (se3_apply, se3_compose, se3_from_rt, se3_identity,
+                  se3_inverse, transform_cloud)
+from .voxel import decimate_depth, voxel_downsample, voxel_indices
+from .fuse import compact, fuse, fuse_batched
+from .nn import nearest_neighbors
+from .kabsch import kabsch
+from .icp import ICPResult, icp, icp_converge
+
+__all__ = [
+    "deproject", "deproject_with_color",
+    "se3_apply", "se3_compose", "se3_from_rt", "se3_identity", "se3_inverse",
+    "transform_cloud",
+    "decimate_depth", "voxel_downsample", "voxel_indices",
+    "compact", "fuse", "fuse_batched",
+    "nearest_neighbors", "kabsch",
+    "ICPResult", "icp", "icp_converge",
+]

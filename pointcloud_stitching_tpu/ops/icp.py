@@ -1,0 +1,100 @@
+"""Iterative Closest Point, fully on-device.
+
+TPU-native equivalent of ``pcl::IterativeClosestPoint::align`` (reference:
+registration/ tool; SURVEY.md §2.2 row 7 and §3.4). PCL's CPU loop
+(KD-tree correspondences → SVD solve → repeat until epsilon/max-iter) becomes
+a ``lax.fori_loop`` whose body is: tiled brute-force NN on the MXU →
+max-distance correspondence rejection → weighted Kabsch. Fixed iteration
+count keeps the program jit-static; a while_loop variant with PCL-style
+transformation-epsilon termination is provided for offline registration.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.types import PointCloud
+from .kabsch import kabsch
+from .nn import nearest_neighbors
+from .se3 import se3_apply
+
+
+class ICPResult(NamedTuple):
+    T: jax.Array          # [4, 4] refined src→dst transform
+    mean_error: jax.Array  # mean squared correspondence distance (inliers)
+    num_inliers: jax.Array
+    iterations: jax.Array
+
+
+def _icp_step(T, src_xyz, src_mask, dst_xyz, dst_mask, max_dist2,
+              query_tile, ref_tile):
+    p = se3_apply(T, src_xyz)
+    idx, d2 = nearest_neighbors(p, dst_xyz, dst_mask,
+                                query_tile=query_tile, ref_tile=ref_tile)
+    w = (src_mask & (d2 <= max_dist2)).astype(jnp.float32)
+    matched = dst_xyz[idx]
+    dT = kabsch(p, matched, w)
+    n_in = jnp.sum(w)
+    err = jnp.sum(w * d2) / jnp.maximum(n_in, 1.0)
+    return dT @ T, err, n_in
+
+
+@partial(jax.jit, static_argnames=("iterations", "query_tile", "ref_tile"))
+def icp(src: PointCloud, dst: PointCloud, init_T: jax.Array | None = None,
+        iterations: int = 5, max_corr_dist: float | jax.Array = 0.1,
+        query_tile: int = 1024, ref_tile: int = 4096) -> ICPResult:
+    """Fixed-iteration ICP (streaming-friendly: constant cost per frame)."""
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=jnp.float32)
+    max_d2 = jnp.asarray(max_corr_dist, jnp.float32) ** 2
+
+    def body(_, carry):
+        T, _, _ = carry
+        T2, err, n_in = _icp_step(T, src.xyz, src.mask, dst.xyz, dst.mask,
+                                  max_d2, query_tile, ref_tile)
+        return (T2, err, n_in)
+
+    T, err, n_in = jax.lax.fori_loop(
+        0, iterations, body,
+        (init_T, jnp.float32(jnp.inf), jnp.float32(0.0)))
+    return ICPResult(T=T, mean_error=err, num_inliers=n_in.astype(jnp.int32),
+                     iterations=jnp.int32(iterations))
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "query_tile", "ref_tile"))
+def icp_converge(src: PointCloud, dst: PointCloud,
+                 init_T: jax.Array | None = None,
+                 max_iterations: int = 50,
+                 transformation_epsilon: float = 1e-8,
+                 max_corr_dist: float | jax.Array = 0.25,
+                 query_tile: int = 1024, ref_tile: int = 4096) -> ICPResult:
+    """ICP with PCL-style termination: stop when the incremental transform's
+    deviation from identity drops below ``transformation_epsilon`` (Frobenius
+    norm squared) or after ``max_iterations``. Offline-registration variant.
+    """
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=jnp.float32)
+    max_d2 = jnp.asarray(max_corr_dist, jnp.float32) ** 2
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    def cond(carry):
+        _, _, _, it, delta = carry
+        return (it < max_iterations) & (delta > transformation_epsilon)
+
+    def body(carry):
+        T, _, _, it, _ = carry
+        T2, err, n_in = _icp_step(T, src.xyz, src.mask, dst.xyz, dst.mask,
+                                  max_d2, query_tile, ref_tile)
+        dT = T2 @ jnp.linalg.inv(T)
+        delta = jnp.sum((dT - eye) ** 2)
+        return (T2, err, n_in, it + 1, delta)
+
+    T, err, n_in, it, _ = jax.lax.while_loop(
+        cond, body,
+        (init_T, jnp.float32(jnp.inf), jnp.float32(0.0), jnp.int32(0),
+         jnp.float32(jnp.inf)))
+    return ICPResult(T=T, mean_error=err, num_inliers=n_in.astype(jnp.int32),
+                     iterations=it)

@@ -1,0 +1,96 @@
+import numpy as np
+import jax.numpy as jnp
+
+from pointcloud_stitching_tpu import PointCloud
+from pointcloud_stitching_tpu.ops import (icp, icp_converge, kabsch,
+                                          nearest_neighbors, se3_apply)
+from oracle import kabsch_np, nn_np, random_se3, transform_np
+
+
+def test_nn_matches_oracle(rng):
+    q = rng.normal(size=(777, 3)).astype(np.float32)
+    r = rng.normal(size=(1531, 3)).astype(np.float32)
+    idx, d2 = nearest_neighbors(jnp.asarray(q), jnp.asarray(r),
+                                query_tile=256, ref_tile=512)
+    ridx, rd2 = nn_np(q, r)
+    # ties can differ in index; distances must match
+    np.testing.assert_allclose(np.asarray(d2), rd2, atol=1e-4)
+    agree = (np.asarray(idx) == ridx).mean()
+    assert agree > 0.999
+
+
+def test_nn_respects_ref_mask(rng):
+    q = np.zeros((4, 3), np.float32)
+    r = np.array([[0.01, 0, 0], [5, 5, 5]], np.float32)
+    mask = np.array([False, True])
+    idx, d2 = nearest_neighbors(jnp.asarray(q), jnp.asarray(r),
+                                jnp.asarray(mask), query_tile=8, ref_tile=8)
+    assert (np.asarray(idx) == 1).all()
+
+
+def test_kabsch_recovers_exact_transform(rng):
+    src = rng.normal(size=(200, 3)).astype(np.float32)
+    T = random_se3(seed=5)
+    dst = transform_np(T, src)
+    got = np.asarray(kabsch(jnp.asarray(src), jnp.asarray(dst),
+                            jnp.ones(200)))
+    np.testing.assert_allclose(got, T, atol=1e-4)
+    np.testing.assert_allclose(got, kabsch_np(src, dst), atol=1e-4)
+
+
+def test_kabsch_weighted_ignores_outliers(rng):
+    src = rng.normal(size=(100, 3)).astype(np.float32)
+    T = random_se3(seed=6)
+    dst = transform_np(T, src)
+    dst[:10] += 100.0  # corrupted correspondences
+    w = np.ones(100, np.float32)
+    w[:10] = 0.0
+    got = np.asarray(kabsch(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)))
+    np.testing.assert_allclose(got, T, atol=1e-4)
+
+
+def test_kabsch_degenerate_returns_identity():
+    src = np.zeros((10, 3), np.float32)
+    got = np.asarray(kabsch(jnp.asarray(src), jnp.asarray(src),
+                            jnp.zeros(10)))
+    np.testing.assert_allclose(got, np.eye(4), atol=1e-6)
+
+
+def _make_icp_pair(rng, n=2000, noise=0.0, seed=7):
+    src = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    T_true = random_se3(seed=seed, max_angle=0.15, max_trans=0.1)
+    dst = transform_np(T_true, src)
+    if noise:
+        dst = dst + rng.normal(scale=noise, size=dst.shape).astype(np.float32)
+    return src, dst, T_true
+
+
+def test_icp_converges_to_truth(rng):
+    src, dst, T_true = _make_icp_pair(rng)
+    res = icp(PointCloud.from_points(src), PointCloud.from_points(dst),
+              iterations=20, max_corr_dist=1.0,
+              query_tile=512, ref_tile=512)
+    np.testing.assert_allclose(np.asarray(res.T), T_true, atol=5e-3)
+    assert float(res.mean_error) < 1e-4
+
+
+def test_icp_converge_variant_stops_early(rng):
+    src, dst, T_true = _make_icp_pair(rng, seed=8)
+    res = icp_converge(PointCloud.from_points(src), PointCloud.from_points(dst),
+                       max_iterations=50, transformation_epsilon=1e-10,
+                       max_corr_dist=1.0, query_tile=512, ref_tile=512)
+    assert int(res.iterations) < 50
+    np.testing.assert_allclose(np.asarray(res.T), T_true, atol=5e-3)
+
+
+def test_icp_with_partial_overlap_and_masks(rng):
+    src, dst, T_true = _make_icp_pair(rng, n=3000, seed=9)
+    # drop a third of dst (simulates partial overlap), pad with mask
+    dst_pc = PointCloud.from_points(dst[:2000], capacity=3072)
+    src_pc = PointCloud.from_points(src, capacity=3072)
+    res = icp(src_pc, dst_pc, iterations=25, max_corr_dist=0.5,
+              query_tile=512, ref_tile=512)
+    # transform should still be close (src pts matching dropped dst pts get
+    # rejected by max_corr_dist once alignment is near)
+    err = np.abs(np.asarray(res.T) - T_true).max()
+    assert err < 0.05
