@@ -1,0 +1,84 @@
+"""Benchmark: 8-camera full pipeline on one chip (BASELINE config 5).
+
+Prints ONE JSON line:
+  metric: stitched points/sec/chip on the 8-cam 848x480 pipeline with
+          >=5 ICP iterations per camera pair per frame.
+  vs_baseline: ratio to the reference's implied design point — 8 cameras x
+          848x480 x 30 FPS = 97.7M points/s — i.e. vs_baseline >= 1.0 means
+          the single chip sustains what the reference needed a whole
+          NUC-cluster + central box to do in "realtime" (BASELINE.md:
+          the reference publishes no concrete numbers).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship
+    from functools import partial
+    from pointcloud_stitching_tpu.models import stitch_step
+
+    def sync(out):
+        # Pulling a scalar to host is the only reliable synchronization
+        # through the axon PJRT tunnel (block_until_ready returns early
+        # there, and full-cloud D2H is tunnel-bandwidth-bound).
+        return int(out.metrics.points_out)
+
+    ncam, h, w = 8, 480, 848
+    cfg, intr, ext, depths = _flagship(ncam, h, w)
+    fn = jax.jit(partial(stitch_step, cfg))
+
+    # warm-up / compile
+    t0 = time.time()
+    out = fn(intr, ext, depths)
+    voxels = sync(out)
+    compile_s = time.time() - t0
+
+    # steady state: feed refined extrinsics back each frame (streaming mode)
+    frames = 20
+    ext_cur = out.extrinsics
+    t0 = time.time()
+    for _ in range(frames):
+        out = fn(intr, ext_cur, depths)
+        ext_cur = out.extrinsics
+    voxels = sync(out)
+    dt = (time.time() - t0) / frames
+
+    pts_per_frame = ncam * h * w
+    pps = pts_per_frame / dt
+    design_point = 8 * 848 * 480 * 30  # reference's implied realtime target
+
+    # p50 latency at 4 cameras (BASELINE metric)
+    cfg4, intr4, ext4, depths4 = _flagship(4, h, w)
+    fn4 = jax.jit(partial(stitch_step, cfg4))
+    sync(fn4(intr4, ext4, depths4))
+    lats = []
+    for _ in range(10):
+        t = time.time()
+        sync(fn4(intr4, ext4, depths4))
+        lats.append(time.time() - t)
+    p50_ms = float(np.median(lats) * 1e3)
+
+    print(json.dumps({
+        "metric": "stitched points/sec/chip (8cam 848x480, 5 ICP iters/pair/frame)",
+        "value": round(pps, 0),
+        "unit": "points/s",
+        "vs_baseline": round(pps / design_point, 3),
+        "extras": {
+            "frame_time_ms_8cam": round(dt * 1e3, 2),
+            "fps_8cam": round(1.0 / dt, 2),
+            "p50_latency_ms_4cam": round(p50_ms, 2),
+            "compile_s": round(compile_s, 1),
+            "fused_voxels": voxels,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

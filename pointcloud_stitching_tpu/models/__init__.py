@@ -1,0 +1,10 @@
+from .stitcher import (StitchingPipeline, StitchMetrics, StitchOutput,
+                       stitch_step)
+from .registration import (RegistrationResult, register_from_correspondences,
+                           register_pair, write_cal)
+
+__all__ = [
+    "StitchingPipeline", "StitchMetrics", "StitchOutput", "stitch_step",
+    "RegistrationResult", "register_from_correspondences", "register_pair",
+    "write_cal",
+]

@@ -1,0 +1,156 @@
+"""The flagship model: the multi-camera stitching pipeline.
+
+TPU-native re-design of the reference client's per-frame path (reference:
+src/pcs-multicamera-client.cpp render loop + per-camera threads —
+SURVEY.md §3.2/§3.3). Where the reference runs thread-per-camera CPU work
+(parse → transform) followed by serial concat/filter, here the *camera axis
+is a batch dimension*: one jitted program per frame does
+
+  batched deproject → per-camera voxel pre-downsample (vmap) →
+  ring-pairwise ICP drift correction (vmap over adjacent pairs, corrections
+  composed with an associative scan) → SE(3) into world frame → fuse →
+  global voxel downsample
+
+entirely on-device, with fixed shapes, so XLA compiles it once. Per-frame
+drift correction runs >=5 ICP iterations per camera pair per frame
+(BASELINE.json north star; the reference has no online refinement at all —
+extrinsics there are frozen .cal files).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.deproject import deproject, deproject_with_color
+from ..ops.fuse import fuse_batched
+from ..ops.icp import icp
+from ..ops.se3 import se3_apply
+from ..ops.voxel import decimate_depth, voxel_downsample
+from ..utils.config import StitchConfig
+from ..utils.types import Intrinsics, PointCloud
+
+
+class StitchMetrics(NamedTuple):
+    points_in: jax.Array        # valid raw points this frame
+    points_out: jax.Array       # voxels in the fused output
+    icp_mean_error: jax.Array   # [ncam-1] per-pair mean sq corr distance
+    icp_inliers: jax.Array      # [ncam-1]
+
+
+class StitchOutput(NamedTuple):
+    cloud: PointCloud           # fused, downsampled world-frame cloud
+    extrinsics: jax.Array       # [ncam, 4, 4] refined extrinsics
+    metrics: StitchMetrics
+
+
+def _ring_drift_correction(cfg: StitchConfig, clouds: PointCloud,
+                           extrinsics: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Refine extrinsics by aligning each camera's cloud to its ring predecessor.
+
+    clouds: camera-batched *sensor-frame* clouds [ncam, C, 3] (+mask).
+    Returns (refined_extrinsics [ncam,4,4], per-pair mean errors, inliers).
+
+    All ncam-1 pairwise ICPs run as one vmap (batched NN distance matmuls on
+    the MXU); the near-identity corrections compose along the ring with an
+    associative scan, so nothing is sequential in ncam but the O(log n) scan.
+    """
+    world = clouds.replace(xyz=se3_apply(extrinsics, clouds.xyz))
+    src = jax.tree.map(lambda a: a[1:], world)    # cameras 1..n-1
+    dst = jax.tree.map(lambda a: a[:-1], world)   # cameras 0..n-2
+
+    res = jax.vmap(
+        lambda s, d: icp(s, d, iterations=cfg.icp_iterations,
+                         max_corr_dist=cfg.icp_max_corr_dist,
+                         query_tile=cfg.icp_query_tile,
+                         ref_tile=cfg.icp_ref_tile)
+    )(src, dst)
+    deltas = res.T  # [ncam-1, 4, 4]: world-frame correction for camera i+1
+
+    # prefix[i] = delta_1 @ ... @ delta_i ; camera 0 is the anchor (identity)
+    prefix = jax.lax.associative_scan(jnp.matmul, deltas)
+    eye = jnp.eye(4, dtype=jnp.float32)[None]
+    corrections = jnp.concatenate([eye, prefix], axis=0)  # [ncam, 4, 4]
+    refined = corrections @ extrinsics
+    return refined, res.mean_error, res.num_inliers
+
+
+def stitch_step(cfg: StitchConfig, intr: Intrinsics, extrinsics: jax.Array,
+                depths: jax.Array, colors: Optional[jax.Array] = None,
+                cam_mask: Optional[jax.Array] = None) -> StitchOutput:
+    """One full stitching step. Pure function of its inputs; jit over `cfg`.
+
+    Args:
+      cfg: static configuration.
+      intr: camera-batched Intrinsics ([ncam] leading axis on fields).
+      extrinsics: [ncam, 4, 4] camera→world transforms (.cal matrices).
+      depths: [ncam, H, W] uint16 raw depth.
+      colors: optional [ncam, H, W, 3] uint8 depth-aligned color.
+      cam_mask: optional [ncam] bool — False drops a camera (timeout/failure
+        handling per SURVEY.md §5: a dead camera costs nothing, no reshape).
+    """
+    ncam = cfg.num_cameras
+    assert depths.shape[0] == ncam
+
+    depths = decimate_depth(depths, cfg.decimation)
+    if colors is not None:
+        colors = colors[..., ::cfg.decimation, ::cfg.decimation, :] \
+            if cfg.decimation > 1 else colors
+        raw = deproject_with_color(depths, colors, intr,
+                                   depth_scale=cfg.depth_scale,
+                                   z_min=cfg.z_min, z_max=cfg.z_max)
+    else:
+        raw = deproject(depths, intr, depth_scale=cfg.depth_scale,
+                        z_min=cfg.z_min, z_max=cfg.z_max)
+
+    if cam_mask is not None:
+        raw = raw.replace(mask=raw.mask & cam_mask[:, None])
+
+    points_in = jnp.sum(raw.mask)
+
+    # per-camera sensor-frame pre-downsample (bounds all downstream sizes)
+    cam_clouds = jax.vmap(
+        lambda pc: voxel_downsample(pc, cfg.cam_voxel_leaf,
+                                    capacity=cfg.cam_capacity))(raw)
+
+    icp_err = jnp.zeros((max(ncam - 1, 1),), jnp.float32)
+    icp_inl = jnp.zeros((max(ncam - 1, 1),), jnp.int32)
+    if cfg.icp_enabled and ncam > 1:
+        icp_clouds = jax.vmap(
+            lambda pc: voxel_downsample(pc, cfg.icp_voxel_leaf,
+                                        capacity=cfg.icp_capacity))(cam_clouds)
+        extrinsics, icp_err, icp_inl = _ring_drift_correction(
+            cfg, icp_clouds, extrinsics)
+
+    world = cam_clouds.replace(xyz=se3_apply(extrinsics, cam_clouds.xyz))
+    fused = fuse_batched(world)
+    out = voxel_downsample(fused, cfg.out_voxel_leaf, capacity=cfg.out_capacity)
+
+    metrics = StitchMetrics(points_in=points_in, points_out=out.count(),
+                            icp_mean_error=icp_err, icp_inliers=icp_inl)
+    return StitchOutput(cloud=out, extrinsics=extrinsics, metrics=metrics)
+
+
+class StitchingPipeline:
+    """Stateful convenience wrapper: holds config + calibration, jits the step.
+
+    The jitted step is compiled once per StitchConfig; refined extrinsics are
+    carried frame-to-frame (online drift correction), mirroring how the
+    reference client holds its per-camera Eigen transforms for the whole run.
+    """
+
+    def __init__(self, cfg: StitchConfig, intr: Intrinsics,
+                 extrinsics: jax.Array):
+        self.cfg = cfg
+        self.intr = intr
+        self.extrinsics = jnp.asarray(extrinsics, jnp.float32)
+        self._step = jax.jit(partial(stitch_step, cfg))
+
+    def __call__(self, depths, colors=None, cam_mask=None,
+                 update_extrinsics: bool = True) -> StitchOutput:
+        out = self._step(self.intr, self.extrinsics, depths, colors, cam_mask)
+        if update_extrinsics and self.cfg.icp_enabled:
+            self.extrinsics = out.extrinsics
+        return out

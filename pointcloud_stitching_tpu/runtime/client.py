@@ -1,0 +1,172 @@
+"""Streaming multicamera client: TCP ingest → batched device feed → stitcher.
+
+TPU-native re-design of the reference client's runtime (reference:
+src/pcs-multicamera-client.cpp — SURVEY.md §3.2/§3.3). Kept from the
+reference: pull-based protocol, one ingest thread per camera, freshest-frame
+semantics. Changed for the TPU:
+
+  * ingest threads only move bytes (decompress into a pinned staging slot);
+    all geometry happens in the jitted device step,
+  * the per-camera clouds of the reference become one [ncam, H, W] batch,
+    transferred per tick with a single host-to-device copy,
+  * single-writer slots (one thread per camera, main loop reads a snapshot)
+    replace the reference's shared-cloud mutex dance (SURVEY.md §5: its
+    client has real data races; this design has none by construction),
+  * a camera that stalls or dies is dropped from the batch via cam_mask —
+    fixed shapes make failure handling free (the reference blocks/crashes).
+"""
+from __future__ import annotations
+
+import socket
+import threading
+import time
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from ..models.stitcher import StitchingPipeline, StitchOutput
+from ..utils.metrics import FrameMetrics, StageTimer
+from .wire import Kind, recv_frame, send_pull
+
+
+class _CameraSlot:
+    """Single-writer staging slot holding a camera's freshest depth frame."""
+
+    def __init__(self, h: int, w: int):
+        self.frame = np.zeros((h, w), np.uint16)
+        self.seq = -1
+        self.stamp = 0.0
+        self.lock = threading.Lock()
+        self.alive = True
+
+
+class CameraIngest(threading.Thread):
+    """Per-camera ingest thread: pull → recv → decompress → slot."""
+
+    def __init__(self, index: int, address: tuple[str, int], slot: _CameraSlot,
+                 stop: threading.Event, connect_timeout: float = 5.0):
+        super().__init__(daemon=True, name=f"ingest-cam{index}")
+        self.index = index
+        self.address = address
+        self.slot = slot
+        self._stop = stop
+        self._connect_timeout = connect_timeout
+
+    def run(self) -> None:
+        try:
+            sock = socket.create_connection(self.address,
+                                            timeout=self._connect_timeout)
+            sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            sock.settimeout(5.0)
+        except OSError:
+            self.slot.alive = False
+            return
+        try:
+            while not self._stop.is_set():
+                send_pull(sock)
+                kind, seq, payload = recv_frame(sock)
+                if kind != Kind.DEPTH16:
+                    raise ValueError(f"unexpected frame kind {kind}")
+                with self.slot.lock:
+                    self.slot.frame[...] = payload
+                    self.slot.seq = seq
+                    self.slot.stamp = time.time()
+        except (OSError, ConnectionError, ValueError):
+            self.slot.alive = False
+        finally:
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+
+class MulticameraClient:
+    """Connects to N camera servers and runs the stitching pipeline live."""
+
+    def __init__(self, addresses: Sequence[tuple[str, int]],
+                 pipeline: StitchingPipeline,
+                 stale_timeout: float = 0.5):
+        cfg = pipeline.cfg
+        if len(addresses) != cfg.num_cameras:
+            raise ValueError("address count != cfg.num_cameras")
+        self.pipeline = pipeline
+        self.stale_timeout = stale_timeout
+        self.metrics = FrameMetrics()
+        self.stages = StageTimer()
+        self._stop = threading.Event()
+        self._slots = [_CameraSlot(cfg.height, cfg.width) for _ in addresses]
+        self._threads = [
+            CameraIngest(i, addr, slot, self._stop)
+            for i, (addr, slot) in enumerate(zip(addresses, self._slots))]
+
+    def start(self) -> "MulticameraClient":
+        for t in self._threads:
+            t.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def wait_for_first_frames(self, timeout: float = 10.0) -> bool:
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if all((s.seq >= 0) or not s.alive for s in self._slots) and \
+                    any(s.alive for s in self._slots):
+                return True
+            time.sleep(0.01)
+        return False
+
+    def _snapshot(self):
+        """Copy the freshest frames out of the slots; compute the cam mask."""
+        cfg = self.pipeline.cfg
+        depths = np.empty((cfg.num_cameras, cfg.height, cfg.width), np.uint16)
+        mask = np.zeros((cfg.num_cameras,), bool)
+        now = time.time()
+        for i, s in enumerate(self._slots):
+            with s.lock:
+                depths[i] = s.frame
+                fresh = s.alive and s.seq >= 0 and \
+                    (now - s.stamp) <= self.stale_timeout
+            mask[i] = fresh
+        return depths, mask
+
+    def step(self) -> Optional[StitchOutput]:
+        """One stitch tick over the freshest frames. None if no camera is live."""
+        import jax
+        import jax.numpy as jnp
+
+        t0 = time.time()
+        depths, mask = self._snapshot()
+        live = int(mask.sum())
+        self.metrics.dropped_cameras = self.pipeline.cfg.num_cameras - live
+        if live == 0:
+            return None
+        t1 = time.time()
+        d_depths = jnp.asarray(depths)
+        d_mask = jnp.asarray(mask)
+        t2 = time.time()
+        out = self.pipeline(d_depths, cam_mask=d_mask)
+        # scalar pull = real synchronization point (output stays on device)
+        n_pts = int(out.metrics.points_out)
+        t3 = time.time()
+        self.stages.record("snapshot", t1 - t0)
+        self.stages.record("h2d", t2 - t1)
+        self.stages.record("stitch", t3 - t2)
+        self.metrics.record(t3 - t0, points=int(np.prod(depths.shape)))
+        return out
+
+    def run(self, num_frames: Optional[int] = None,
+            on_frame: Optional[Callable[[int, StitchOutput], None]] = None
+            ) -> FrameMetrics:
+        n = 0
+        try:
+            while not self._stop.is_set():
+                out = self.step()
+                if out is not None and on_frame is not None:
+                    on_frame(n, out)
+                n += 1
+                if num_frames is not None and n >= num_frames:
+                    break
+        finally:
+            self.stop()
+        return self.metrics

@@ -1,0 +1,160 @@
+"""Fake camera server: replays recorded or synthetic depth streams over TCP.
+
+The cluster-without-hardware harness (SURVEY.md §4 'distributed without a
+cluster'): plays the role of the reference's per-NUC pcs-camera-server
+(src/pcs-camera-server.cpp) — bind/listen/accept, then serve one frame per
+1-byte pull request — but sources frames from an .npy recording or the
+synthetic scene generator instead of a RealSense pipeline. Doubles as the
+fault injector: it can drop connections or stall on demand.
+
+CLI:
+  python -m pointcloud_stitching_tpu.runtime.fake_server \
+      --port 8000 --frames path.npy | --synthetic --seed 0 [--fps 30] \
+      [--codec zlib] [--stall-after N] [--die-after N]
+"""
+from __future__ import annotations
+
+import argparse
+import socket
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from .wire import Codec, encode_depth_frame, recv_exact
+
+
+class FakeCameraServer:
+    """Serves a fixed sequence of depth frames, pull-based, forever (loops)."""
+
+    def __init__(self, frames: np.ndarray, port: int = 0,
+                 host: str = "127.0.0.1", fps: Optional[float] = None,
+                 codec: Codec = Codec.ZLIB,
+                 stall_after: Optional[int] = None,
+                 die_after: Optional[int] = None):
+        if frames.ndim != 3 or frames.dtype != np.uint16:
+            raise ValueError("frames must be [T, H, W] uint16")
+        self.frames = frames
+        self.fps = fps
+        self.codec = codec
+        self.stall_after = stall_after
+        self.die_after = die_after
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen(1)
+        self.port = self._sock.getsockname()[1]
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> "FakeCameraServer":
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        if self._thread:
+            self._thread.join(timeout=2)
+
+    def _serve(self) -> None:
+        try:
+            conn, _ = self._sock.accept()
+        except OSError:
+            return
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        seq = 0
+        last = 0.0
+        try:
+            while not self._stop.is_set():
+                recv_exact(conn, 1)  # pull request
+                if self.die_after is not None and seq >= self.die_after:
+                    conn.close()
+                    return
+                if self.stall_after is not None and seq >= self.stall_after:
+                    # stall: hold the socket open, never answer
+                    self._stop.wait()
+                    return
+                if self.fps:
+                    now = time.time()
+                    wait = (1.0 / self.fps) - (now - last)
+                    if wait > 0:
+                        time.sleep(wait)
+                    last = time.time()
+                frame = self.frames[seq % len(self.frames)]
+                conn.sendall(encode_depth_frame(frame, seq, self.codec))
+                seq += 1
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+
+def synthetic_frames(n_frames: int, h: int = 480, w: int = 848,
+                     seed: int = 0) -> np.ndarray:
+    """A slowly drifting synthetic scene (same generator family as tests)."""
+    rng = np.random.default_rng(seed)
+    u, v = np.meshgrid(np.arange(w, dtype=np.float32),
+                       np.arange(h, dtype=np.float32))
+    out = np.empty((n_frames, h, w), np.uint16)
+    phase = rng.uniform(0, 6.28)
+    for t in range(n_frames):
+        p = phase + 0.02 * t
+        depth = (1500 + 500 * np.sin(u / (w * 0.23) + p)
+                 + 400 * np.cos(v / (h * 0.19))
+                 + 150 * np.sin(u / (w * 0.041) + 1.0 + p)
+                 + 120 * np.cos(v / (h * 0.037)))
+        holes = rng.random((h, w)) < 0.07
+        depth[holes] = 0
+        out[t] = np.clip(depth, 0, 4000).astype(np.uint16)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--frames", help=".npy file of [T,H,W] uint16 depth")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-frames", type=int, default=64)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=848)
+    ap.add_argument("--fps", type=float, default=None)
+    ap.add_argument("--codec", choices=["raw", "zlib", "snappy"],
+                    default="zlib")
+    ap.add_argument("--stall-after", type=int, default=None)
+    ap.add_argument("--die-after", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    if args.frames:
+        frames = np.load(args.frames)
+    else:
+        frames = synthetic_frames(args.n_frames, args.height, args.width,
+                                  args.seed)
+    codec = {"raw": Codec.RAW, "zlib": Codec.ZLIB,
+             "snappy": Codec.SNAPPY}[args.codec]
+    srv = FakeCameraServer(frames, port=args.port, host=args.host,
+                           fps=args.fps, codec=codec,
+                           stall_after=args.stall_after,
+                           die_after=args.die_after)
+    srv.start()
+    print(f"fake camera server on {args.host}:{srv.port} "
+          f"({len(frames)} frames, codec={args.codec})", flush=True)
+    try:
+        while True:
+            time.sleep(1)
+    except KeyboardInterrupt:
+        srv.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Declarative pipeline configuration.
+
+Replaces the reference's scattered getopt flags + hard-coded IP lists
+(reference: main() of src/pcs-camera-server.cpp and
+src/pcs-multicamera-client.cpp — SURVEY.md §5 'Config / flag system') with one
+dataclass. Fields here are *static*: they fix buffer shapes and the traced
+program. Quantities that may change per frame without recompiling (leaf
+sizes, extrinsics, intrinsics parameters) are traced arguments instead.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+
+
+@dataclasses.dataclass(frozen=True)
+class StitchConfig:
+    """Static shape/program configuration for the stitching pipeline."""
+
+    num_cameras: int = 4
+    height: int = 480
+    width: int = 848
+    depth_scale: float = 0.001
+    z_min: float = 0.1
+    z_max: float = 10.0
+    decimation: int = 1          # grid-stride depth decimation (server-side in ref)
+    with_color: bool = False
+
+    # per-camera voxel pre-downsample (bounds fusion cost)
+    cam_voxel_leaf: float = 0.01
+    cam_capacity: int = 131072
+
+    # fused output cloud
+    out_voxel_leaf: float = 0.01
+    out_capacity: int = 262144
+
+    # per-frame ICP drift correction (config 4/5); BASELINE: >=5 iters/frame
+    icp_enabled: bool = True
+    icp_voxel_leaf: float = 0.05
+    icp_capacity: int = 8192
+    icp_iterations: int = 5
+    icp_max_corr_dist: float = 0.1
+    icp_query_tile: int = 1024
+    icp_ref_tile: int = 4096
+
+    @property
+    def pixels_per_camera(self) -> int:
+        return (self.height // self.decimation) * (self.width // self.decimation)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "StitchConfig":
+        return cls(**json.loads(s))
+
+    @classmethod
+    def load(cls, path: str) -> "StitchConfig":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())

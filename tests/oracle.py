@@ -124,17 +124,20 @@ def icp_np(src, dst, iterations=5, max_corr_dist=0.1, init_T=None):
 # ---------------------------------------------------------------------------
 
 def synth_depth_frame(h=480, w=848, seed=0, max_mm=4000):
-    """A synthetic-but-structured depth frame: sloped planes + spheres + holes.
-
-    Mimics a room scan: mostly smooth surfaces, ~5-10% zero (invalid) pixels.
+    """A synthetic-but-structured depth frame: multi-octave surfaces + spheres
+    + holes. Mimics a room scan (~7% invalid pixels). Frequencies scale with
+    frame size so small test frames keep enough structure for ICP to lock
+    (a single smooth wave lets point-to-point ICP slide along the surface).
     """
     rng = np.random.default_rng(seed)
     u, v = np.meshgrid(np.arange(w, dtype=np.float32),
                        np.arange(h, dtype=np.float32))
-    depth = 1500 + 800 * np.sin(u / 211.0) + 600 * np.cos(v / 97.0)
-    for _ in range(6):
+    depth = (1500 + 500 * np.sin(u / (w * 0.23)) + 400 * np.cos(v / (h * 0.19))
+             + 150 * np.sin(u / (w * 0.041) + 1.0)
+             + 120 * np.cos(v / (h * 0.037)))
+    for _ in range(8):
         cu, cv = rng.uniform(0, w), rng.uniform(0, h)
-        r = rng.uniform(30, 120)
+        r = rng.uniform(0.04, 0.14) * min(h, w)
         d = rng.uniform(600, max_mm * 0.8)
         m = (u - cu) ** 2 + (v - cv) ** 2 < r ** 2
         depth[m] = d

@@ -1,0 +1,62 @@
+import numpy as np
+import pytest
+
+from pointcloud_stitching_tpu import PointCloud
+from pointcloud_stitching_tpu.io import (discover_cals, load_cal, load_cals,
+                                         load_ply, save_cal, save_cloud,
+                                         save_ply)
+from oracle import random_se3
+
+
+def test_cal_roundtrip(tmp_path):
+    T = random_se3(seed=1)
+    p = tmp_path / "cam0.cal"
+    save_cal(str(p), T)
+    got = load_cal(str(p))
+    np.testing.assert_allclose(got, T, atol=1e-7)
+
+
+def test_cal_reference_format_compat(tmp_path):
+    # plain whitespace 4x4 text, as the reference's registration tool writes
+    p = tmp_path / "ref.cal"
+    p.write_text("1 0 0 0.5\n0 1 0 -0.25\n0 0 1 2\n0 0 0 1\n")
+    T = load_cal(str(p))
+    assert T.shape == (4, 4) and T.dtype == np.float32
+    assert T[0, 3] == 0.5 and T[1, 3] == -0.25
+
+
+def test_discover_and_stack(tmp_path):
+    for i in [2, 0, 1]:
+        save_cal(str(tmp_path / f"cam{i}.cal"), random_se3(seed=i))
+    paths = discover_cals(str(tmp_path))
+    assert [p.split("/")[-1] for p in paths] == ["cam0.cal", "cam1.cal",
+                                                "cam2.cal"]
+    Ts = load_cals(paths)
+    assert Ts.shape == (3, 4, 4)
+    np.testing.assert_allclose(Ts[1], random_se3(seed=1), atol=1e-7)
+
+
+@pytest.mark.parametrize("binary", [True, False])
+@pytest.mark.parametrize("with_rgb", [True, False])
+def test_ply_roundtrip(tmp_path, rng, binary, with_rgb):
+    xyz = rng.normal(size=(257, 3)).astype(np.float32)
+    rgb = (rng.uniform(0, 255, (257, 3)).astype(np.uint8) if with_rgb
+           else None)
+    p = tmp_path / "c.ply"
+    save_ply(str(p), xyz, rgb, binary=binary)
+    got_xyz, got_rgb = load_ply(str(p))
+    np.testing.assert_allclose(got_xyz, xyz, atol=1e-4 if not binary else 0)
+    if with_rgb:
+        np.testing.assert_array_equal(got_rgb, rgb)
+    else:
+        assert got_rgb is None
+
+
+def test_save_cloud_writes_valid_prefix_only(tmp_path, rng):
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    pc = PointCloud.from_points(pts, capacity=128)
+    p = tmp_path / "c.ply"
+    save_cloud(str(p), pc)
+    xyz, _ = load_ply(str(p))
+    assert xyz.shape == (50, 3)
+    np.testing.assert_allclose(xyz, pts)

@@ -1,0 +1,72 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointcloud_stitching_tpu import Intrinsics
+from pointcloud_stitching_tpu.models import stitch_step
+from pointcloud_stitching_tpu.parallel import make_mesh, make_sharded_stitch
+from pointcloud_stitching_tpu.utils.config import StitchConfig
+from oracle import random_se3, synth_depth_frame
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device (virtual CPU) mesh")
+
+
+def _cfg(ncam, icp=True):
+    return StitchConfig(num_cameras=ncam, height=60, width=106,
+                        cam_voxel_leaf=0.03, cam_capacity=4096,
+                        out_voxel_leaf=0.03, out_capacity=8192,
+                        icp_enabled=icp, icp_voxel_leaf=0.06,
+                        icp_capacity=1024, icp_iterations=2,
+                        icp_max_corr_dist=0.3,
+                        icp_query_tile=256, icp_ref_tile=256)
+
+
+def _scene(ncam, h=60, w=106):
+    depths = np.stack([synth_depth_frame(h, w, seed=s) for s in range(ncam)])
+    i0 = Intrinsics.create(fx=53.0, fy=53.0, ppx=w / 2, ppy=h / 2,
+                           width=w, height=h)
+    intr = i0.stack([i0] * (ncam - 1))
+    ext = np.stack([random_se3(seed=20 + i, max_angle=0.05, max_trans=0.1)
+                    for i in range(ncam)]).astype(np.float32)
+    return depths, intr, ext
+
+
+def test_sharded_matches_single_device():
+    ncam = len(jax.devices())
+    depths, intr, ext = _scene(ncam)
+    cfg = _cfg(ncam)
+    mesh = make_mesh()
+    fn = make_sharded_stitch(cfg, mesh)
+    out_sharded = fn(intr, jnp.asarray(ext), jnp.asarray(depths))
+    out_single = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths))
+
+    a = np.asarray(out_sharded.cloud.xyz)[np.asarray(out_sharded.cloud.mask)]
+    b = np.asarray(out_single.cloud.xyz)[np.asarray(out_single.cloud.mask)]
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.sort(a, axis=0), np.sort(b, axis=0),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_sharded.extrinsics),
+                               np.asarray(out_single.extrinsics), atol=1e-4)
+
+
+def test_sharded_no_icp_matches():
+    ncam = len(jax.devices())
+    depths, intr, ext = _scene(ncam)
+    cfg = _cfg(ncam, icp=False)
+    fn = make_sharded_stitch(cfg, make_mesh())
+    out = fn(intr, jnp.asarray(ext), jnp.asarray(depths))
+    ref = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths))
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out.cloud.xyz)[np.asarray(out.cloud.mask)], axis=0),
+        np.sort(np.asarray(ref.cloud.xyz)[np.asarray(ref.cloud.mask)], axis=0),
+        atol=1e-5)
+
+
+def test_mesh_size_divisibility_enforced():
+    cfg = _cfg(3)
+    if len(jax.devices()) == 8:
+        with pytest.raises(ValueError):
+            make_sharded_stitch(cfg, make_mesh())

@@ -1,0 +1,124 @@
+"""Loopback-cluster tests: fake servers + streaming client, no hardware."""
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from pointcloud_stitching_tpu import Intrinsics
+from pointcloud_stitching_tpu.models import StitchingPipeline
+from pointcloud_stitching_tpu.runtime import (Codec, FakeCameraServer,
+                                              MulticameraClient,
+                                              pack_points_i16mm,
+                                              recv_frame, synthetic_frames,
+                                              unpack_points_i16mm)
+from pointcloud_stitching_tpu.runtime.wire import send_pull
+from pointcloud_stitching_tpu.utils.config import StitchConfig
+
+
+def test_pack_unpack_i16mm_roundtrip(rng):
+    xyz = rng.uniform(-5, 5, (1000, 3)).astype(np.float32)
+    data = pack_points_i16mm(xyz)
+    got, got_rgb = unpack_points_i16mm(data)
+    assert got_rgb is None
+    np.testing.assert_allclose(got, xyz, atol=5.1e-4)  # 1mm quantization
+
+
+def test_pack_unpack_with_rgb(rng):
+    xyz = rng.uniform(-5, 5, (500, 3)).astype(np.float32)
+    rgb = rng.integers(0, 256, (500, 3)).astype(np.uint8)
+    data = pack_points_i16mm(xyz, rgb)
+    got, got_rgb = unpack_points_i16mm(data, with_rgb=True)
+    np.testing.assert_allclose(got, xyz, atol=5.1e-4)
+    np.testing.assert_array_equal(got_rgb, rgb)
+
+
+@pytest.mark.parametrize("codec", [Codec.RAW, Codec.ZLIB])
+def test_fake_server_serves_frames(codec):
+    frames = synthetic_frames(4, h=60, w=106, seed=1)
+    srv = FakeCameraServer(frames, codec=codec).start()
+    try:
+        sock = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        for i in range(6):  # loops past the end
+            send_pull(sock)
+            kind, seq, payload = recv_frame(sock)
+            assert seq == i
+            np.testing.assert_array_equal(payload, frames[i % 4])
+        sock.close()
+    finally:
+        srv.stop()
+
+
+def _make_pipeline(ncam, h=60, w=106):
+    cfg = StitchConfig(num_cameras=ncam, height=h, width=w,
+                       cam_voxel_leaf=0.03, cam_capacity=4096,
+                       out_voxel_leaf=0.03, out_capacity=8192,
+                       icp_enabled=False)
+    i0 = Intrinsics.create(fx=53.0, fy=53.0, ppx=w / 2, ppy=h / 2,
+                           width=w, height=h)
+    intr = i0.stack([i0] * (ncam - 1))
+    ext = np.tile(np.eye(4, dtype=np.float32), (ncam, 1, 1))
+    return StitchingPipeline(cfg, intr, ext)
+
+
+def test_loopback_stream_end_to_end():
+    """N fake servers on localhost -> client -> stitched clouds (config 4
+    topology with zero hardware)."""
+    ncam, h, w = 3, 60, 106
+    servers = [FakeCameraServer(synthetic_frames(8, h, w, seed=s)).start()
+               for s in range(ncam)]
+    try:
+        pipe = _make_pipeline(ncam, h, w)
+        client = MulticameraClient(
+            [("127.0.0.1", s.port) for s in servers], pipe).start()
+        assert client.wait_for_first_frames(timeout=10)
+        outs = []
+        metrics = client.run(num_frames=5,
+                             on_frame=lambda i, o: outs.append(o))
+        assert metrics.total_frames == 5
+        assert len(outs) == 5
+        assert int(outs[-1].metrics.points_out) > 100
+        assert metrics.dropped_cameras == 0
+        s = metrics.summary()
+        assert s["fps"] > 0
+    finally:
+        for s in servers:
+            s.stop()
+
+
+def test_dead_camera_is_dropped_not_fatal():
+    """A server that dies mid-stream must not stall the client (the
+    reference client blocks forever on a dead socket — SURVEY.md §5)."""
+    ncam, h, w = 2, 60, 106
+    good = FakeCameraServer(synthetic_frames(8, h, w, seed=0)).start()
+    dying = FakeCameraServer(synthetic_frames(8, h, w, seed=1),
+                             die_after=2).start()
+    try:
+        pipe = _make_pipeline(ncam, h, w)
+        client = MulticameraClient(
+            [("127.0.0.1", good.port), ("127.0.0.1", dying.port)],
+            pipe, stale_timeout=0.3).start()
+        assert client.wait_for_first_frames(timeout=10)
+        time.sleep(0.6)  # let the dying camera die and go stale
+        out = client.step()
+        assert out is not None
+        assert client.metrics.dropped_cameras == 1
+        client.stop()
+    finally:
+        good.stop()
+        dying.stop()
+
+
+def test_all_cameras_dead_returns_none():
+    ncam, h, w = 1, 60, 106
+    srv = FakeCameraServer(synthetic_frames(4, h, w), die_after=1).start()
+    try:
+        pipe = _make_pipeline(ncam, h, w)
+        client = MulticameraClient([("127.0.0.1", srv.port)], pipe,
+                                   stale_timeout=0.2).start()
+        client.wait_for_first_frames(timeout=10)
+        time.sleep(0.5)
+        assert client.step() is None
+        client.stop()
+    finally:
+        srv.stop()

@@ -1,0 +1,168 @@
+import numpy as np
+import jax.numpy as jnp
+
+from pointcloud_stitching_tpu import Intrinsics, PointCloud
+from pointcloud_stitching_tpu.models import (StitchingPipeline, register_pair,
+                                             stitch_step)
+from pointcloud_stitching_tpu.utils.config import StitchConfig
+from oracle import random_se3, synth_depth_frame, transform_np
+
+
+INTR = dict(fx=421.5, fy=421.1, ppx=423.2, ppy=238.9)
+
+
+def _small_cfg(ncam, **kw):
+    base = dict(num_cameras=ncam, height=120, width=212,
+                cam_voxel_leaf=0.02, cam_capacity=32768,
+                out_voxel_leaf=0.02, out_capacity=65536,
+                icp_voxel_leaf=0.04, icp_capacity=4096,
+                icp_iterations=3, icp_max_corr_dist=0.3,
+                icp_query_tile=256, icp_ref_tile=512)
+    base.update(kw)
+    return StitchConfig(**base)
+
+
+def _scene(ncam, h=120, w=212):
+    depths = np.stack([synth_depth_frame(h, w, seed=s) for s in range(ncam)])
+    intr = Intrinsics.create(fx=106.0, fy=106.0, ppx=w / 2, ppy=h / 2,
+                             width=w, height=h)
+    intr_b = intr.stack([intr] * (ncam - 1))
+    ext = np.stack([random_se3(seed=10 + i, max_angle=0.1, max_trans=0.2)
+                    for i in range(ncam)]).astype(np.float32)
+    return depths, intr_b, ext
+
+
+def test_stitch_step_shapes_and_masks():
+    ncam = 3
+    cfg = _small_cfg(ncam, icp_enabled=False)
+    depths, intr, ext = _scene(ncam)
+    out = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths))
+    assert out.cloud.xyz.shape == (cfg.out_capacity, 3)
+    assert int(out.metrics.points_out) > 100
+    assert int(out.metrics.points_in) > 1000
+    np.testing.assert_allclose(np.asarray(out.extrinsics), ext)
+
+
+def test_stitch_matches_manual_composition():
+    """Pipeline (no ICP) == deproject+transform+voxel composed by hand."""
+    from pointcloud_stitching_tpu.ops import (deproject, fuse,
+                                              transform_cloud,
+                                              voxel_downsample)
+    ncam = 2
+    cfg = _small_cfg(ncam, icp_enabled=False,
+                     cam_voxel_leaf=1e-6, cam_capacity=120 * 212)
+    depths, intr, ext = _scene(ncam)
+    out = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths))
+
+    # manual: per-cam deproject -> world -> fuse -> voxel
+    clouds = []
+    for i in range(ncam):
+        intr_i = Intrinsics.create(fx=106.0, fy=106.0, ppx=106.0, ppy=60.0,
+                                   width=212, height=120)
+        pc = deproject(depths[i], intr_i, z_min=cfg.z_min, z_max=cfg.z_max)
+        clouds.append(transform_cloud(jnp.asarray(ext[i]), pc))
+    fused = fuse(clouds)
+    ref = voxel_downsample(fused, cfg.out_voxel_leaf, capacity=cfg.out_capacity)
+
+    got = np.asarray(out.cloud.xyz)[np.asarray(out.cloud.mask)]
+    want = np.asarray(ref.xyz)[np.asarray(ref.mask)]
+    assert got.shape == want.shape
+    # cam_voxel pre-pass with tiny leaf is an identity-ish pass; the fused
+    # voxel grid sees per-camera centroids == original points
+    np.testing.assert_allclose(np.sort(got, axis=0), np.sort(want, axis=0),
+                               atol=1e-3)
+
+
+def test_stitch_cam_mask_drops_camera():
+    ncam = 3
+    cfg = _small_cfg(ncam, icp_enabled=False)
+    depths, intr, ext = _scene(ncam)
+    full = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths))
+    dropped = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths),
+                          cam_mask=jnp.asarray([True, False, True]))
+    assert int(dropped.metrics.points_in) < int(full.metrics.points_in)
+
+    # dropping cam1 == stitching only cams 0,2
+    cfg2 = _small_cfg(2, icp_enabled=False)
+    intr2 = Intrinsics.create(fx=106.0, fy=106.0, ppx=106.0, ppy=60.0,
+                              width=212, height=120)
+    intr2 = intr2.stack([intr2])
+    two = stitch_step(cfg2, intr2, jnp.asarray(ext[[0, 2]]),
+                      jnp.asarray(depths[[0, 2]]))
+    a = np.asarray(dropped.cloud.xyz)[np.asarray(dropped.cloud.mask)]
+    b = np.asarray(two.cloud.xyz)[np.asarray(two.cloud.mask)]
+    np.testing.assert_allclose(np.sort(a, axis=0), np.sort(b, axis=0),
+                               atol=1e-5)
+
+
+def test_icp_drift_correction_improves_alignment():
+    """Two views of the same wavy surface, one extrinsic perturbed: the
+    pipeline's ring ICP should pull the fused clouds back together."""
+    h, w = 120, 212
+    depth = synth_depth_frame(h, w, seed=42)
+    depths = np.stack([depth, depth])  # same sensor view
+    intr = Intrinsics.create(fx=106.0, fy=106.0, ppx=w / 2, ppy=h / 2,
+                             width=w, height=h)
+    intr_b = intr.stack([intr])
+    # truth: both cameras identical pose => identical world clouds.
+    drift = np.eye(4, dtype=np.float32)
+    drift[:3, 3] = [0.04, -0.03, 0.02]
+    ext = np.stack([np.eye(4, dtype=np.float32), drift])
+
+    cfg = _small_cfg(2, icp_enabled=True, icp_iterations=8)
+    out = stitch_step(cfg, intr_b, jnp.asarray(ext), jnp.asarray(depths))
+    refined = np.asarray(out.extrinsics)
+    # camera 0 anchored
+    np.testing.assert_allclose(refined[0], np.eye(4), atol=1e-6)
+    # camera 1's refined extrinsic should approach identity (true pose)
+    err_before = np.abs(ext[1] - np.eye(4)).max()
+    err_after = np.abs(refined[1] - np.eye(4)).max()
+    assert err_after < err_before * 0.5, (err_before, err_after)
+
+
+def test_pipeline_wrapper_carries_extrinsics():
+    ncam = 2
+    h, w = 120, 212
+    depth = synth_depth_frame(h, w, seed=7)
+    depths = np.stack([depth, depth])
+    intr = Intrinsics.create(fx=106.0, fy=106.0, ppx=w / 2, ppy=h / 2,
+                             width=w, height=h).stack(
+        [Intrinsics.create(fx=106.0, fy=106.0, ppx=w / 2, ppy=h / 2,
+                           width=w, height=h)])
+    drift = np.eye(4, dtype=np.float32)
+    drift[:3, 3] = [0.03, 0.0, -0.02]
+    ext = np.stack([np.eye(4, dtype=np.float32), drift])
+    cfg = _small_cfg(2, icp_enabled=True, icp_iterations=4)
+    pipe = StitchingPipeline(cfg, intr, ext)
+    e0 = np.abs(np.asarray(pipe.extrinsics)[1] - np.eye(4)).max()
+    for _ in range(3):
+        pipe(jnp.asarray(depths))
+    e1 = np.abs(np.asarray(pipe.extrinsics)[1] - np.eye(4)).max()
+    assert e1 < e0  # extrinsics improve across frames
+
+
+def test_register_pair_with_picked_points(rng):
+    pts = rng.uniform(-1, 1, (1500, 3)).astype(np.float32)
+    T_true = random_se3(seed=3, max_angle=0.6, max_trans=0.6)
+    dst = transform_np(T_true, pts)
+    src_pc = PointCloud.from_points(pts)
+    dst_pc = PointCloud.from_points(dst)
+    picks = [3, 100, 777, 1234]
+    res = register_pair(src_pc, dst_pc, src_idx=picks, dst_idx=picks,
+                        refine=True, query_tile=512, ref_tile=512)
+    np.testing.assert_allclose(np.asarray(res.initial_T), T_true, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.T), T_true, atol=1e-3)
+
+
+def test_register_pair_writes_cal(tmp_path, rng):
+    from pointcloud_stitching_tpu.io import load_cal
+    from pointcloud_stitching_tpu.models import write_cal
+    pts = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+    T_true = random_se3(seed=4, max_angle=0.2, max_trans=0.2)
+    res = register_pair(PointCloud.from_points(pts),
+                        PointCloud.from_points(transform_np(T_true, pts)),
+                        refine=True, max_corr_dist=1.0,
+                        query_tile=512, ref_tile=512)
+    p = tmp_path / "pair.cal"
+    write_cal(str(p), res)
+    np.testing.assert_allclose(load_cal(str(p)), np.asarray(res.T), atol=1e-6)
