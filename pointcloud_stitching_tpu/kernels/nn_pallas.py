@@ -1,0 +1,211 @@
+"""Pallas TPU kernel: tiled brute-force nearest-neighbour search.
+
+The flagship kernel (BASELINE north star: "PCL's KD-tree NN search is
+replaced by tiled brute-force distance-matrix matmuls on the MXU"). For
+query tile Q and reference block R:
+
+    d2 = |q|^2 + |r|^2 - 2 q·r^T
+
+with the cross term on the MXU (full-f32 passes — bf16 rounding breaks
+PCL-tolerance distance parity). The N x M distance matrix is never
+materialised: the grid sweeps (query_tile x ref_block) blocks, keeping a
+running (best_d2, best_idx) pair resident in the output VMEM block across
+the sequential ref-block dimension. 100k x 100k queries touch 40 GB of
+distances but only ever hold one ~1 MB block on chip.
+
+Tie behaviour matches numpy/XLA argmin: the smallest reference index wins
+(strict `<` across blocks, min-index within a block).
+
+Replaces: pcl::KdTreeFLANN::nearestKSearch(k=1) inside
+pcl::IterativeClosestPoint (reference: registration/ tool; SURVEY.md §2.2
+row 5). Contract-identical to ops.nn.nearest_neighbors (the XLA version).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_FAR = 1e12  # coordinate sentinel for invalid reference points
+
+
+def _nn_kernel(q_ref, rT_ref, rsq_ref, d2_ref, idx_ref, *, ref_block):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        d2_ref[...] = jnp.full_like(d2_ref, jnp.inf)
+        idx_ref[...] = jnp.zeros_like(idx_ref)
+
+    q = q_ref[...]                                     # [QT, 8]
+    qsq = jnp.sum(q * q, axis=1, keepdims=True)        # [QT, 1]
+    cross = jax.lax.dot_general(
+        q, rT_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)            # [QT, MB]
+    d2 = qsq + rsq_ref[...] - 2.0 * cross
+    m = jnp.min(d2, axis=1)                            # [QT]
+    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    am = jnp.min(jnp.where(d2 <= m[:, None], cols, jnp.int32(2 ** 30)),
+                 axis=1)                               # first tie wins
+    gidx = j * ref_block + am
+
+    best = d2_ref[...]                                 # [QT] (1-D block)
+    better = m < best
+    d2_ref[...] = jnp.where(better, m, best)
+    idx_ref[...] = jnp.where(better, gidx, idx_ref[...])
+
+
+def _pad_rows(x, n, value=0.0):
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.pad(x, ((0, pad), (0, 0)), constant_values=value)
+
+
+@partial(jax.jit, static_argnames=("query_tile", "ref_block", "interpret"))
+def nearest_neighbors_pallas(query: jax.Array, ref: jax.Array,
+                             ref_mask: jax.Array | None = None,
+                             query_tile: int = 1024, ref_block: int = 1024,
+                             interpret: bool = False):
+    """For each query point, index + squared distance of nearest ref point.
+
+    Same contract as ops.nn.nearest_neighbors: (idx [N] i32, d2 [N] f32);
+    masked reference points are never matched.
+
+    query_tile of 1024 matches the XLA layout tile of 1-D arrays on TPU
+    (the outputs are 1-D running-best vectors; other tile sizes fail Mosaic
+    layout checks outside interpret mode).
+    """
+    n, m = query.shape[0], ref.shape[0]
+    if ref_mask is None:
+        ref_mask = jnp.ones((m,), bool)
+    refm = jnp.where(ref_mask[:, None], ref, _FAR)
+
+    npad = -(-n // query_tile) * query_tile
+    mpad = -(-m // ref_block) * ref_block
+
+    qp = jnp.pad(query, ((0, npad - n), (0, 8 - query.shape[1])))
+    rp = _pad_rows(refm, mpad, value=_FAR)
+    rsq = jnp.sum(rp * rp, axis=1)[None, :]            # [1, Mpad]
+    rT = jnp.pad(rp, ((0, 0), (0, 8 - rp.shape[1]))).T  # [8, Mpad], K-pad 0
+
+    nq, nm = npad // query_tile, mpad // ref_block
+    grid_spec = pl.GridSpec(
+        grid=(nq, nm),
+        in_specs=[
+            pl.BlockSpec((query_tile, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ref_block), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ref_block), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((query_tile,), lambda i, j: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile,), lambda i, j: (i,),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    d2, idx = pl.pallas_call(
+        partial(_nn_kernel, ref_block=ref_block),
+        out_shape=[jax.ShapeDtypeStruct((npad,), jnp.float32),
+                   jax.ShapeDtypeStruct((npad,), jnp.int32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(qp, rT, rsq)
+
+    d2 = d2[:n]
+    idx = jnp.minimum(idx[:n], m - 1)
+    return idx, jnp.maximum(d2, 0.0)
+
+
+def _nn_kernel_batched(q_ref, rT_ref, rsq_ref, d2_ref, idx_ref, *, ref_block):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        d2_ref[...] = jnp.full_like(d2_ref, jnp.inf)
+        idx_ref[...] = jnp.zeros_like(idx_ref)
+
+    q = q_ref[...]                                     # [QT, 8]
+    qsq = jnp.sum(q * q, axis=1, keepdims=True)
+    cross = jax.lax.dot_general(
+        q, rT_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)            # [QT, MB]
+    d2 = qsq + rsq_ref[0] - 2.0 * cross
+    m = jnp.min(d2, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    am = jnp.min(jnp.where(d2 <= m[:, None], cols, jnp.int32(2 ** 30)),
+                 axis=1)
+    gidx = j * ref_block + am
+
+    best = d2_ref[...]
+    better = m < best
+    d2_ref[...] = jnp.where(better, m, best)
+    idx_ref[...] = jnp.where(better, gidx, idx_ref[...])
+
+
+@partial(jax.jit, static_argnames=("query_tile", "ref_block", "interpret"))
+def nearest_neighbors_pallas_batched(query: jax.Array, ref: jax.Array,
+                                     ref_mask: jax.Array | None = None,
+                                     query_tile: int = 1024,
+                                     ref_block: int = 1024,
+                                     interpret: bool = False):
+    """Batched NN: query [B, N, 3] vs ref [B, M, 3] pairwise per batch row.
+
+    One kernel over a (B, nq, nm) grid — vmap of the unbatched kernel can't
+    lower on TPU (the batched 1-D outputs get untileable block shapes), so
+    the batch is a real grid dimension and the per-query outputs stay flat
+    [B*Npad]. Used by the ring-ICP drift correction (ncam-1 pairs at once).
+    """
+    b, n, _ = query.shape
+    m = ref.shape[1]
+    if ref_mask is None:
+        ref_mask = jnp.ones((b, m), bool)
+    refm = jnp.where(ref_mask[..., None], ref, _FAR)
+
+    npad = -(-n // query_tile) * query_tile
+    mpad = -(-m // ref_block) * ref_block
+
+    qp = jnp.pad(query, ((0, 0), (0, npad - n), (0, 8 - query.shape[-1])))
+    qp = qp.reshape(b * npad, 8)
+    rp = jnp.pad(refm, ((0, 0), (0, mpad - m), (0, 0)),
+                 constant_values=_FAR)
+    rsq = jnp.sum(rp * rp, axis=-1)[:, None, :]        # [B, 1, Mpad]
+    rT = jnp.swapaxes(jnp.pad(rp, ((0, 0), (0, 0), (0, 5))), 1, 2)  # [B,8,Mpad]
+
+    nq, nm = npad // query_tile, mpad // ref_block
+    grid_spec = pl.GridSpec(
+        grid=(b, nq, nm),
+        in_specs=[
+            pl.BlockSpec((query_tile, 8), lambda bb, i, j: (bb * nq + i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, ref_block), lambda bb, i, j: (bb, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ref_block), lambda bb, i, j: (bb, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((query_tile,), lambda bb, i, j: (bb * nq + i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile,), lambda bb, i, j: (bb * nq + i,),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    d2, idx = pl.pallas_call(
+        partial(_nn_kernel_batched, ref_block=ref_block),
+        out_shape=[jax.ShapeDtypeStruct((b * npad,), jnp.float32),
+                   jax.ShapeDtypeStruct((b * npad,), jnp.int32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(qp, rT, rsq)
+
+    d2 = d2.reshape(b, npad)[:, :n]
+    idx = jnp.minimum(idx.reshape(b, npad)[:, :n], m - 1)
+    return idx, jnp.maximum(d2, 0.0)

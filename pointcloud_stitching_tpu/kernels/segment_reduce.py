@@ -1,0 +1,115 @@
+"""Pallas TPU kernel: segment-sum over sorted segment ids.
+
+Why this kernel exists: XLA's scatter-add (what ``jax.ops.segment_sum``
+lowers to) costs ~170 ms for the 8-camera voxel workload on v5e, ~6x the
+whole frame budget, while the sort that produces the ids costs ~20 ms. With
+ids sorted, a segment sum needs no scatter at all:
+
+  * the grid walks the sorted stream chunk by chunk (TPU grids execute
+    sequentially, so read-modify-write on the output block is race-free),
+  * each chunk builds a one-hot matrix of its *local* segment offsets and
+    multiplies it with the values on the MXU → per-chunk partial sums,
+  * partials accumulate into a window of the VMEM-resident output at a
+    chunk-aligned dynamic offset (segment ids grow by at most 1 per element,
+    so a chunk's segments span < 2*chunk slots).
+
+Accumulation is plain float32 adds — the same error profile as PCL's
+VoxelGrid centroid accumulation, unlike a cumsum-difference scheme whose
+error grows with the full stream length.
+
+Replaces: pcl::VoxelGrid's per-leaf centroid accumulation loop
+(reference: client-side voxel filter, SURVEY.md §2.2 row 3).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _segsum_kernel(starts_ref, lseg_ref, valsT_ref, out_ref, *, chunk, span,
+                   sub):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    ch = valsT_ref.shape[0]
+    lseg = lseg_ref[...]                                    # [chunk] i32
+    vals = valsT_ref[...]                                   # [ch, chunk]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (sub, span), 1)
+    pT = jnp.zeros((ch, span), jnp.float32)
+    # static unroll: Mosaic requires statically-aligned slices of the block
+    for k in range(chunk // sub):
+        ls = lseg[k * sub:(k + 1) * sub]                    # [sub]
+        onehot = (ls[:, None] == iota).astype(jnp.float32)  # [sub, span]
+        v = vals[:, k * sub:(k + 1) * sub]                  # [ch, sub]
+        # [ch, sub] x [sub, span] partial sums on the MXU. precision=HIGHEST
+        # keeps the values in full f32 passes — the default truncates the
+        # value operand to bf16 (the one-hot side is exact either way).
+        pT = pT + jax.lax.dot_general(
+            v, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    start = pl.multiple_of(starts_ref[j], chunk)
+    out_ref[:, pl.ds(start, span)] += pT
+
+
+@partial(jax.jit, static_argnames=("capacity", "chunk", "interpret"))
+def segment_sum_sorted(vals: jax.Array, seg: jax.Array, capacity: int,
+                       chunk: int = 1024, interpret: bool = False) -> jax.Array:
+    """Sum ``vals`` rows by sorted segment id into ``capacity`` slots.
+
+    Args:
+      vals: [N, ch] float32. Rows to be discarded must be zeroed by the
+        caller (their segment id should be ``capacity``).
+      seg: [N] int32, nondecreasing with **unit increments** (the form a
+        cumsum-of-boundaries produces: seg[i+1] - seg[i] in {0, 1}), except
+        that any suffix may jump to the discard id ``capacity``. A chunk's
+        ids then span < 2*chunk slots, which is what bounds the accumulation
+        window; arbitrary sorted jumps would silently drop contributions.
+      capacity: number of output slots (static).
+      chunk: grid chunk length (static; 1024 matches the XLA layout tile of
+        1-D int32 arrays on TPU — other sizes fail Mosaic layout checks).
+    Returns:
+      [capacity, ch] float32 per-segment sums.
+    """
+    n, ch = vals.shape
+    npad = -(-n // chunk) * chunk
+    if npad != n:
+        vals = jnp.pad(vals, ((0, npad - n), (0, 0)))
+        seg = jnp.pad(seg, (0, npad - n), constant_values=capacity)
+    span = 2 * chunk
+    nchunks = npad // chunk
+
+    starts = (seg[::chunk] // chunk) * chunk                # chunk-aligned
+    # local offsets; flat 1-D so the block is a pure lane vector
+    lseg = (seg.reshape(nchunks, chunk) - starts[:, None]).reshape(-1)
+    # offsets outside [0, span) (mixed real/discard chunks) one-hot to zero.
+    valsT = vals.T                                          # [ch, npad]
+    out_w = capacity + span
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda j, *_: (j,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ch, chunk), lambda j, *_: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ch, out_w), lambda j, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        partial(_segsum_kernel, chunk=chunk, span=span,
+                sub=min(256, chunk)),
+        out_shape=jax.ShapeDtypeStruct((ch, out_w), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, lseg, valsT)
+    return out[:, :capacity].T

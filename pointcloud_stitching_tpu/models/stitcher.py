@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..ops.deproject import deproject, deproject_with_color
 from ..ops.fuse import fuse_batched
-from ..ops.icp import icp
+from ..ops.icp import icp_batched
 from ..ops.se3 import se3_apply
 from ..ops.voxel import decimate_depth, voxel_downsample
 from ..utils.config import StitchConfig
@@ -61,12 +61,10 @@ def _ring_drift_correction(cfg: StitchConfig, clouds: PointCloud,
     src = jax.tree.map(lambda a: a[1:], world)    # cameras 1..n-1
     dst = jax.tree.map(lambda a: a[:-1], world)   # cameras 0..n-2
 
-    res = jax.vmap(
-        lambda s, d: icp(s, d, iterations=cfg.icp_iterations,
-                         max_corr_dist=cfg.icp_max_corr_dist,
-                         query_tile=cfg.icp_query_tile,
-                         ref_tile=cfg.icp_ref_tile)
-    )(src, dst)
+    res = icp_batched(src, dst, iterations=cfg.icp_iterations,
+                      max_corr_dist=cfg.icp_max_corr_dist,
+                      query_tile=cfg.icp_query_tile,
+                      ref_tile=cfg.icp_ref_tile)
     deltas = res.T  # [ncam-1, 4, 4]: world-frame correction for camera i+1
 
     # prefix[i] = delta_1 @ ... @ delta_i ; camera 0 is the anchor (identity)
@@ -109,23 +107,33 @@ def stitch_step(cfg: StitchConfig, intr: Intrinsics, extrinsics: jax.Array,
         raw = raw.replace(mask=raw.mask & cam_mask[:, None])
 
     points_in = jnp.sum(raw.mask)
-
-    # per-camera sensor-frame pre-downsample (bounds all downstream sizes)
-    cam_clouds = jax.vmap(
-        lambda pc: voxel_downsample(pc, cfg.cam_voxel_leaf,
-                                    capacity=cfg.cam_capacity))(raw)
+    h = cfg.height // cfg.decimation
+    w = cfg.width // cfg.decimation
 
     icp_err = jnp.zeros((max(ncam - 1, 1),), jnp.float32)
     icp_inl = jnp.zeros((max(ncam - 1, 1),), jnp.int32)
     if cfg.icp_enabled and ncam > 1:
-        icp_clouds = jax.vmap(
-            lambda pc: voxel_downsample(pc, cfg.icp_voxel_leaf,
-                                        capacity=cfg.icp_capacity))(cam_clouds)
+        # ICP clouds from a grid-stride subsample (cheap, preserves spatial
+        # uniformity) + a small voxel pass — not a full-resolution voxel grid
+        s = cfg.icp_stride
+        sub_xyz = raw.xyz.reshape(ncam, h, w, 3)[:, ::s, ::s]
+        sub_mask = raw.mask.reshape(ncam, h, w)[:, ::s, ::s]
+        sub = PointCloud(xyz=sub_xyz.reshape(ncam, -1, 3),
+                         mask=sub_mask.reshape(ncam, -1))
+        icp_clouds = voxel_downsample(sub, cfg.icp_voxel_leaf,
+                                      capacity=cfg.icp_capacity)
         extrinsics, icp_err, icp_inl = _ring_drift_correction(
             cfg, icp_clouds, extrinsics)
 
-    world = cam_clouds.replace(xyz=se3_apply(extrinsics, cam_clouds.xyz))
+    clouds = raw
+    if cfg.cam_voxel_enabled:
+        # bound the per-camera cloud (useful when cameras shard across chips
+        # and fused points must cross ICI)
+        clouds = voxel_downsample(clouds, cfg.cam_voxel_leaf,
+                                  capacity=cfg.cam_capacity)
+    world = clouds.replace(xyz=se3_apply(extrinsics, clouds.xyz))
     fused = fuse_batched(world)
+    # one global voxel pass, same dataflow as the reference's fused VoxelGrid
     out = voxel_downsample(fused, cfg.out_voxel_leaf, capacity=cfg.out_capacity)
 
     metrics = StitchMetrics(points_in=points_in, points_out=out.count(),

@@ -5,7 +5,7 @@ from .voxel import decimate_depth, voxel_downsample, voxel_indices
 from .fuse import compact, fuse, fuse_batched
 from .nn import nearest_neighbors
 from .kabsch import kabsch
-from .icp import ICPResult, icp, icp_converge
+from .icp import ICPResult, icp, icp_batched, icp_converge
 
 __all__ = [
     "deproject", "deproject_with_color",
@@ -14,5 +14,5 @@ __all__ = [
     "decimate_depth", "voxel_downsample", "voxel_indices",
     "compact", "fuse", "fuse_batched",
     "nearest_neighbors", "kabsch",
-    "ICPResult", "icp", "icp_converge",
+    "ICPResult", "icp", "icp_batched", "icp_converge",
 ]

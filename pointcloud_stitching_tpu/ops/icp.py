@@ -29,11 +29,68 @@ class ICPResult(NamedTuple):
     iterations: jax.Array
 
 
+def _nn_batched(query, ref, ref_mask, query_tile, ref_tile, nn_impl):
+    """[B, N, 3] vs [B, M, 3] pairwise NN with impl dispatch."""
+    impl = nn_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from ..kernels.nn_pallas import nearest_neighbors_pallas_batched
+        # ref_block fixed at 1024: the [query_tile x ref_block] distance
+        # intermediate must stay well under the 16 MB VMEM budget
+        return nearest_neighbors_pallas_batched(query, ref, ref_mask)
+    return jax.vmap(
+        lambda q, r, rm: nearest_neighbors(
+            q, r, rm, query_tile=query_tile, ref_tile=ref_tile, impl="xla")
+    )(query, ref, ref_mask)
+
+
+@partial(jax.jit, static_argnames=("iterations", "query_tile", "ref_tile",
+                                   "nn_impl"))
+def icp_batched(src: PointCloud, dst: PointCloud,
+                init_T: jax.Array | None = None, iterations: int = 5,
+                max_corr_dist: float | jax.Array = 0.1,
+                query_tile: int = 1024, ref_tile: int = 4096,
+                nn_impl: str = "auto") -> ICPResult:
+    """Fixed-iteration ICP over B independent cloud pairs at once.
+
+    src/dst are batched PointClouds ([B, N, 3] xyz). All B correspondence
+    searches run as one batched-NN kernel per iteration (the stitcher's
+    ring drift correction runs ncam-1 pairs this way — SURVEY.md §2.4).
+    """
+    b = src.xyz.shape[0]
+    if init_T is None:
+        init_T = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+    max_d2 = jnp.asarray(max_corr_dist, jnp.float32) ** 2
+
+    from .kabsch import kabsch as _kabsch
+
+    def body(_, carry):
+        T, _, _ = carry
+        p = se3_apply(T, src.xyz)                       # [B, N, 3]
+        idx, d2 = _nn_batched(p, dst.xyz, dst.mask,
+                              query_tile, ref_tile, nn_impl)
+        w = (src.mask & (d2 <= max_d2)).astype(jnp.float32)
+        matched = jnp.take_along_axis(dst.xyz, idx[..., None], axis=1)
+        dT = jax.vmap(_kabsch)(p, matched, w)
+        n_in = jnp.sum(w, axis=-1)
+        err = jnp.sum(w * d2, axis=-1) / jnp.maximum(n_in, 1.0)
+        return (dT @ T, err, n_in)
+
+    T, err, n_in = jax.lax.fori_loop(
+        0, iterations, body,
+        (init_T, jnp.full((b,), jnp.inf, jnp.float32),
+         jnp.zeros((b,), jnp.float32)))
+    return ICPResult(T=T, mean_error=err, num_inliers=n_in.astype(jnp.int32),
+                     iterations=jnp.full((b,), iterations, jnp.int32))
+
+
 def _icp_step(T, src_xyz, src_mask, dst_xyz, dst_mask, max_dist2,
-              query_tile, ref_tile):
+              query_tile, ref_tile, nn_impl):
     p = se3_apply(T, src_xyz)
     idx, d2 = nearest_neighbors(p, dst_xyz, dst_mask,
-                                query_tile=query_tile, ref_tile=ref_tile)
+                                query_tile=query_tile, ref_tile=ref_tile,
+                                impl=nn_impl)
     w = (src_mask & (d2 <= max_dist2)).astype(jnp.float32)
     matched = dst_xyz[idx]
     dT = kabsch(p, matched, w)
@@ -42,10 +99,12 @@ def _icp_step(T, src_xyz, src_mask, dst_xyz, dst_mask, max_dist2,
     return dT @ T, err, n_in
 
 
-@partial(jax.jit, static_argnames=("iterations", "query_tile", "ref_tile"))
+@partial(jax.jit, static_argnames=("iterations", "query_tile", "ref_tile",
+                                   "nn_impl"))
 def icp(src: PointCloud, dst: PointCloud, init_T: jax.Array | None = None,
         iterations: int = 5, max_corr_dist: float | jax.Array = 0.1,
-        query_tile: int = 1024, ref_tile: int = 4096) -> ICPResult:
+        query_tile: int = 1024, ref_tile: int = 4096,
+        nn_impl: str = "auto") -> ICPResult:
     """Fixed-iteration ICP (streaming-friendly: constant cost per frame)."""
     if init_T is None:
         init_T = jnp.eye(4, dtype=jnp.float32)
@@ -54,7 +113,7 @@ def icp(src: PointCloud, dst: PointCloud, init_T: jax.Array | None = None,
     def body(_, carry):
         T, _, _ = carry
         T2, err, n_in = _icp_step(T, src.xyz, src.mask, dst.xyz, dst.mask,
-                                  max_d2, query_tile, ref_tile)
+                                  max_d2, query_tile, ref_tile, nn_impl)
         return (T2, err, n_in)
 
     T, err, n_in = jax.lax.fori_loop(
@@ -64,13 +123,15 @@ def icp(src: PointCloud, dst: PointCloud, init_T: jax.Array | None = None,
                      iterations=jnp.int32(iterations))
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "query_tile", "ref_tile"))
+@partial(jax.jit, static_argnames=("max_iterations", "query_tile", "ref_tile",
+                                   "nn_impl"))
 def icp_converge(src: PointCloud, dst: PointCloud,
                  init_T: jax.Array | None = None,
                  max_iterations: int = 50,
                  transformation_epsilon: float = 1e-8,
                  max_corr_dist: float | jax.Array = 0.25,
-                 query_tile: int = 1024, ref_tile: int = 4096) -> ICPResult:
+                 query_tile: int = 1024, ref_tile: int = 4096,
+                 nn_impl: str = "auto") -> ICPResult:
     """ICP with PCL-style termination: stop when the incremental transform's
     deviation from identity drops below ``transformation_epsilon`` (Frobenius
     norm squared) or after ``max_iterations``. Offline-registration variant.
@@ -87,7 +148,7 @@ def icp_converge(src: PointCloud, dst: PointCloud,
     def body(carry):
         T, _, _, it, _ = carry
         T2, err, n_in = _icp_step(T, src.xyz, src.mask, dst.xyz, dst.mask,
-                                  max_d2, query_tile, ref_tile)
+                                  max_d2, query_tile, ref_tile, nn_impl)
         dT = T2 @ jnp.linalg.inv(T)
         delta = jnp.sum((dT - eye) ** 2)
         return (T2, err, n_in, it + 1, delta)

@@ -34,20 +34,37 @@ def _pad_to(x: jax.Array, n: int, value=0.0) -> jax.Array:
     return jnp.pad(x, cfg, constant_values=value)
 
 
-@partial(jax.jit, static_argnames=("query_tile", "ref_tile"))
+@partial(jax.jit, static_argnames=("query_tile", "ref_tile", "impl",
+                                   "interpret"))
 def nearest_neighbors(query: jax.Array, ref: jax.Array,
                       ref_mask: jax.Array | None = None,
-                      query_tile: int = 1024, ref_tile: int = 4096):
+                      query_tile: int = 1024, ref_tile: int = 4096,
+                      impl: str = "auto", interpret: bool = False):
     """For each query point, index + squared distance of its nearest ref point.
 
     Args:
       query: [N, 3] float32.
       ref: [M, 3] float32.
       ref_mask: [M] bool; invalid reference points are never matched.
+      impl: 'auto' | 'pallas' | 'xla'. 'auto' picks the Pallas MXU kernel on
+        TPU (kernels/nn_pallas.py) and the portable XLA sweep elsewhere.
     Returns:
       (idx [N] int32, d2 [N] float32). If every ref point is masked out the
       distances are ~_FAR^2; callers gate on that via their own masks.
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from ..kernels.nn_pallas import nearest_neighbors_pallas
+        # compiled mode needs 1024-wide 1-D output tiles, and the
+        # [query_tile x ref_block] distance intermediate must stay well
+        # under the 16 MB VMEM budget; interpret mode (CPU tests) honours
+        # the caller's tiles
+        qt = query_tile if interpret else 1024
+        rb = ref_tile if interpret else 1024
+        return nearest_neighbors_pallas(query, ref, ref_mask,
+                                        query_tile=qt, ref_block=rb,
+                                        interpret=interpret)
     n, m = query.shape[0], ref.shape[0]
     if ref_mask is None:
         ref_mask = jnp.ones((m,), bool)

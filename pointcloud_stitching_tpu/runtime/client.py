@@ -38,6 +38,7 @@ class _CameraSlot:
         self.stamp = 0.0
         self.lock = threading.Lock()
         self.alive = True
+        self.error: Optional[str] = None
 
 
 class CameraIngest(threading.Thread):
@@ -58,7 +59,8 @@ class CameraIngest(threading.Thread):
                                             timeout=self._connect_timeout)
             sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             sock.settimeout(5.0)
-        except OSError:
+        except OSError as e:
+            self.slot.error = f"connect {self.address}: {e}"
             self.slot.alive = False
             return
         try:
@@ -67,11 +69,17 @@ class CameraIngest(threading.Thread):
                 kind, seq, payload = recv_frame(sock)
                 if kind != Kind.DEPTH16:
                     raise ValueError(f"unexpected frame kind {kind}")
+                if payload.shape != self.slot.frame.shape:
+                    raise ValueError(
+                        f"camera {self.index} sent {payload.shape} frames "
+                        f"but the pipeline expects {self.slot.frame.shape} "
+                        f"(set StitchConfig height/width to match)")
                 with self.slot.lock:
                     self.slot.frame[...] = payload
                     self.slot.seq = seq
                     self.slot.stamp = time.time()
-        except (OSError, ConnectionError, ValueError):
+        except (OSError, ConnectionError, ValueError) as e:
+            self.slot.error = str(e)
             self.slot.alive = False
         finally:
             try:
@@ -115,6 +123,11 @@ class MulticameraClient:
                 return True
             time.sleep(0.01)
         return False
+
+    def camera_errors(self) -> list[str]:
+        """Why dead cameras died (for operator diagnostics)."""
+        return [f"cam{i}: {s.error}" for i, s in enumerate(self._slots)
+                if s.error]
 
     def _snapshot(self):
         """Copy the freshest frames out of the slots; compute the cam mask."""

@@ -1,0 +1,118 @@
+"""Multicamera stitching client CLI.
+
+Equivalent of the reference's pcs-multicamera-client binary (reference:
+src/pcs-multicamera-client.cpp main() + getopt flags — SURVEY.md §3.2).
+Flag parity (reference flag → here):
+  -n num cameras / IP list  → --camera host:port (repeat)
+  .cal directory            → --cal-dir (reference loads one .cal per camera)
+  -f fps display            → --print-every
+  -t timing                 → --timing (per-stage breakdown)
+  -s save                   → --save-dir (PLY snapshot per --save-every)
+  -d downsample             → --leaf / config
+  -v visualize              → no PCL viewer here; --save-dir is the sink
+
+CLI:
+  python -m pointcloud_stitching_tpu.runtime.stitch_cli \
+      --camera 127.0.0.1:8000 --camera 127.0.0.1:8001 \
+      [--cal-dir cals/] [--config cfg.json] [--frames 300] \
+      [--save-dir out/ --save-every 30]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    from ..utils.platform import apply_platform_override
+    apply_platform_override()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--camera", action="append", required=True,
+                    help="host:port of a camera server (repeat per camera)")
+    ap.add_argument("--cal-dir", help="directory of per-camera .cal files "
+                                      "(sorted by name = camera order)")
+    ap.add_argument("--config", help="StitchConfig JSON path")
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--print-every", type=int, default=30)
+    ap.add_argument("--timing", action="store_true")
+    ap.add_argument("--save-dir")
+    ap.add_argument("--save-every", type=int, default=30)
+    ap.add_argument("--leaf", type=float, default=None,
+                    help="override output voxel leaf (meters)")
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--no-icp", action="store_true")
+    args = ap.parse_args(argv)
+
+    import dataclasses
+
+    from ..io.calio import discover_cals, load_cals
+    from ..io.plyio import save_cloud
+    from ..models.stitcher import StitchingPipeline
+    from ..utils.config import StitchConfig
+    from ..utils.types import Intrinsics
+    from .client import MulticameraClient
+
+    addresses = []
+    for cam in args.camera:
+        host, port = cam.rsplit(":", 1)
+        addresses.append((host, int(port)))
+    ncam = len(addresses)
+
+    cfg = StitchConfig.load(args.config) if args.config else StitchConfig()
+    updates = {"num_cameras": ncam}
+    if args.leaf is not None:
+        updates["out_voxel_leaf"] = args.leaf
+    if args.height is not None:
+        updates["height"] = args.height
+    if args.width is not None:
+        updates["width"] = args.width
+    if args.no_icp:
+        updates["icp_enabled"] = False
+    cfg = dataclasses.replace(cfg, **updates)
+
+    if args.cal_dir:
+        paths = discover_cals(args.cal_dir)
+        if len(paths) != ncam:
+            raise SystemExit(f"{len(paths)} .cal files for {ncam} cameras")
+        ext = load_cals(paths)
+    else:
+        ext = np.tile(np.eye(4, dtype=np.float32), (ncam, 1, 1))
+
+    i0 = Intrinsics.d435_default(width=cfg.width, height=cfg.height)
+    intr = i0.stack([i0] * (ncam - 1)) if ncam > 1 else i0.stack([])
+
+    pipe = StitchingPipeline(cfg, intr, ext)
+    client = MulticameraClient(addresses, pipe).start()
+    if not client.wait_for_first_frames(timeout=15):
+        errs = client.camera_errors()
+        raise SystemExit("no camera produced a frame within 15 s"
+                         + (": " + "; ".join(errs) if errs else ""))
+    print(f"streaming from {ncam} cameras...", flush=True)
+
+    if args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+
+    def on_frame(i, out):
+        if args.print_every and i > 0 and i % args.print_every == 0:
+            line = str(client.metrics)
+            if args.timing:
+                line += f" stages(ms)={client.stages.summary()}"
+            print(line, flush=True)
+        if args.save_dir and i % args.save_every == 0:
+            save_cloud(os.path.join(args.save_dir, f"cloud_{i:06d}.ply"),
+                       out.cloud)
+
+    try:
+        metrics = client.run(num_frames=args.frames, on_frame=on_frame)
+    except KeyboardInterrupt:
+        client.stop()
+        metrics = client.metrics
+    print(metrics)
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

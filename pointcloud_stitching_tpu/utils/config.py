@@ -26,7 +26,11 @@ class StitchConfig:
     decimation: int = 1          # grid-stride depth decimation (server-side in ref)
     with_color: bool = False
 
-    # per-camera voxel pre-downsample (bounds fusion cost)
+    # optional per-camera voxel pre-downsample. Off by default: single-chip,
+    # fusing raw clouds into one global voxel pass is cheaper AND matches the
+    # reference dataflow (transform -> concat -> one VoxelGrid). Turn on for
+    # multi-chip meshes to bound the per-camera cloud that crosses ICI.
+    cam_voxel_enabled: bool = False
     cam_voxel_leaf: float = 0.01
     cam_capacity: int = 131072
 
@@ -36,6 +40,7 @@ class StitchConfig:
 
     # per-frame ICP drift correction (config 4/5); BASELINE: >=5 iters/frame
     icp_enabled: bool = True
+    icp_stride: int = 4        # grid-stride subsample feeding the ICP clouds
     icp_voxel_leaf: float = 0.05
     icp_capacity: int = 8192
     icp_iterations: int = 5

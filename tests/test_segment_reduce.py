@@ -1,0 +1,71 @@
+"""Pallas segment-reduce kernel vs XLA segment_sum (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointcloud_stitching_tpu import PointCloud
+from pointcloud_stitching_tpu.kernels.segment_reduce import segment_sum_sorted
+from pointcloud_stitching_tpu.ops import voxel_downsample
+from oracle import voxel_downsample_np
+
+
+def _random_sorted_seg(rng, n, capacity, discard_frac=0.1):
+    # unit-increment ids, the form the voxel cumsum produces (the kernel's
+    # contract); tail is discard
+    seg = np.cumsum(rng.random(n) < 0.4).astype(np.int32) - 1
+    seg = np.clip(seg, 0, capacity - 1)
+    k = int(n * (1 - discard_frac))
+    seg[k:] = capacity
+    return seg
+
+
+@pytest.mark.parametrize("n,capacity", [(1000, 256), (5000, 4096),
+                                        (512, 512), (130, 1000)])
+def test_kernel_matches_segment_sum(rng, n, capacity):
+    seg = _random_sorted_seg(rng, n, capacity)
+    vals = rng.normal(size=(n, 8)).astype(np.float32)
+    vals[seg == capacity] = 0.0
+    got = segment_sum_sorted(jnp.asarray(vals), jnp.asarray(seg), capacity,
+                             chunk=128, interpret=True)
+    want = jax.ops.segment_sum(jnp.asarray(vals), jnp.asarray(seg),
+                               num_segments=capacity + 1)[:capacity]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_kernel_discard_rows_in_mixed_chunk(rng):
+    # chunk contains both real segments and discard: discard must not leak
+    n, capacity = 256, 64
+    seg = np.concatenate([np.sort(rng.integers(0, 8, 200)),
+                          np.full(56, capacity)]).astype(np.int32)
+    vals = rng.normal(size=(n, 8)).astype(np.float32)  # discard NOT zeroed
+    got = segment_sum_sorted(jnp.asarray(vals), jnp.asarray(seg), capacity,
+                             chunk=128, interpret=True)
+    z = vals.copy()
+    z[seg == capacity] = 0.0
+    want = jax.ops.segment_sum(jnp.asarray(z), jnp.asarray(seg),
+                               num_segments=capacity + 1)[:capacity]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_voxel_pallas_interpret_matches_oracle(rng):
+    pts = rng.uniform(-1, 1, size=(3000, 3)).astype(np.float32)
+    pc = PointCloud.from_points(pts, capacity=4096)
+    out = voxel_downsample(pc, 0.1, capacity=4096, impl="pallas",
+                           interpret=True)
+    ref, _ = voxel_downsample_np(pts, 0.1)
+    m = np.asarray(out.mask)
+    np.testing.assert_allclose(np.asarray(out.xyz)[m], ref, atol=1e-4)
+
+
+def test_voxel_pallas_batched_interpret(rng):
+    pts = rng.uniform(-1, 1, size=(3, 500, 3)).astype(np.float32)
+    mask = np.ones((3, 500), bool)
+    pc = PointCloud(xyz=jnp.asarray(pts), mask=jnp.asarray(mask))
+    out = voxel_downsample(pc, 0.2, capacity=512, impl="pallas",
+                           interpret=True)
+    ref_out = voxel_downsample(pc, 0.2, capacity=512, impl="xla")
+    np.testing.assert_allclose(np.asarray(out.xyz), np.asarray(ref_out.xyz),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out.mask),
+                                  np.asarray(ref_out.mask))
