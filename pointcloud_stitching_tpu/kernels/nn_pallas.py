@@ -32,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 _FAR = 1e12  # coordinate sentinel for invalid reference points
 
 
-def _nn_kernel(q_ref, rT_ref, rsq_ref, d2_ref, idx_ref, *, ref_block):
+def _nn_kernel(q_ref, rT_ref, rsq_ref, d2_ref, idx_ref, *, ref_block,
+               precision):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -44,7 +45,7 @@ def _nn_kernel(q_ref, rT_ref, rsq_ref, d2_ref, idx_ref, *, ref_block):
     qsq = jnp.sum(q * q, axis=1, keepdims=True)        # [QT, 1]
     cross = jax.lax.dot_general(
         q, rT_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
         preferred_element_type=jnp.float32)            # [QT, MB]
     d2 = qsq + rsq_ref[...] - 2.0 * cross
     m = jnp.min(d2, axis=1)                            # [QT]
@@ -66,11 +67,13 @@ def _pad_rows(x, n, value=0.0):
     return jnp.pad(x, ((0, pad), (0, 0)), constant_values=value)
 
 
-@partial(jax.jit, static_argnames=("query_tile", "ref_block", "interpret"))
+@partial(jax.jit, static_argnames=("query_tile", "ref_block", "interpret",
+                                   "precision"))
 def nearest_neighbors_pallas(query: jax.Array, ref: jax.Array,
                              ref_mask: jax.Array | None = None,
                              query_tile: int = 1024, ref_block: int = 1024,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             precision: str = "highest"):
     """For each query point, index + squared distance of nearest ref point.
 
     Same contract as ops.nn.nearest_neighbors: (idx [N] i32, d2 [N] f32);
@@ -112,7 +115,8 @@ def nearest_neighbors_pallas(query: jax.Array, ref: jax.Array,
         ],
     )
     d2, idx = pl.pallas_call(
-        partial(_nn_kernel, ref_block=ref_block),
+        partial(_nn_kernel, ref_block=ref_block,
+                precision=jax.lax.Precision(precision.lower())),
         out_shape=[jax.ShapeDtypeStruct((npad,), jnp.float32),
                    jax.ShapeDtypeStruct((npad,), jnp.int32)],
         grid_spec=grid_spec,
@@ -124,7 +128,8 @@ def nearest_neighbors_pallas(query: jax.Array, ref: jax.Array,
     return idx, jnp.maximum(d2, 0.0)
 
 
-def _nn_kernel_batched(q_ref, rT_ref, rsq_ref, d2_ref, idx_ref, *, ref_block):
+def _nn_kernel_batched(q_ref, rT_ref, rsq_ref, d2_ref, idx_ref, *, ref_block,
+                       precision):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -136,7 +141,7 @@ def _nn_kernel_batched(q_ref, rT_ref, rsq_ref, d2_ref, idx_ref, *, ref_block):
     qsq = jnp.sum(q * q, axis=1, keepdims=True)
     cross = jax.lax.dot_general(
         q, rT_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
         preferred_element_type=jnp.float32)            # [QT, MB]
     d2 = qsq + rsq_ref[0] - 2.0 * cross
     m = jnp.min(d2, axis=1)
@@ -151,12 +156,14 @@ def _nn_kernel_batched(q_ref, rT_ref, rsq_ref, d2_ref, idx_ref, *, ref_block):
     idx_ref[...] = jnp.where(better, gidx, idx_ref[...])
 
 
-@partial(jax.jit, static_argnames=("query_tile", "ref_block", "interpret"))
+@partial(jax.jit, static_argnames=("query_tile", "ref_block", "interpret",
+                                   "precision"))
 def nearest_neighbors_pallas_batched(query: jax.Array, ref: jax.Array,
                                      ref_mask: jax.Array | None = None,
                                      query_tile: int = 1024,
                                      ref_block: int = 1024,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     precision: str = "highest"):
     """Batched NN: query [B, N, 3] vs ref [B, M, 3] pairwise per batch row.
 
     One kernel over a (B, nq, nm) grid — vmap of the unbatched kernel can't
@@ -199,7 +206,8 @@ def nearest_neighbors_pallas_batched(query: jax.Array, ref: jax.Array,
         ],
     )
     d2, idx = pl.pallas_call(
-        partial(_nn_kernel_batched, ref_block=ref_block),
+        partial(_nn_kernel_batched, ref_block=ref_block,
+                precision=jax.lax.Precision(precision.lower())),
         out_shape=[jax.ShapeDtypeStruct((b * npad,), jnp.float32),
                    jax.ShapeDtypeStruct((b * npad,), jnp.int32)],
         grid_spec=grid_spec,

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _segsum_kernel(starts_ref, lseg_ref, valsT_ref, out_ref, *, chunk, span,
-                   sub):
+                   sub, precision):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -53,15 +53,17 @@ def _segsum_kernel(starts_ref, lseg_ref, valsT_ref, out_ref, *, chunk, span,
         # value operand to bf16 (the one-hot side is exact either way).
         pT = pT + jax.lax.dot_general(
             v, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
             preferred_element_type=jnp.float32)
     start = pl.multiple_of(starts_ref[j], chunk)
     out_ref[:, pl.ds(start, span)] += pT
 
 
-@partial(jax.jit, static_argnames=("capacity", "chunk", "interpret"))
+@partial(jax.jit, static_argnames=("capacity", "chunk", "interpret",
+                                   "precision"))
 def segment_sum_sorted(vals: jax.Array, seg: jax.Array, capacity: int,
-                       chunk: int = 1024, interpret: bool = False) -> jax.Array:
+                       chunk: int = 1024, interpret: bool = False,
+                       precision: str = "highest") -> jax.Array:
     """Sum ``vals`` rows by sorted segment id into ``capacity`` slots.
 
     Args:
@@ -107,7 +109,8 @@ def segment_sum_sorted(vals: jax.Array, seg: jax.Array, capacity: int,
     )
     out = pl.pallas_call(
         partial(_segsum_kernel, chunk=chunk, span=span,
-                sub=min(256, chunk)),
+                sub=min(256, chunk),
+                precision=jax.lax.Precision(precision.lower()) if isinstance(precision, str) else precision),
         out_shape=jax.ShapeDtypeStruct((ch, out_w), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

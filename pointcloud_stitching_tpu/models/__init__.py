@@ -1,10 +1,11 @@
 from .stitcher import (StitchingPipeline, StitchMetrics, StitchOutput,
-                       stitch_step)
+                       stitch_points_step, stitch_step)
 from .registration import (RegistrationResult, register_from_correspondences,
                            register_pair, write_cal)
 
 __all__ = [
     "StitchingPipeline", "StitchMetrics", "StitchOutput", "stitch_step",
+    "stitch_points_step",
     "RegistrationResult", "register_from_correspondences", "register_pair",
     "write_cal",
 ]

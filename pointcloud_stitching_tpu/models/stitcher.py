@@ -75,6 +75,34 @@ def _ring_drift_correction(cfg: StitchConfig, clouds: PointCloud,
     return refined, res.mean_error, res.num_inliers
 
 
+def _stitch_tail(cfg: StitchConfig, raw: PointCloud, extrinsics: jax.Array,
+                 points_in: jax.Array, sub: PointCloud) -> StitchOutput:
+    """Shared back half: ring drift correction → world → fuse → voxel."""
+    ncam = cfg.num_cameras
+    icp_err = jnp.zeros((max(ncam - 1, 1),), jnp.float32)
+    icp_inl = jnp.zeros((max(ncam - 1, 1),), jnp.int32)
+    if cfg.icp_enabled and ncam > 1:
+        icp_clouds = voxel_downsample(sub, cfg.icp_voxel_leaf,
+                                      capacity=cfg.icp_capacity)
+        extrinsics, icp_err, icp_inl = _ring_drift_correction(
+            cfg, icp_clouds, extrinsics)
+
+    clouds = raw
+    if cfg.cam_voxel_enabled:
+        # bound the per-camera cloud (useful when cameras shard across chips
+        # and fused points must cross ICI)
+        clouds = voxel_downsample(clouds, cfg.cam_voxel_leaf,
+                                  capacity=cfg.cam_capacity)
+    world = clouds.replace(xyz=se3_apply(extrinsics, clouds.xyz))
+    fused = fuse_batched(world)
+    # one global voxel pass, same dataflow as the reference's fused VoxelGrid
+    out = voxel_downsample(fused, cfg.out_voxel_leaf, capacity=cfg.out_capacity)
+
+    metrics = StitchMetrics(points_in=points_in, points_out=out.count(),
+                            icp_mean_error=icp_err, icp_inliers=icp_inl)
+    return StitchOutput(cloud=out, extrinsics=extrinsics, metrics=metrics)
+
+
 def stitch_step(cfg: StitchConfig, intr: Intrinsics, extrinsics: jax.Array,
                 depths: jax.Array, colors: Optional[jax.Array] = None,
                 cam_mask: Optional[jax.Array] = None) -> StitchOutput:
@@ -110,35 +138,34 @@ def stitch_step(cfg: StitchConfig, intr: Intrinsics, extrinsics: jax.Array,
     h = cfg.height // cfg.decimation
     w = cfg.width // cfg.decimation
 
-    icp_err = jnp.zeros((max(ncam - 1, 1),), jnp.float32)
-    icp_inl = jnp.zeros((max(ncam - 1, 1),), jnp.int32)
-    if cfg.icp_enabled and ncam > 1:
-        # ICP clouds from a grid-stride subsample (cheap, preserves spatial
-        # uniformity) + a small voxel pass — not a full-resolution voxel grid
-        s = cfg.icp_stride
-        sub_xyz = raw.xyz.reshape(ncam, h, w, 3)[:, ::s, ::s]
-        sub_mask = raw.mask.reshape(ncam, h, w)[:, ::s, ::s]
-        sub = PointCloud(xyz=sub_xyz.reshape(ncam, -1, 3),
-                         mask=sub_mask.reshape(ncam, -1))
-        icp_clouds = voxel_downsample(sub, cfg.icp_voxel_leaf,
-                                      capacity=cfg.icp_capacity)
-        extrinsics, icp_err, icp_inl = _ring_drift_correction(
-            cfg, icp_clouds, extrinsics)
+    # ICP clouds from a grid-stride subsample (cheap, preserves spatial
+    # uniformity) + a small voxel pass — not a full-resolution voxel grid
+    s = cfg.icp_stride
+    sub_xyz = raw.xyz.reshape(ncam, h, w, 3)[:, ::s, ::s]
+    sub_mask = raw.mask.reshape(ncam, h, w)[:, ::s, ::s]
+    sub = PointCloud(xyz=sub_xyz.reshape(ncam, -1, 3),
+                     mask=sub_mask.reshape(ncam, -1))
+    return _stitch_tail(cfg, raw, extrinsics, points_in, sub)
 
-    clouds = raw
-    if cfg.cam_voxel_enabled:
-        # bound the per-camera cloud (useful when cameras shard across chips
-        # and fused points must cross ICI)
-        clouds = voxel_downsample(clouds, cfg.cam_voxel_leaf,
-                                  capacity=cfg.cam_capacity)
-    world = clouds.replace(xyz=se3_apply(extrinsics, clouds.xyz))
-    fused = fuse_batched(world)
-    # one global voxel pass, same dataflow as the reference's fused VoxelGrid
-    out = voxel_downsample(fused, cfg.out_voxel_leaf, capacity=cfg.out_capacity)
 
-    metrics = StitchMetrics(points_in=points_in, points_out=out.count(),
-                            icp_mean_error=icp_err, icp_inliers=icp_inl)
-    return StitchOutput(cloud=out, extrinsics=extrinsics, metrics=metrics)
+def stitch_points_step(cfg: StitchConfig, extrinsics: jax.Array,
+                       clouds: PointCloud,
+                       cam_mask: Optional[jax.Array] = None) -> StitchOutput:
+    """Stitch pre-deprojected per-camera point clouds (legacy interop mode).
+
+    For reference-protocol camera servers that deproject on the camera node
+    and send packed int16-mm points (reference: src/pcs-camera-server.cpp
+    pack loop — SURVEY.md §3.1). clouds: camera-batched [ncam, P, 3] + mask,
+    in sensor frames.
+    """
+    ncam = cfg.num_cameras
+    assert clouds.xyz.shape[0] == ncam
+    if cam_mask is not None:
+        clouds = clouds.replace(mask=clouds.mask & cam_mask[:, None])
+    points_in = jnp.sum(clouds.mask)
+    s = cfg.icp_stride * cfg.icp_stride  # match the depth path's area ratio
+    sub = PointCloud(xyz=clouds.xyz[:, ::s], mask=clouds.mask[:, ::s])
+    return _stitch_tail(cfg, clouds, extrinsics, points_in, sub)
 
 
 class StitchingPipeline:
@@ -155,10 +182,20 @@ class StitchingPipeline:
         self.intr = intr
         self.extrinsics = jnp.asarray(extrinsics, jnp.float32)
         self._step = jax.jit(partial(stitch_step, cfg))
+        self._points_step = jax.jit(partial(stitch_points_step, cfg))
 
     def __call__(self, depths, colors=None, cam_mask=None,
                  update_extrinsics: bool = True) -> StitchOutput:
         out = self._step(self.intr, self.extrinsics, depths, colors, cam_mask)
+        if update_extrinsics and self.cfg.icp_enabled:
+            self.extrinsics = out.extrinsics
+        return out
+
+    def step_points(self, xyz, point_mask, cam_mask=None,
+                    update_extrinsics: bool = True) -> StitchOutput:
+        """Stitch pre-deprojected clouds (legacy reference-protocol mode)."""
+        clouds = PointCloud(xyz=xyz, mask=point_mask)
+        out = self._points_step(self.extrinsics, clouds, cam_mask)
         if update_extrinsics and self.cfg.icp_enabled:
             self.extrinsics = out.extrinsics
         return out

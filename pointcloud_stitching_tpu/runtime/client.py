@@ -26,14 +26,23 @@ import numpy as np
 
 from ..models.stitcher import StitchingPipeline, StitchOutput
 from ..utils.metrics import FrameMetrics, StageTimer
-from .wire import Kind, recv_frame, send_pull
+from .wire import Kind, recv_frame, send_pull, unpack_points_i16mm
 
 
 class _CameraSlot:
-    """Single-writer staging slot holding a camera's freshest depth frame."""
+    """Single-writer staging slot holding a camera's freshest frame.
 
-    def __init__(self, h: int, w: int):
-        self.frame = np.zeros((h, w), np.uint16)
+    Depth mode: a [H, W] uint16 image. Points mode (legacy interop): a
+    padded [H*W, 3] float32 point buffer + valid count.
+    """
+
+    def __init__(self, h: int, w: int, points: bool = False):
+        self.points = points
+        if points:
+            self.xyz = np.zeros((h * w, 3), np.float32)
+            self.count = 0
+        else:
+            self.frame = np.zeros((h, w), np.uint16)
         self.seq = -1
         self.stamp = 0.0
         self.lock = threading.Lock()
@@ -67,6 +76,17 @@ class CameraIngest(threading.Thread):
             while not self._stop.is_set():
                 send_pull(sock)
                 kind, seq, payload = recv_frame(sock)
+                if self.slot.points:
+                    if kind != Kind.POINTS_I16MM:
+                        raise ValueError(f"expected point frames, got {kind}")
+                    xyz, _ = unpack_points_i16mm(payload)
+                    n = min(len(xyz), len(self.slot.xyz))
+                    with self.slot.lock:
+                        self.slot.xyz[:n] = xyz[:n]
+                        self.slot.count = n
+                        self.slot.seq = seq
+                        self.slot.stamp = time.time()
+                    continue
                 if kind != Kind.DEPTH16:
                     raise ValueError(f"unexpected frame kind {kind}")
                 if payload.shape != self.slot.frame.shape:
@@ -93,16 +113,22 @@ class MulticameraClient:
 
     def __init__(self, addresses: Sequence[tuple[str, int]],
                  pipeline: StitchingPipeline,
-                 stale_timeout: float = 0.5):
+                 stale_timeout: float = 0.5,
+                 payload: str = "depth"):
         cfg = pipeline.cfg
         if len(addresses) != cfg.num_cameras:
             raise ValueError("address count != cfg.num_cameras")
+        if payload not in ("depth", "points"):
+            raise ValueError("payload must be 'depth' or 'points'")
         self.pipeline = pipeline
+        self.payload = payload
         self.stale_timeout = stale_timeout
         self.metrics = FrameMetrics()
         self.stages = StageTimer()
         self._stop = threading.Event()
-        self._slots = [_CameraSlot(cfg.height, cfg.width) for _ in addresses]
+        self._slots = [_CameraSlot(cfg.height, cfg.width,
+                                   points=payload == "points")
+                       for _ in addresses]
         self._threads = [
             CameraIngest(i, addr, slot, self._stop)
             for i, (addr, slot) in enumerate(zip(addresses, self._slots))]
@@ -132,9 +158,21 @@ class MulticameraClient:
     def _snapshot(self):
         """Copy the freshest frames out of the slots; compute the cam mask."""
         cfg = self.pipeline.cfg
-        depths = np.empty((cfg.num_cameras, cfg.height, cfg.width), np.uint16)
-        mask = np.zeros((cfg.num_cameras,), bool)
         now = time.time()
+        mask = np.zeros((cfg.num_cameras,), bool)
+        if self.payload == "points":
+            cap = cfg.height * cfg.width
+            xyz = np.zeros((cfg.num_cameras, cap, 3), np.float32)
+            pmask = np.zeros((cfg.num_cameras, cap), bool)
+            for i, s in enumerate(self._slots):
+                with s.lock:
+                    xyz[i] = s.xyz
+                    pmask[i, :s.count] = True
+                    fresh = s.alive and s.seq >= 0 and \
+                        (now - s.stamp) <= self.stale_timeout
+                mask[i] = fresh
+            return (xyz, pmask), mask
+        depths = np.empty((cfg.num_cameras, cfg.height, cfg.width), np.uint16)
         for i, s in enumerate(self._slots):
             with s.lock:
                 depths[i] = s.frame
@@ -149,23 +187,32 @@ class MulticameraClient:
         import jax.numpy as jnp
 
         t0 = time.time()
-        depths, mask = self._snapshot()
+        data, mask = self._snapshot()
         live = int(mask.sum())
         self.metrics.dropped_cameras = self.pipeline.cfg.num_cameras - live
         if live == 0:
             return None
         t1 = time.time()
-        d_depths = jnp.asarray(depths)
         d_mask = jnp.asarray(mask)
-        t2 = time.time()
-        out = self.pipeline(d_depths, cam_mask=d_mask)
+        if self.payload == "points":
+            xyz, pmask = data
+            d_xyz = jnp.asarray(xyz)
+            d_pmask = jnp.asarray(pmask)
+            t2 = time.time()
+            out = self.pipeline.step_points(d_xyz, d_pmask, cam_mask=d_mask)
+            npix = xyz.shape[0] * xyz.shape[1]
+        else:
+            d_depths = jnp.asarray(data)
+            t2 = time.time()
+            out = self.pipeline(d_depths, cam_mask=d_mask)
+            npix = int(np.prod(data.shape))
         # scalar pull = real synchronization point (output stays on device)
         n_pts = int(out.metrics.points_out)
         t3 = time.time()
         self.stages.record("snapshot", t1 - t0)
         self.stages.record("h2d", t2 - t1)
         self.stages.record("stitch", t3 - t2)
-        self.metrics.record(t3 - t0, points=int(np.prod(depths.shape)))
+        self.metrics.record(t3 - t0, points=npix)
         return out
 
     def run(self, num_frames: Optional[int] = None,

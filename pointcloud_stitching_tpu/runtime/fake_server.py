@@ -22,20 +22,45 @@ from typing import Optional
 
 import numpy as np
 
-from .wire import Codec, encode_depth_frame, recv_exact
+from .wire import (Codec, Kind, encode_depth_frame, encode_frame,
+                   pack_points_i16mm, recv_exact)
 
 
 class FakeCameraServer:
-    """Serves a fixed sequence of depth frames, pull-based, forever (loops)."""
+    """Serves a fixed sequence of depth frames, pull-based, forever (loops).
+
+    ``points=True`` switches to the reference's legacy payload: the server
+    deprojects on the camera node and sends packed int16-mm XYZ points
+    (reference: the pack loop in src/pcs-camera-server.cpp — SURVEY.md §3.1),
+    exercising interop with reference-style camera servers.
+    """
 
     def __init__(self, frames: np.ndarray, port: int = 0,
                  host: str = "127.0.0.1", fps: Optional[float] = None,
                  codec: Codec = Codec.ZLIB,
                  stall_after: Optional[int] = None,
-                 die_after: Optional[int] = None):
+                 die_after: Optional[int] = None,
+                 points: bool = False,
+                 intrinsics: tuple = (421.5, 421.1, None, None),
+                 depth_scale: float = 0.001):
         if frames.ndim != 3 or frames.dtype != np.uint16:
             raise ValueError("frames must be [T, H, W] uint16")
         self.frames = frames
+        self.points_payloads: Optional[list[bytes]] = None
+        if points:
+            h, w = frames.shape[1:]
+            fx, fy, ppx, ppy = intrinsics
+            ppx = w / 2.0 if ppx is None else ppx
+            ppy = h / 2.0 if ppy is None else ppy
+            u, v = np.meshgrid(np.arange(w, dtype=np.float32),
+                               np.arange(h, dtype=np.float32))
+            self.points_payloads = []
+            for f in frames:
+                z = f.astype(np.float32) * depth_scale
+                valid = f > 0
+                xyz = np.stack([(u - ppx) / fx * z, (v - ppy) / fy * z, z],
+                               axis=-1)[valid]
+                self.points_payloads.append(pack_points_i16mm(xyz))
         self.fps = fps
         self.codec = codec
         self.stall_after = stall_after
@@ -86,8 +111,13 @@ class FakeCameraServer:
                     if wait > 0:
                         time.sleep(wait)
                     last = time.time()
-                frame = self.frames[seq % len(self.frames)]
-                conn.sendall(encode_depth_frame(frame, seq, self.codec))
+                if self.points_payloads is not None:
+                    payload = self.points_payloads[seq % len(self.frames)]
+                    conn.sendall(encode_frame(payload, Kind.POINTS_I16MM,
+                                              self.codec, seq))
+                else:
+                    frame = self.frames[seq % len(self.frames)]
+                    conn.sendall(encode_depth_frame(frame, seq, self.codec))
                 seq += 1
         except (ConnectionError, OSError):
             pass
@@ -131,6 +161,8 @@ def main(argv=None):
     ap.add_argument("--fps", type=float, default=None)
     ap.add_argument("--codec", choices=["raw", "zlib", "snappy"],
                     default="zlib")
+    ap.add_argument("--points", action="store_true",
+                    help="serve packed int16-mm points (reference legacy mode)")
     ap.add_argument("--stall-after", type=int, default=None)
     ap.add_argument("--die-after", type=int, default=None)
     args = ap.parse_args(argv)
@@ -145,10 +177,12 @@ def main(argv=None):
     srv = FakeCameraServer(frames, port=args.port, host=args.host,
                            fps=args.fps, codec=codec,
                            stall_after=args.stall_after,
-                           die_after=args.die_after)
+                           die_after=args.die_after,
+                           points=args.points)
     srv.start()
+    mode = "points" if args.points else "depth"
     print(f"fake camera server on {args.host}:{srv.port} "
-          f"({len(frames)} frames, codec={args.codec})", flush=True)
+          f"({len(frames)} frames, codec={args.codec}, mode={mode})", flush=True)
     try:
         while True:
             time.sleep(1)

@@ -44,6 +44,8 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--no-icp", action="store_true")
+    ap.add_argument("--payload", choices=["depth", "points"], default="depth",
+                    help="wire payload kind (points = reference legacy mode)")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -85,7 +87,8 @@ def main(argv=None):
     intr = i0.stack([i0] * (ncam - 1)) if ncam > 1 else i0.stack([])
 
     pipe = StitchingPipeline(cfg, intr, ext)
-    client = MulticameraClient(addresses, pipe).start()
+    client = MulticameraClient(addresses, pipe,
+                               payload=args.payload).start()
     if not client.wait_for_first_frames(timeout=15):
         errs = client.camera_errors()
         raise SystemExit("no camera produced a frame within 15 s"

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=848)
     ap.add_argument("--codec", default="zlib")
+    ap.add_argument("--points", action="store_true",
+                    help="legacy mode: servers send packed points")
     ap.add_argument("--client-args", default="",
                     help="extra args forwarded to stitch_cli")
     args = ap.parse_args()
@@ -40,6 +42,8 @@ def main():
                    "--width", str(args.width), "--codec", args.codec]
             if args.fps:
                 cmd += ["--fps", str(args.fps)]
+            if args.points:
+                cmd += ["--points"]
             p = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True)
             print(p.stdout.readline().strip(), flush=True)
             servers.append(p)
@@ -51,6 +55,8 @@ def main():
                       "--width", str(args.width)]
         for i in range(args.cameras):
             client_cmd += ["--camera", f"127.0.0.1:{args.base_port + i}"]
+        if args.points:
+            client_cmd += ["--payload", "points"]
         client_cmd += args.client_args.split()
         rc = subprocess.call(client_cmd)
         sys.exit(rc)

@@ -122,3 +122,30 @@ def test_all_cameras_dead_returns_none():
         client.stop()
     finally:
         srv.stop()
+
+
+def test_legacy_points_protocol_end_to_end():
+    """Reference-style camera servers (packed int16-mm points) -> client in
+    points mode -> stitched cloud. Interop path, SURVEY.md §3.1."""
+    ncam, h, w = 2, 60, 106
+    servers = [FakeCameraServer(synthetic_frames(4, h, w, seed=s),
+                                points=True, intrinsics=(53.0, 53.0, None, None)
+                                ).start()
+               for s in range(ncam)]
+    try:
+        pipe = _make_pipeline(ncam, h, w)
+        client = MulticameraClient(
+            [("127.0.0.1", s.port) for s in servers], pipe,
+            payload="points").start()
+        assert client.wait_for_first_frames(timeout=10)
+        out = client.step()
+        assert out is not None
+        assert int(out.metrics.points_out) > 100
+        # sanity: stitched points live in plausible sensor range
+        import numpy as _np
+        xyz = _np.asarray(out.cloud.xyz)[_np.asarray(out.cloud.mask)]
+        assert (_np.abs(xyz) < 20).all() and (xyz[:, 2] > 0).all()
+        client.stop()
+    finally:
+        for s in servers:
+            s.stop()
