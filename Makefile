@@ -1,0 +1,20 @@
+# Build/test entry points. The native library also auto-builds on first use.
+PY ?= python
+
+.PHONY: native test test-tpu bench clean
+
+native:
+	$(PY) -m pointcloud_stitching_tpu.native.build
+
+test: native
+	$(PY) -m pytest tests/ -q
+
+test-tpu: native
+	PCS_TEST_TPU=1 $(PY) -m pytest tests/ -q
+
+bench: native
+	$(PY) bench.py
+
+clean:
+	rm -f pointcloud_stitching_tpu/native/*.so
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -1,0 +1,67 @@
+"""Host-side cloud rendering: orthographic projections to image files.
+
+The visualization sink replacing the reference's live
+``pcl::visualization::PCLVisualizer`` window (reference: client render loop —
+SURVEY.md §1 L4). A TPU serving box has no GUI; the faithful equivalent is a
+stream of rendered snapshots (plus the .ply writer in io/plyio.py). Uses
+cv2 when available, else writes binary PPM (zero-dependency).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def render_orthographic(xyz: np.ndarray, rgb: np.ndarray | None = None,
+                        axis: str = "z", size: int = 800,
+                        background: int = 0) -> np.ndarray:
+    """Project points along an axis into a [size, size, 3] uint8 image.
+
+    Depth-buffered splatting: nearer points win; colored by RGB if present,
+    else by depth colormap.
+    """
+    xyz = np.asarray(xyz, np.float32).reshape(-1, 3)
+    if len(xyz) == 0:
+        return np.full((size, size, 3), background, np.uint8)
+    ax = {"x": 0, "y": 1, "z": 2}[axis]
+    keep = [i for i in range(3) if i != ax]
+    uv = xyz[:, keep]
+    d = xyz[:, ax]
+
+    lo, hi = uv.min(axis=0), uv.max(axis=0)
+    span = np.maximum(hi - lo, 1e-6).max()
+    px = ((uv - lo) / span * (size - 1)).astype(np.int32)
+    px = np.clip(px, 0, size - 1)
+
+    order = np.argsort(-d)  # far first; near overwrites
+    img = np.full((size, size, 3), background, np.uint8)
+    if rgb is not None:
+        colors = np.clip(np.asarray(rgb), 0, 255).astype(np.uint8)[order]
+    else:
+        dn = (d - d.min()) / max(d.max() - d.min(), 1e-6)
+        t = (dn[order] * 255).astype(np.uint8)
+        colors = np.stack([t, 255 - t, np.full_like(t, 128)], axis=-1)
+    img[px[order, 1], px[order, 0]] = colors
+    return img
+
+
+def save_image(path: str, img: np.ndarray) -> None:
+    """Write an image; cv2 if present (png/jpg), else PPM."""
+    try:
+        import cv2
+        cv2.imwrite(path, img[..., ::-1])  # cv2 expects BGR
+        return
+    except ImportError:
+        pass
+    if not path.endswith(".ppm"):
+        path = path.rsplit(".", 1)[0] + ".ppm"
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (img.shape[1], img.shape[0]))
+        f.write(np.ascontiguousarray(img).tobytes())
+
+
+def render_cloud(pc, path: str, axis: str = "z", size: int = 800) -> None:
+    """Render a (device) PointCloud's valid points to an image file."""
+    mask = np.asarray(pc.mask)
+    xyz = np.asarray(pc.xyz)[mask]
+    rgb = None if pc.rgb is None else np.asarray(pc.rgb)[mask]
+    save_image(path, render_orthographic(xyz, rgb, axis=axis, size=size))

@@ -46,15 +46,34 @@ def _segsum_kernel(starts_ref, lseg_ref, valsT_ref, out_ref, *, chunk, span,
     # static unroll: Mosaic requires statically-aligned slices of the block
     for k in range(chunk // sub):
         ls = lseg[k * sub:(k + 1) * sub]                    # [sub]
-        onehot = (ls[:, None] == iota).astype(jnp.float32)  # [sub, span]
+        onehot = (ls[:, None] == iota)                      # [sub, span] bool
         v = vals[:, k * sub:(k + 1) * sub]                  # [ch, sub]
-        # [ch, sub] x [sub, span] partial sums on the MXU. precision=HIGHEST
-        # keeps the values in full f32 passes — the default truncates the
-        # value operand to bf16 (the one-hot side is exact either way).
-        pT = pT + jax.lax.dot_general(
-            v, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=precision,
-            preferred_element_type=jnp.float32)
+        # [ch, sub] x [sub, span] partial sums on the MXU. The default MXU
+        # pass truncates the value operand to bf16, which breaks
+        # PCL-tolerance parity, so either:
+        #   * precision=HIGHEST (6 full-f32 passes), or
+        #   * 'bf16x3': split the values into three bf16 limbs (hi/mid/lo)
+        #     and run three DEFAULT passes — the one-hot side is exact in
+        #     bf16, so the three limb products reconstruct the f32 product
+        #     exactly at half the MXU cost of HIGHEST.
+        if precision == "bf16x3":
+            oh = onehot.astype(jnp.bfloat16)
+            hi = v.astype(jnp.bfloat16)
+            r1 = (v - hi.astype(jnp.float32))
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = jnp.zeros((ch, span), jnp.float32)
+            for limb in (hi, mid, lo):
+                acc = acc + jax.lax.dot_general(
+                    limb, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            pT = pT + acc
+        else:
+            pT = pT + jax.lax.dot_general(
+                v, onehot.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32)
     start = pl.multiple_of(starts_ref[j], chunk)
     out_ref[:, pl.ds(start, span)] += pT
 
@@ -88,7 +107,10 @@ def segment_sum_sorted(vals: jax.Array, seg: jax.Array, capacity: int,
     span = 2 * chunk
     nchunks = npad // chunk
 
-    starts = (seg[::chunk] // chunk) * chunk                # chunk-aligned
+    # chunk-aligned window starts, clamped so a contract-violating seg (e.g.
+    # a stray negative id) can never produce an out-of-bounds VMEM window
+    # (which faults the TPU worker); out-of-window ids just drop instead.
+    starts = jnp.clip((seg[::chunk] // chunk) * chunk, 0, capacity)
     # local offsets; flat 1-D so the block is a pure lane vector
     lseg = (seg.reshape(nchunks, chunk) - starts[:, None]).reshape(-1)
     # offsets outside [0, span) (mixed real/discard chunks) one-hot to zero.
@@ -107,10 +129,11 @@ def segment_sum_sorted(vals: jax.Array, seg: jax.Array, capacity: int,
         out_specs=pl.BlockSpec((ch, out_w), lambda j, *_: (0, 0),
                                memory_space=pltpu.VMEM),
     )
+    prec = (precision if precision == "bf16x3"
+            else jax.lax.Precision(precision.lower()))
     out = pl.pallas_call(
         partial(_segsum_kernel, chunk=chunk, span=span,
-                sub=min(256, chunk),
-                precision=jax.lax.Precision(precision.lower()) if isinstance(precision, str) else precision),
+                sub=min(256, chunk), precision=prec),
         out_shape=jax.ShapeDtypeStruct((ch, out_w), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

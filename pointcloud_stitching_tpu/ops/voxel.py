@@ -55,21 +55,28 @@ def _sorted_segments(pc: PointCloud, leaf, capacity: int):
     channel matrix [N, ch] zeroed on dropped rows). Works on [N] or [B, N]."""
     xyz, mask = pc.xyz, pc.mask
     ijk = voxel_indices(xyz, mask, leaf)
-    kx, ky, kz = ijk[..., 0], ijk[..., 1], ijk[..., 2]
+    # pack (ix, iy) into one key: one fewer sort operand. Per-axis index
+    # range is extent/leaf; the clamp bounds it at ~327 m / 655 m of scene
+    # extent at 1 cm leaves (same practical-limit class as PCL's int32
+    # linearised leaf index). iz keeps full range as the second key.
+    kx = jnp.minimum(ijk[..., 0], 32766)
+    ky = jnp.minimum(ijk[..., 1], 65534)
+    kz = ijk[..., 2]
+    k1 = jnp.where(ijk[..., 0] == _SENTINEL, _SENTINEL, kx * 65536 + ky)
 
-    operands = [kx, ky, kz, xyz[..., 0], xyz[..., 1], xyz[..., 2]]
+    operands = [k1, kz, xyz[..., 0], xyz[..., 1], xyz[..., 2]]
     has_rgb = pc.rgb is not None
     if has_rgb:
         operands += [pc.rgb[..., 0], pc.rgb[..., 1], pc.rgb[..., 2]]
-    sorted_ops = jax.lax.sort(operands, num_keys=3)
-    skx, sky, skz = sorted_ops[0], sorted_ops[1], sorted_ops[2]
-    sxyz = jnp.stack(sorted_ops[3:6], axis=-1)
-    srgb = jnp.stack(sorted_ops[6:9], axis=-1) if has_rgb else None
+    sorted_ops = jax.lax.sort(operands, num_keys=2)
+    sk1, skz = sorted_ops[0], sorted_ops[1]
+    sxyz = jnp.stack(sorted_ops[2:5], axis=-1)
+    srgb = jnp.stack(sorted_ops[5:8], axis=-1) if has_rgb else None
 
-    valid = skx != _SENTINEL
+    valid = sk1 != _SENTINEL
     prev = lambda a: jnp.concatenate(
         [jnp.full_like(a[..., :1], -1), a[..., :-1]], axis=-1)
-    is_new = (skx != prev(skx)) | (sky != prev(sky)) | (skz != prev(skz))
+    is_new = (sk1 != prev(sk1)) | (skz != prev(skz))
     seg = jnp.cumsum((is_new & valid).astype(jnp.int32), axis=-1) - 1
     keep = valid & (seg < capacity)
     seg = jnp.where(keep, seg, capacity)

@@ -54,13 +54,18 @@ class CameraIngest(threading.Thread):
     """Per-camera ingest thread: pull → recv → decompress → slot."""
 
     def __init__(self, index: int, address: tuple[str, int], slot: _CameraSlot,
-                 stop: threading.Event, connect_timeout: float = 5.0):
+                 stop: threading.Event, connect_timeout: float = 5.0,
+                 record_frames: int = 0):
         super().__init__(daemon=True, name=f"ingest-cam{index}")
         self.index = index
         self.address = address
         self.slot = slot
         self._stop = stop
         self._connect_timeout = connect_timeout
+        # record+replay (SURVEY.md §5 checkpoint/record): keep the first K
+        # received depth frames for .npy export via Client.save_recording
+        self.record_frames = record_frames
+        self.recorded: list[np.ndarray] = []
 
     def run(self) -> None:
         try:
@@ -94,6 +99,8 @@ class CameraIngest(threading.Thread):
                         f"camera {self.index} sent {payload.shape} frames "
                         f"but the pipeline expects {self.slot.frame.shape} "
                         f"(set StitchConfig height/width to match)")
+                if len(self.recorded) < self.record_frames:
+                    self.recorded.append(payload.copy())
                 with self.slot.lock:
                     self.slot.frame[...] = payload
                     self.slot.seq = seq
@@ -114,7 +121,8 @@ class MulticameraClient:
     def __init__(self, addresses: Sequence[tuple[str, int]],
                  pipeline: StitchingPipeline,
                  stale_timeout: float = 0.5,
-                 payload: str = "depth"):
+                 payload: str = "depth",
+                 record_frames: int = 0):
         cfg = pipeline.cfg
         if len(addresses) != cfg.num_cameras:
             raise ValueError("address count != cfg.num_cameras")
@@ -130,8 +138,22 @@ class MulticameraClient:
                                    points=payload == "points")
                        for _ in addresses]
         self._threads = [
-            CameraIngest(i, addr, slot, self._stop)
+            CameraIngest(i, addr, slot, self._stop,
+                         record_frames=record_frames)
             for i, (addr, slot) in enumerate(zip(addresses, self._slots))]
+
+    def save_recording(self, directory: str) -> list[str]:
+        """Dump recorded per-camera depth streams as replayable .npy files
+        (feed them back through fake_server --frames)."""
+        import os
+        os.makedirs(directory, exist_ok=True)
+        paths = []
+        for t in self._threads:
+            if t.recorded:
+                p = os.path.join(directory, f"cam{t.index}.npy")
+                np.save(p, np.stack(t.recorded))
+                paths.append(p)
+        return paths
 
     def start(self) -> "MulticameraClient":
         for t in self._threads:

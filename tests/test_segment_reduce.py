@@ -69,3 +69,16 @@ def test_voxel_pallas_batched_interpret(rng):
                                atol=1e-4)
     np.testing.assert_array_equal(np.asarray(out.mask),
                                   np.asarray(ref_out.mask))
+
+
+def test_kernel_bf16x3_matches(rng):
+    n, capacity = 4000, 1024
+    seg = _random_sorted_seg(rng, n, capacity)
+    vals = (rng.normal(size=(n, 8)) * 3 + 5).astype(np.float32)
+    vals[seg == capacity] = 0.0
+    hi = segment_sum_sorted(jnp.asarray(vals), jnp.asarray(seg), capacity,
+                            chunk=128, interpret=True, precision="highest")
+    b3 = segment_sum_sorted(jnp.asarray(vals), jnp.asarray(seg), capacity,
+                            chunk=128, interpret=True, precision="bf16x3")
+    np.testing.assert_allclose(np.asarray(b3), np.asarray(hi),
+                               rtol=1e-5, atol=1e-4)
