@@ -8,6 +8,13 @@ Prints ONE JSON line:
           the single chip sustains what the reference needed a whole
           NUC-cluster + central box to do in "realtime" (BASELINE.md:
           the reference publishes no concrete numbers).
+
+Measurement notes (this environment): the axon PJRT tunnel makes
+jax.block_until_ready a no-op and a host scalar pull costs ~28 ms RTT, so
+steady state is timed over a window with one trailing sync (the RTT
+amortizes), and the per-frame latency is reported both raw and with the
+measured sync RTT subtracted (the on-device figure; local PCIe sync on real
+deployments costs ~0.1 ms).
 """
 from __future__ import annotations
 
@@ -20,35 +27,42 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from __graft_entry__ import _flagship
     from functools import partial
+
+    from __graft_entry__ import _flagship
     from pointcloud_stitching_tpu.models import stitch_step
 
     def sync(out):
-        # Pulling a scalar to host is the only reliable synchronization
-        # through the axon PJRT tunnel (block_until_ready returns early
-        # there, and full-cloud D2H is tunnel-bandwidth-bound).
         return int(out.metrics.points_out)
+
+    # measure the host<->device scalar sync RTT to de-bias latency numbers
+    z = jnp.zeros(())
+    float(z + 1.0)
+    rtts = []
+    for _ in range(10):
+        t = time.time()
+        float(z + 1.0)
+        rtts.append(time.time() - t)
+    sync_rtt = float(np.median(rtts))
 
     ncam, h, w = 8, 480, 848
     cfg, intr, ext, depths = _flagship(ncam, h, w)
     fn = jax.jit(partial(stitch_step, cfg))
 
-    # warm-up / compile
     t0 = time.time()
     out = fn(intr, ext, depths)
     voxels = sync(out)
     compile_s = time.time() - t0
 
     # steady state: feed refined extrinsics back each frame (streaming mode)
-    frames = 20
+    frames = 30
     ext_cur = out.extrinsics
     t0 = time.time()
     for _ in range(frames):
         out = fn(intr, ext_cur, depths)
         ext_cur = out.extrinsics
     voxels = sync(out)
-    dt = (time.time() - t0) / frames
+    dt = (time.time() - t0 - sync_rtt) / frames
 
     pts_per_frame = ncam * h * w
     pps = pts_per_frame / dt
@@ -63,7 +77,8 @@ def main():
         t = time.time()
         sync(fn4(intr4, ext4, depths4))
         lats.append(time.time() - t)
-    p50_ms = float(np.median(lats) * 1e3)
+    p50_raw = float(np.median(lats) * 1e3)
+    p50_device = max(p50_raw - sync_rtt * 1e3, 0.0)
 
     print(json.dumps({
         "metric": "stitched points/sec/chip (8cam 848x480, 5 ICP iters/pair/frame)",
@@ -73,7 +88,9 @@ def main():
         "extras": {
             "frame_time_ms_8cam": round(dt * 1e3, 2),
             "fps_8cam": round(1.0 / dt, 2),
-            "p50_latency_ms_4cam": round(p50_ms, 2),
+            "p50_latency_ms_4cam_device": round(p50_device, 2),
+            "p50_latency_ms_4cam_raw": round(p50_raw, 2),
+            "sync_rtt_ms": round(sync_rtt * 1e3, 2),
             "compile_s": round(compile_s, 1),
             "fused_voxels": voxels,
         },

@@ -65,11 +65,24 @@ def icp_batched(src: PointCloud, dst: PointCloud,
 
     from .kabsch import kabsch as _kabsch
 
+    impl = nn_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        # the reference cloud is loop-invariant: pad/transpose it once
+        from ..kernels.nn_pallas import (nn_batched_prepared,
+                                         prepare_ref_batched)
+        rT, rsq = prepare_ref_batched(dst.xyz, dst.mask)
+        nn = lambda p: nn_batched_prepared(p, rT, rsq,
+                                           num_ref=dst.xyz.shape[1])
+    else:
+        nn = lambda p: _nn_batched(p, dst.xyz, dst.mask,
+                                   query_tile, ref_tile, "xla")
+
     def body(_, carry):
         T, _, _ = carry
         p = se3_apply(T, src.xyz)                       # [B, N, 3]
-        idx, d2 = _nn_batched(p, dst.xyz, dst.mask,
-                              query_tile, ref_tile, nn_impl)
+        idx, d2 = nn(p)
         w = (src.mask & (d2 <= max_d2)).astype(jnp.float32)
         matched = jnp.take_along_axis(dst.xyz, idx[..., None], axis=1)
         dT = jax.vmap(_kabsch)(p, matched, w)

@@ -98,8 +98,11 @@ def nearest_neighbors(query: jax.Array, ref: jax.Array,
             best_idx = jnp.where(better, tile_i * ref_tile + loc, best_idx)
             return (best_d2, best_idx), None
 
-        init = (jnp.full((q.shape[0],), jnp.inf, jnp.float32),
-                jnp.zeros((q.shape[0],), jnp.int32))
+        # derive the init carry from q so shard_map's varying-axis typing
+        # matches the loop outputs (constants are 'unvarying' under manual
+        # sharding and break lax.scan's carry type check)
+        init = (q[:, 0] * 0.0 + jnp.inf,
+                (q[:, 0] * 0.0).astype(jnp.int32))
         tiles = (r_tiles, rsq_tiles,
                  jnp.arange(m_pad // ref_tile, dtype=jnp.int32))
         (best_d2, best_idx), _ = jax.lax.scan(body, init, tiles)

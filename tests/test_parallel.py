@@ -70,3 +70,23 @@ def test_mesh_size_divisibility_enforced():
     if len(jax.devices()) == 8:
         with pytest.raises(ValueError):
             make_sharded_stitch(cfg, make_mesh())
+
+
+def test_ring_nn_matches_single_device(rng):
+    from pointcloud_stitching_tpu.parallel import ring_nearest_neighbors
+    from pointcloud_stitching_tpu.ops import nearest_neighbors
+    d = len(jax.devices())
+    n, m = 512 * d, 768 * d
+    q = rng.normal(size=(n, 3)).astype(np.float32)
+    r = rng.normal(size=(m, 3)).astype(np.float32)
+    mask = rng.random(m) > 0.1
+    mesh = make_mesh()
+    idx, d2 = ring_nearest_neighbors(jnp.asarray(q), jnp.asarray(r),
+                                     jnp.asarray(mask), mesh,
+                                     query_tile=256, ref_tile=256)
+    ridx, rd2 = nearest_neighbors(jnp.asarray(q), jnp.asarray(r),
+                                  jnp.asarray(mask),
+                                  query_tile=256, ref_tile=256, impl="xla")
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(rd2), atol=1e-5)
+    agree = (np.asarray(idx) == np.asarray(ridx)).mean()
+    assert agree > 0.999  # ties may resolve to a different shard's index
