@@ -152,28 +152,6 @@ def nearest_neighbors_pallas(query: jax.Array, ref: jax.Array,
     return idx, jnp.maximum(d2, 0.0)
 
 
-def _nn_kernel_batched(q_ref, rT_ref, rsq_ref, d2_ref, idx_ref, *, ref_block,
-                       precision, method):
-    j = pl.program_id(2)
-
-    @pl.when(j == 0)
-    def _():
-        d2_ref[...] = jnp.full_like(d2_ref, jnp.inf)
-        idx_ref[...] = jnp.zeros_like(idx_ref)
-
-    d2 = _block_d2(q_ref[...], rT_ref[0], rsq_ref[0], precision, method)
-    m = jnp.min(d2, axis=1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    am = jnp.min(jnp.where(d2 <= m[:, None], cols, jnp.int32(2 ** 30)),
-                 axis=1)
-    gidx = j * ref_block + am
-
-    best = d2_ref[...]
-    better = m < best
-    d2_ref[...] = jnp.where(better, m, best)
-    idx_ref[...] = jnp.where(better, gidx, idx_ref[...])
-
-
 def prepare_ref_batched(ref: jax.Array, ref_mask: jax.Array | None,
                         ref_block: int = 1024):
     """Pad/transpose the reference once for repeated batched-NN calls.
@@ -193,6 +171,60 @@ def prepare_ref_batched(ref: jax.Array, ref_mask: jax.Array | None,
     return rT, rsq
 
 
+def _nn_kernel_dma(q_ref, rT_hbm, rsq_hbm, d2_ref, idx_ref,
+                   rT_s, rsq_s, sem_rT, sem_rsq, *,
+                   ref_block, nm, precision, method):
+    """One (batch, query-tile) step; sweeps all ref blocks internally with
+    double-buffered HBM→VMEM DMA. Versus a third grid dimension this cuts
+    grid-step overhead ~8x and overlaps the ref fetch with the distance
+    math."""
+    bb = pl.program_id(0)
+    q = q_ref[...]                                     # [QT, 8]
+    need_rsq = method != "vpu"
+
+    def dma_rT(slot, j):
+        return pltpu.make_async_copy(
+            rT_hbm.at[bb, :, pl.ds(j * ref_block, ref_block)],
+            rT_s.at[slot], sem_rT.at[slot])
+
+    def dma_rsq(slot, j):
+        return pltpu.make_async_copy(
+            rsq_hbm.at[bb, :, pl.ds(j * ref_block, ref_block)],
+            rsq_s.at[slot], sem_rsq.at[slot])
+
+    dma_rT(0, 0).start()
+    if need_rsq:
+        dma_rsq(0, 0).start()
+
+    def body(j, carry):
+        best_d2, best_idx = carry
+        slot = j % 2
+
+        @pl.when(j + 1 < nm)
+        def _():
+            dma_rT((j + 1) % 2, j + 1).start()
+            if need_rsq:
+                dma_rsq((j + 1) % 2, j + 1).start()
+
+        dma_rT(slot, j).wait()
+        if need_rsq:
+            dma_rsq(slot, j).wait()
+        d2 = _block_d2(q, rT_s[slot], rsq_s[slot], precision, method)
+        m = jnp.min(d2, axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        am = jnp.min(jnp.where(d2 <= m[:, None], cols, jnp.int32(2 ** 30)),
+                     axis=1)
+        gidx = j * ref_block + am
+        better = m < best_d2
+        return (jnp.where(better, m, best_d2),
+                jnp.where(better, gidx, best_idx))
+
+    init = (q[:, 0] * 0.0 + jnp.inf, (q[:, 0] * 0.0).astype(jnp.int32))
+    best_d2, best_idx = jax.lax.fori_loop(0, nm, body, init)
+    d2_ref[...] = best_d2
+    idx_ref[...] = best_idx
+
+
 @partial(jax.jit, static_argnames=("query_tile", "ref_block", "interpret",
                                    "precision", "method", "num_ref"))
 def nn_batched_prepared(query: jax.Array, rT: jax.Array, rsq: jax.Array,
@@ -207,30 +239,31 @@ def nn_batched_prepared(query: jax.Array, rT: jax.Array, rsq: jax.Array,
     qp = qp.reshape(b * npad, 8)
 
     nq, nm = npad // query_tile, mpad // ref_block
-    grid_spec = pl.GridSpec(
-        grid=(b, nq, nm),
-        in_specs=[
-            pl.BlockSpec((query_tile, 8), lambda bb, i, j: (bb * nq + i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, ref_block), lambda bb, i, j: (bb, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ref_block), lambda bb, i, j: (bb, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((query_tile,), lambda bb, i, j: (bb * nq + i,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((query_tile,), lambda bb, i, j: (bb * nq + i,),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
     d2, idx = pl.pallas_call(
-        partial(_nn_kernel_batched, ref_block=ref_block,
+        partial(_nn_kernel_dma, ref_block=ref_block, nm=nm,
                 precision=jax.lax.Precision(precision.lower()),
                 method=method),
         out_shape=[jax.ShapeDtypeStruct((b * npad,), jnp.float32),
                    jax.ShapeDtypeStruct((b * npad,), jnp.int32)],
-        grid_spec=grid_spec,
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((query_tile, 8), lambda bb, i: (bb * nq + i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # rT stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # rsq stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((query_tile,), lambda bb, i: (bb * nq + i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile,), lambda bb, i: (bb * nq + i,),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, ref_block), jnp.float32),
+            pltpu.VMEM((2, 1, ref_block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
     )(qp, rT, rsq)
     d2 = d2.reshape(b, npad)[:, :n]

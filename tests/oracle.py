@@ -62,7 +62,9 @@ def voxel_downsample_np(xyz, leaf, rgb=None):
     xyz = np.asarray(xyz, np.float32)
     if len(xyz) == 0:
         return xyz.reshape(0, 3), (None if rgb is None else rgb.reshape(0, 3))
-    f = np.floor(xyz / np.float32(leaf)).astype(np.int64)
+    # multiply by the reciprocal (PCL stores inverse_leaf_size_ and
+    # multiplies; x/leaf differs in the last ulp and flips boundary voxels)
+    f = np.floor(xyz * np.float32(1.0 / np.float32(leaf))).astype(np.int64)
     ijk = f - f.min(axis=0)
     order_key = (ijk[:, 0], ijk[:, 1], ijk[:, 2])
     # group by (ix, iy, iz), ascending lexicographic

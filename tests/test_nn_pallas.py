@@ -66,3 +66,22 @@ def test_nn_impl_router(rng):
                                interpret=True)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+
+
+def test_pallas_nn_batched_interpret(rng):
+    """Batched DMA-loop kernel vs per-pair XLA (interpret mode on CPU)."""
+    from pointcloud_stitching_tpu.kernels.nn_pallas import (
+        nearest_neighbors_pallas_batched)
+    q = rng.normal(size=(3, 200, 3)).astype(np.float32)
+    r = rng.normal(size=(3, 300, 3)).astype(np.float32)
+    mask = rng.random((3, 300)) > 0.1
+    idx, d2 = nearest_neighbors_pallas_batched(
+        jnp.asarray(q), jnp.asarray(r), jnp.asarray(mask),
+        query_tile=128, ref_block=128, interpret=True)
+    for b in range(3):
+        ri, rd = nearest_neighbors(jnp.asarray(q[b]), jnp.asarray(r[b]),
+                                   jnp.asarray(mask[b]),
+                                   query_tile=128, ref_tile=128, impl="xla")
+        np.testing.assert_array_equal(np.asarray(idx[b]), np.asarray(ri))
+        np.testing.assert_allclose(np.asarray(d2[b]), np.asarray(rd),
+                                   atol=1e-5)
