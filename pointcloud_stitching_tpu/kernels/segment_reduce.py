@@ -79,12 +79,13 @@ def _segsum_kernel(starts_ref, lseg_ref, valsT_ref, out_ref, *, chunk, span,
 
 
 def _segsum_flags_kernel(flags_ref, valsT_ref, out_ref, carry_ref, *,
-                         chunk, span, sub, precision, capacity):
+                         chunk, span, sub, precision, capacity, group):
     """Variant that derives segment ids in-kernel from boundary flags.
 
     The grid is sequential, so a single SMEM scalar carries the running
     segment count across chunks — this removes the full-stream XLA cumsum,
     the chunk-start gather, and the scalar-prefetch array from the caller.
+    Each grid step processes ``group`` chunks to amortise step overhead.
     """
     j = pl.program_id(0)
 
@@ -93,58 +94,60 @@ def _segsum_flags_kernel(flags_ref, valsT_ref, out_ref, carry_ref, *,
         out_ref[...] = jnp.zeros_like(out_ref)
         carry_ref[0] = 0
 
-    flags = flags_ref[...]                                  # [chunk] i32
-    # within-chunk inclusive prefix sum via a lower-triangular matmul:
-    # bf16 one-hot/flag operands are exact and accumulate in f32, so the
-    # integer prefix is exact. (A vector cumsum primitive is not available
-    # in Mosaic.)
+    ch = valsT_ref.shape[0]
+    gflags = flags_ref[...]                                 # [group*chunk]
+    gvals = valsT_ref[...]                                  # [ch, group*chunk]
     rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     tri = (rows <= cols).astype(jnp.bfloat16)   # upper-tri: [s, t] = s <= t
-    lpre = jax.lax.dot_general(
-        flags.astype(jnp.bfloat16)[None, :], tri,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)[0].astype(jnp.int32)
-
-    carry = carry_ref[0]
-    seg = carry + lpre - 1                                  # [chunk] i32
-    carry_ref[0] = carry + lpre[chunk - 1]
-
-    # align the window at `sub` granularity: span = chunk + sub instead of
-    # 2*chunk — one-hot work scales with span, so tighter windows are ~40%
-    # less VPU+MXU work per chunk
-    s0 = jnp.maximum(seg[0], 0)
-    start = jnp.minimum((s0 // sub) * sub, capacity)
-    lseg = seg - start
-    # negative ids (leading invalid rows) and ids past the window one-hot
-    # to zero; rows past `capacity` land in the sliced-off tail window.
-
-    ch = valsT_ref.shape[0]
-    vals = valsT_ref[...]
     iota = jax.lax.broadcasted_iota(jnp.int32, (sub, span), 1)
-    pT = jnp.zeros((ch, span), jnp.float32)
-    for k in range(chunk // sub):
-        ls = lseg[k * sub:(k + 1) * sub]
-        onehot = (ls[:, None] == iota)
-        v = vals[:, k * sub:(k + 1) * sub]
-        if precision == "bf16x3":
-            oh = onehot.astype(jnp.bfloat16)
-            hi = v.astype(jnp.bfloat16)
-            r1 = (v - hi.astype(jnp.float32))
-            mid = r1.astype(jnp.bfloat16)
-            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            for limb in (hi, mid, lo):
+
+    for g in range(group):
+        flags = gflags[g * chunk:(g + 1) * chunk]
+        vals = gvals[:, g * chunk:(g + 1) * chunk]
+        # within-chunk inclusive prefix sum via a triangular matmul: bf16
+        # one-hot/flag operands are exact and accumulate in f32, so the
+        # integer prefix is exact. (No vector cumsum primitive in Mosaic.)
+        lpre = jax.lax.dot_general(
+            flags.astype(jnp.bfloat16)[None, :], tri,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[0].astype(jnp.int32)
+
+        carry = carry_ref[0]
+        seg = carry + lpre - 1                              # [chunk] i32
+        carry_ref[0] = carry + lpre[chunk - 1]
+
+        # align the window at `sub` granularity: span = chunk + sub instead
+        # of 2*chunk — one-hot work scales with span
+        s0 = jnp.maximum(seg[0], 0)
+        start = jnp.minimum((s0 // sub) * sub, capacity)
+        lseg = seg - start
+        # negative ids (leading invalid rows) and ids past the window
+        # one-hot to zero; rows past `capacity` land in the sliced-off tail.
+
+        pT = jnp.zeros((ch, span), jnp.float32)
+        for k in range(chunk // sub):
+            ls = lseg[k * sub:(k + 1) * sub]
+            onehot = (ls[:, None] == iota)
+            v = vals[:, k * sub:(k + 1) * sub]
+            if precision == "bf16x3":
+                oh = onehot.astype(jnp.bfloat16)
+                hi = v.astype(jnp.bfloat16)
+                r1 = (v - hi.astype(jnp.float32))
+                mid = r1.astype(jnp.bfloat16)
+                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                for limb in (hi, mid, lo):
+                    pT = pT + jax.lax.dot_general(
+                        limb, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            else:
                 pT = pT + jax.lax.dot_general(
-                    limb, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+                    v, onehot.astype(jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=precision,
                     preferred_element_type=jnp.float32)
-        else:
-            pT = pT + jax.lax.dot_general(
-                v, onehot.astype(jnp.float32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=precision,
-                preferred_element_type=jnp.float32)
-    start = pl.multiple_of(start, sub)
-    out_ref[:, pl.ds(start, span)] += pT
+        start = pl.multiple_of(start, sub)
+        out_ref[:, pl.ds(start, span)] += pT
 
 
 @partial(jax.jit, static_argnames=("capacity", "chunk", "interpret",
@@ -163,13 +166,15 @@ def segment_sum_from_flags(vals: jax.Array, flags: jax.Array, capacity: int,
     """
     n, ch = vals.shape
     flags = flags.astype(jnp.int32)
-    npad = -(-n // chunk) * chunk
+    group = 4
+    step = group * chunk
+    npad = -(-n // step) * step
     if npad != n:
         vals = jnp.pad(vals, ((0, npad - n), (0, 0)))
         flags = jnp.pad(flags, (0, npad - n))
     sub = min(256, chunk)
     span = chunk + sub
-    nchunks = npad // chunk
+    nsteps = npad // step
     valsT = vals.T
     out_w = capacity + span
 
@@ -177,12 +182,12 @@ def segment_sum_from_flags(vals: jax.Array, flags: jax.Array, capacity: int,
             else jax.lax.Precision(precision.lower()))
     out = pl.pallas_call(
         partial(_segsum_flags_kernel, chunk=chunk, span=span,
-                sub=sub, precision=prec, capacity=capacity),
+                sub=sub, precision=prec, capacity=capacity, group=group),
         out_shape=jax.ShapeDtypeStruct((ch, out_w), jnp.float32),
-        grid=(nchunks,),
+        grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((chunk,), lambda j: (j,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ch, chunk), lambda j: (0, j),
+            pl.BlockSpec((step,), lambda j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ch, step), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ch, out_w), lambda j: (0, 0),

@@ -6,10 +6,10 @@ SURVEY.md §3.2/§3.3). Where the reference runs thread-per-camera CPU work
 (parse → transform) followed by serial concat/filter, here the *camera axis
 is a batch dimension*: one jitted program per frame does
 
-  batched deproject → per-camera voxel pre-downsample (vmap) →
-  ring-pairwise ICP drift correction (vmap over adjacent pairs, corrections
+  batched deproject → grid-stride ICP subsample → ring-pairwise ICP drift
+  correction (all pairs in one batched NN kernel per iteration, corrections
   composed with an associative scan) → SE(3) into world frame → fuse →
-  global voxel downsample
+  one global voxel-grid pass (the reference's own dataflow)
 
 entirely on-device, with fixed shapes, so XLA compiles it once. Per-frame
 drift correction runs >=5 ICP iterations per camera pair per frame
@@ -53,9 +53,10 @@ def _ring_drift_correction(cfg: StitchConfig, clouds: PointCloud,
     clouds: camera-batched *sensor-frame* clouds [ncam, C, 3] (+mask).
     Returns (refined_extrinsics [ncam,4,4], per-pair mean errors, inliers).
 
-    All ncam-1 pairwise ICPs run as one vmap (batched NN distance matmuls on
-    the MXU); the near-identity corrections compose along the ring with an
-    associative scan, so nothing is sequential in ncam but the O(log n) scan.
+    All ncam-1 pairwise ICPs run as one batched ICP (one NN kernel per
+    iteration over every pair); the near-identity corrections compose along
+    the ring with an associative scan, so nothing is sequential in ncam but
+    the O(log n) scan.
     """
     world = clouds.replace(xyz=se3_apply(extrinsics, clouds.xyz))
     src = jax.tree.map(lambda a: a[1:], world)    # cameras 1..n-1
@@ -64,7 +65,8 @@ def _ring_drift_correction(cfg: StitchConfig, clouds: PointCloud,
     res = icp_batched(src, dst, iterations=cfg.icp_iterations,
                       max_corr_dist=cfg.icp_max_corr_dist,
                       query_tile=cfg.icp_query_tile,
-                      ref_tile=cfg.icp_ref_tile)
+                      ref_tile=cfg.icp_ref_tile,
+                      nn_impl=cfg.kernel_impl)
     deltas = res.T  # [ncam-1, 4, 4]: world-frame correction for camera i+1
 
     # prefix[i] = delta_1 @ ... @ delta_i ; camera 0 is the anchor (identity)
@@ -83,7 +85,8 @@ def _stitch_tail(cfg: StitchConfig, raw: PointCloud, extrinsics: jax.Array,
     icp_inl = jnp.zeros((max(ncam - 1, 1),), jnp.int32)
     if cfg.icp_enabled and ncam > 1:
         icp_clouds = voxel_downsample(sub, cfg.icp_voxel_leaf,
-                                      capacity=cfg.icp_capacity)
+                                      capacity=cfg.icp_capacity,
+                                      impl=cfg.kernel_impl)
         extrinsics, icp_err, icp_inl = _ring_drift_correction(
             cfg, icp_clouds, extrinsics)
 
@@ -92,11 +95,13 @@ def _stitch_tail(cfg: StitchConfig, raw: PointCloud, extrinsics: jax.Array,
         # bound the per-camera cloud (useful when cameras shard across chips
         # and fused points must cross ICI)
         clouds = voxel_downsample(clouds, cfg.cam_voxel_leaf,
-                                  capacity=cfg.cam_capacity)
+                                  capacity=cfg.cam_capacity,
+                                  impl=cfg.kernel_impl)
     world = clouds.replace(xyz=se3_apply(extrinsics, clouds.xyz))
     fused = fuse_batched(world)
     # one global voxel pass, same dataflow as the reference's fused VoxelGrid
-    out = voxel_downsample(fused, cfg.out_voxel_leaf, capacity=cfg.out_capacity)
+    out = voxel_downsample(fused, cfg.out_voxel_leaf,
+                           capacity=cfg.out_capacity, impl=cfg.kernel_impl)
 
     metrics = StitchMetrics(points_in=points_in, points_out=out.count(),
                             icp_mean_error=icp_err, icp_inliers=icp_inl)

@@ -50,6 +50,11 @@ def make_sharded_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
     extrinsics are replicated (every chip ends the step with the fused cloud,
     so the host can pull it from any one of them).
     """
+    import dataclasses
+    # Pallas custom calls lack GSPMD partitioning rules; under pjit they
+    # would silently replicate. Force the XLA kernel path when sharding.
+    if cfg.kernel_impl != "xla":
+        cfg = dataclasses.replace(cfg, kernel_impl="xla")
     if cfg.num_cameras % mesh.devices.size != 0:
         raise ValueError(
             f"num_cameras={cfg.num_cameras} not divisible by mesh size "

@@ -48,6 +48,13 @@ class StitchConfig:
     icp_query_tile: int = 1024
     icp_ref_tile: int = 4096
 
+    # kernel backend: 'auto' (Pallas on TPU), 'xla', 'pallas'. The sharded
+    # multi-chip path forces 'xla' — Pallas custom calls have no GSPMD
+    # partitioning rule, so under pjit they would replicate; a future
+    # shard_map wrapper can lift that.
+    kernel_impl: str = "auto"
+
+
     @property
     def pixels_per_camera(self) -> int:
         return (self.height // self.decimation) * (self.width // self.decimation)
