@@ -176,31 +176,51 @@ def stitch_points_step(cfg: StitchConfig, extrinsics: jax.Array,
 class StitchingPipeline:
     """Stateful convenience wrapper: holds config + calibration, jits the step.
 
-    The jitted step is compiled once per StitchConfig; refined extrinsics are
-    carried frame-to-frame (online drift correction), mirroring how the
-    reference client holds its per-camera Eigen transforms for the whole run.
+    Extrinsic update modes (what happens to the per-camera transforms after
+    each frame's ICP drift correction):
+
+      * 'anchored' (default): the calibrated .cal extrinsics stay frozen and
+        every frame's correction is computed fresh from them. Stateless —
+        per-frame ICP noise cannot accumulate (accumulating corrections on a
+        static scene random-walks away from truth at ~sqrt(frames)).
+      * 'track': feed refined extrinsics back as the next frame's base —
+        follows real mechanical drift but integrates ICP noise.
+      * 'ema': exponential blend toward the refined transforms (SE(3)
+        polar-projected) — tracks slow drift with bounded noise gain.
     """
 
     def __init__(self, cfg: StitchConfig, intr: Intrinsics,
-                 extrinsics: jax.Array):
+                 extrinsics: jax.Array, update_mode: str = "anchored",
+                 ema_alpha: float = 0.05):
+        if update_mode not in ("anchored", "track", "ema"):
+            raise ValueError(update_mode)
         self.cfg = cfg
         self.intr = intr
         self.extrinsics = jnp.asarray(extrinsics, jnp.float32)
+        self.update_mode = update_mode
+        self.ema_alpha = ema_alpha
         self._step = jax.jit(partial(stitch_step, cfg))
         self._points_step = jax.jit(partial(stitch_points_step, cfg))
+        from ..ops.se3 import se3_blend
+        self._blend = jax.jit(se3_blend)
 
-    def __call__(self, depths, colors=None, cam_mask=None,
-                 update_extrinsics: bool = True) -> StitchOutput:
+    def _update(self, refined: jax.Array) -> None:
+        if not self.cfg.icp_enabled or self.update_mode == "anchored":
+            return
+        if self.update_mode == "track":
+            self.extrinsics = refined
+        else:
+            self.extrinsics = self._blend(self.extrinsics, refined,
+                                          self.ema_alpha)
+
+    def __call__(self, depths, colors=None, cam_mask=None) -> StitchOutput:
         out = self._step(self.intr, self.extrinsics, depths, colors, cam_mask)
-        if update_extrinsics and self.cfg.icp_enabled:
-            self.extrinsics = out.extrinsics
+        self._update(out.extrinsics)
         return out
 
-    def step_points(self, xyz, point_mask, cam_mask=None,
-                    update_extrinsics: bool = True) -> StitchOutput:
+    def step_points(self, xyz, point_mask, cam_mask=None) -> StitchOutput:
         """Stitch pre-deprojected clouds (legacy reference-protocol mode)."""
         clouds = PointCloud(xyz=xyz, mask=point_mask)
         out = self._points_step(self.extrinsics, clouds, cam_mask)
-        if update_extrinsics and self.cfg.icp_enabled:
-            self.extrinsics = out.extrinsics
+        self._update(out.extrinsics)
         return out

@@ -54,3 +54,21 @@ def se3_from_rt(R: jax.Array, t: jax.Array) -> jax.Array:
 
 def se3_identity(dtype=jnp.float32) -> jax.Array:
     return jnp.eye(4, dtype=dtype)
+
+
+def se3_blend(A: jax.Array, B: jax.Array, alpha) -> jax.Array:
+    """Blend rigid transforms: (1-alpha)*A + alpha*B, re-projected to SE(3).
+
+    Rotation part: linear blend followed by polar projection (SVD) back to
+    the nearest rotation; translation: linear. Used for EMA extrinsic
+    tracking, where alpha is small and the transforms are near each other.
+    """
+    alpha = jnp.asarray(alpha, A.dtype)
+    M = (1.0 - alpha) * A[..., :3, :3] + alpha * B[..., :3, :3]
+    U, _, Vt = jnp.linalg.svd(M)
+    det = jnp.linalg.det(U @ Vt)
+    S = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), M.shape).copy()
+    S = S.at[..., 2, 2].set(det)
+    R = U @ S @ Vt
+    t = (1.0 - alpha) * A[..., :3, 3] + alpha * B[..., :3, 3]
+    return se3_from_rt(R, t)

@@ -133,12 +133,22 @@ def test_pipeline_wrapper_carries_extrinsics():
     drift[:3, 3] = [0.03, 0.0, -0.02]
     ext = np.stack([np.eye(4, dtype=np.float32), drift])
     cfg = _small_cfg(2, icp_enabled=True, icp_iterations=4)
-    pipe = StitchingPipeline(cfg, intr, ext)
+    pipe = StitchingPipeline(cfg, intr, ext, update_mode="track")
     e0 = np.abs(np.asarray(pipe.extrinsics)[1] - np.eye(4)).max()
     for _ in range(3):
         pipe(jnp.asarray(depths))
     e1 = np.abs(np.asarray(pipe.extrinsics)[1] - np.eye(4)).max()
-    assert e1 < e0  # extrinsics improve across frames
+    assert e1 < e0  # tracked extrinsics improve across frames
+
+    # anchored (default) mode: base extrinsics are frozen; the per-frame
+    # OUTPUT is refined but ICP noise cannot accumulate into the state
+    pipe_a = StitchingPipeline(cfg, intr, ext)
+    out = None
+    for _ in range(3):
+        out = pipe_a(jnp.asarray(depths))
+    np.testing.assert_allclose(np.asarray(pipe_a.extrinsics), ext)
+    e_ref = np.abs(np.asarray(out.extrinsics)[1] - np.eye(4)).max()
+    assert e_ref < e0  # refined output still corrects the drift
 
 
 def test_register_pair_with_picked_points(rng):
