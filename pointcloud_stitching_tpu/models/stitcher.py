@@ -218,9 +218,11 @@ class StitchingPipeline:
         self._update(out.extrinsics)
         return out
 
-    def step_points(self, xyz, point_mask, cam_mask=None) -> StitchOutput:
+    def step_points(self, xyz, point_mask, rgb=None,
+                    cam_mask=None) -> StitchOutput:
         """Stitch pre-deprojected clouds (legacy reference-protocol mode)."""
-        clouds = PointCloud(xyz=xyz, mask=point_mask)
+        rgb_f = None if rgb is None else rgb.astype(jnp.float32)
+        clouds = PointCloud(xyz=xyz, mask=point_mask, rgb=rgb_f)
         out = self._points_step(self.extrinsics, clouds, cam_mask)
         self._update(out.extrinsics)
         return out

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..models.stitcher import StitchingPipeline, StitchOutput
 from ..utils.metrics import FrameMetrics, StageTimer
-from .wire import Kind, recv_frame, send_pull, unpack_points_i16mm
+from .wire import Kind, recv_frame, send_pull
 
 
 class _CameraSlot:
@@ -36,13 +36,17 @@ class _CameraSlot:
     padded [H*W, 3] float32 point buffer + valid count.
     """
 
-    def __init__(self, h: int, w: int, points: bool = False):
+    def __init__(self, h: int, w: int, points: bool = False,
+                 color: bool = False):
         self.points = points
+        self.color = color
         if points:
             self.xyz = np.zeros((h * w, 3), np.float32)
+            self.rgb = np.zeros((h * w, 3), np.uint8) if color else None
             self.count = 0
         else:
             self.frame = np.zeros((h, w), np.uint16)
+            self.rgb = np.zeros((h, w, 3), np.uint8) if color else None
         self.seq = -1
         self.stamp = 0.0
         self.lock = threading.Lock()
@@ -84,15 +88,20 @@ class CameraIngest(threading.Thread):
                 if self.slot.points:
                     if kind != Kind.POINTS_I16MM:
                         raise ValueError(f"expected point frames, got {kind}")
-                    xyz, _ = unpack_points_i16mm(payload)
+                    xyz, rgb = payload
                     n = min(len(xyz), len(self.slot.xyz))
                     with self.slot.lock:
                         self.slot.xyz[:n] = xyz[:n]
+                        if self.slot.rgb is not None and rgb is not None:
+                            self.slot.rgb[:n] = rgb[:n]
                         self.slot.count = n
                         self.slot.seq = seq
                         self.slot.stamp = time.time()
                     continue
-                if kind != Kind.DEPTH16:
+                rgb = None
+                if kind == Kind.DEPTH16_COLOR:
+                    payload, rgb = payload
+                elif kind != Kind.DEPTH16:
                     raise ValueError(f"unexpected frame kind {kind}")
                 if payload.shape != self.slot.frame.shape:
                     raise ValueError(
@@ -103,6 +112,8 @@ class CameraIngest(threading.Thread):
                     self.recorded.append(payload.copy())
                 with self.slot.lock:
                     self.slot.frame[...] = payload
+                    if self.slot.rgb is not None and rgb is not None:
+                        self.slot.rgb[...] = rgb
                     self.slot.seq = seq
                     self.slot.stamp = time.time()
         except (OSError, ConnectionError, ValueError) as e:
@@ -135,7 +146,8 @@ class MulticameraClient:
         self.stages = StageTimer()
         self._stop = threading.Event()
         self._slots = [_CameraSlot(cfg.height, cfg.width,
-                                   points=payload == "points")
+                                   points=payload == "points",
+                                   color=cfg.with_color)
                        for _ in addresses]
         self._threads = [
             CameraIngest(i, addr, slot, self._stop,
@@ -185,23 +197,31 @@ class MulticameraClient:
         if self.payload == "points":
             cap = cfg.height * cfg.width
             xyz = np.zeros((cfg.num_cameras, cap, 3), np.float32)
+            rgb = (np.zeros((cfg.num_cameras, cap, 3), np.uint8)
+                   if cfg.with_color else None)
             pmask = np.zeros((cfg.num_cameras, cap), bool)
             for i, s in enumerate(self._slots):
                 with s.lock:
                     xyz[i] = s.xyz
+                    if rgb is not None and s.rgb is not None:
+                        rgb[i] = s.rgb
                     pmask[i, :s.count] = True
                     fresh = s.alive and s.seq >= 0 and \
                         (now - s.stamp) <= self.stale_timeout
                 mask[i] = fresh
-            return (xyz, pmask), mask
+            return (xyz, pmask, rgb), mask
         depths = np.empty((cfg.num_cameras, cfg.height, cfg.width), np.uint16)
+        colors = (np.zeros((cfg.num_cameras, cfg.height, cfg.width, 3),
+                           np.uint8) if cfg.with_color else None)
         for i, s in enumerate(self._slots):
             with s.lock:
                 depths[i] = s.frame
+                if colors is not None and s.rgb is not None:
+                    colors[i] = s.rgb
                 fresh = s.alive and s.seq >= 0 and \
                     (now - s.stamp) <= self.stale_timeout
             mask[i] = fresh
-        return depths, mask
+        return (depths, colors), mask
 
     def step(self) -> Optional[StitchOutput]:
         """One stitch tick over the freshest frames. None if no camera is live."""
@@ -217,17 +237,21 @@ class MulticameraClient:
         t1 = time.time()
         d_mask = jnp.asarray(mask)
         if self.payload == "points":
-            xyz, pmask = data
+            xyz, pmask, rgb = data
             d_xyz = jnp.asarray(xyz)
             d_pmask = jnp.asarray(pmask)
+            d_rgb = None if rgb is None else jnp.asarray(rgb)
             t2 = time.time()
-            out = self.pipeline.step_points(d_xyz, d_pmask, cam_mask=d_mask)
+            out = self.pipeline.step_points(d_xyz, d_pmask, rgb=d_rgb,
+                                            cam_mask=d_mask)
             npix = xyz.shape[0] * xyz.shape[1]
         else:
-            d_depths = jnp.asarray(data)
+            depths, colors = data
+            d_depths = jnp.asarray(depths)
+            d_colors = None if colors is None else jnp.asarray(colors)
             t2 = time.time()
-            out = self.pipeline(d_depths, cam_mask=d_mask)
-            npix = int(np.prod(data.shape))
+            out = self.pipeline(d_depths, colors=d_colors, cam_mask=d_mask)
+            npix = int(np.prod(depths.shape))
         # scalar pull = real synchronization point (output stays on device)
         n_pts = int(out.metrics.points_out)
         t3 = time.time()

@@ -22,8 +22,8 @@ from typing import Optional
 
 import numpy as np
 
-from .wire import (Codec, Kind, encode_depth_frame, encode_frame,
-                   pack_points_i16mm, recv_exact)
+from .wire import (Codec, FLAG_HAS_RGB, Kind, encode_depth_frame,
+                   encode_frame, pack_points_i16mm, recv_exact)
 
 
 class FakeCameraServer:
@@ -41,12 +41,23 @@ class FakeCameraServer:
                  stall_after: Optional[int] = None,
                  die_after: Optional[int] = None,
                  points: bool = False,
+                 color: bool = False,
                  intrinsics: tuple = (421.5, 421.1, None, None),
                  depth_scale: float = 0.001):
         if frames.ndim != 3 or frames.dtype != np.uint16:
             raise ValueError("frames must be [T, H, W] uint16")
         self.frames = frames
+        self.color = color
+        self.colors: Optional[np.ndarray] = None
+        if color:
+            # synthetic depth-aligned RGB: hue from depth, stable per pixel
+            d = frames.astype(np.float32)
+            self.colors = np.stack([
+                np.clip(d / 16.0, 0, 255),
+                np.clip(255 - d / 16.0, 0, 255),
+                np.full_like(d, 128.0)], axis=-1).astype(np.uint8)
         self.points_payloads: Optional[list[bytes]] = None
+        self.points_have_rgb = points and color
         if points:
             h, w = frames.shape[1:]
             fx, fy, ppx, ppy = intrinsics
@@ -55,12 +66,13 @@ class FakeCameraServer:
             u, v = np.meshgrid(np.arange(w, dtype=np.float32),
                                np.arange(h, dtype=np.float32))
             self.points_payloads = []
-            for f in frames:
+            for t, f in enumerate(frames):
                 z = f.astype(np.float32) * depth_scale
                 valid = f > 0
                 xyz = np.stack([(u - ppx) / fx * z, (v - ppy) / fy * z, z],
                                axis=-1)[valid]
-                self.points_payloads.append(pack_points_i16mm(xyz))
+                rgb = self.colors[t][valid] if color else None
+                self.points_payloads.append(pack_points_i16mm(xyz, rgb))
         self.fps = fps
         self.codec = codec
         self.stall_after = stall_after
@@ -113,11 +125,14 @@ class FakeCameraServer:
                     last = time.time()
                 if self.points_payloads is not None:
                     payload = self.points_payloads[seq % len(self.frames)]
-                    conn.sendall(encode_frame(payload, Kind.POINTS_I16MM,
-                                              self.codec, seq))
+                    conn.sendall(encode_frame(
+                        payload, Kind.POINTS_I16MM, self.codec, seq,
+                        flags=FLAG_HAS_RGB if self.points_have_rgb else 0))
                 else:
-                    frame = self.frames[seq % len(self.frames)]
-                    conn.sendall(encode_depth_frame(frame, seq, self.codec))
+                    t = seq % len(self.frames)
+                    c = self.colors[t] if self.color else None
+                    conn.sendall(encode_depth_frame(self.frames[t], seq,
+                                                    self.codec, color=c))
                 seq += 1
         except (ConnectionError, OSError):
             pass
@@ -163,6 +178,8 @@ def main(argv=None):
                     default="zlib")
     ap.add_argument("--points", action="store_true",
                     help="serve packed int16-mm points (reference legacy mode)")
+    ap.add_argument("--color", action="store_true",
+                    help="attach synthetic depth-aligned RGB")
     ap.add_argument("--stall-after", type=int, default=None)
     ap.add_argument("--die-after", type=int, default=None)
     args = ap.parse_args(argv)
@@ -178,7 +195,7 @@ def main(argv=None):
                            fps=args.fps, codec=codec,
                            stall_after=args.stall_after,
                            die_after=args.die_after,
-                           points=args.points)
+                           points=args.points, color=args.color)
     srv.start()
     mode = "points" if args.points else "depth"
     print(f"fake camera server on {args.host}:{srv.port} "

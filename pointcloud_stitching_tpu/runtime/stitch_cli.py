@@ -46,6 +46,8 @@ def main(argv=None):
     ap.add_argument("--no-icp", action="store_true")
     ap.add_argument("--payload", choices=["depth", "points"], default="depth",
                     help="wire payload kind (points = reference legacy mode)")
+    ap.add_argument("--color", action="store_true",
+                    help="ingest depth-aligned RGB and stitch colored clouds")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -73,6 +75,8 @@ def main(argv=None):
         updates["width"] = args.width
     if args.no_icp:
         updates["icp_enabled"] = False
+    if args.color:
+        updates["with_color"] = True
     cfg = dataclasses.replace(cfg, **updates)
 
     if args.cal_dir:

@@ -120,31 +120,53 @@ def unpack_points_i16mm(data: bytes, with_rgb: bool = False):
 # Framing
 # ---------------------------------------------------------------------------
 
+FLAG_HAS_RGB = 0x01
+
+
 def encode_frame(payload: bytes, kind: Kind, codec: Codec, seq: int,
-                 rows: int = 0, cols: int = 0) -> bytes:
+                 rows: int = 0, cols: int = 0, flags: int = 0) -> bytes:
     body = compress(payload, codec)
-    return _HEADER.pack(len(body), int(kind), int(codec), 0, 0,
+    return _HEADER.pack(len(body), int(kind), int(codec), flags, 0,
                         seq & 0xFFFFFFFF, rows, cols) + body
 
 
 def encode_depth_frame(depth: np.ndarray, seq: int,
-                       codec: Codec = Codec.ZLIB) -> bytes:
+                       codec: Codec = Codec.ZLIB,
+                       color: Optional[np.ndarray] = None) -> bytes:
+    """Depth frame, optionally with depth-aligned RGB appended (the colored
+    stream mode — reference equivalent: rs2 color stream + map_to)."""
     depth = np.ascontiguousarray(depth, dtype="<u2")
-    return encode_frame(depth.tobytes(), Kind.DEPTH16, codec, seq,
+    if color is None:
+        return encode_frame(depth.tobytes(), Kind.DEPTH16, codec, seq,
+                            rows=depth.shape[0], cols=depth.shape[1])
+    color = np.ascontiguousarray(color, dtype=np.uint8)
+    if color.shape[:2] != depth.shape:
+        raise ValueError("color must be depth-aligned [H, W, 3]")
+    return encode_frame(depth.tobytes() + color.tobytes(),
+                        Kind.DEPTH16_COLOR, codec, seq,
                         rows=depth.shape[0], cols=depth.shape[1])
 
 
 def decode_frame(header: bytes, body: bytes):
-    """Returns (kind, seq, payload_array_or_bytes).
+    """Returns (kind, seq, payload).
 
-    DEPTH16 payloads decode to a [rows, cols] uint16 array; other kinds
-    return raw bytes for the caller to unpack.
+    DEPTH16 → [rows, cols] uint16. DEPTH16_COLOR → (depth u16, rgb u8
+    [rows, cols, 3]). POINTS_I16MM → raw bytes (use unpack_points_i16mm
+    with with_rgb=<FLAG_HAS_RGB set>).
     """
-    size, kind, codec, _f, _r, seq, rows, cols = _HEADER.unpack(header)
+    size, kind, codec, flags, _r, seq, rows, cols = _HEADER.unpack(header)
     raw = decompress(body, Codec(codec))
     if kind == Kind.DEPTH16:
         arr = np.frombuffer(raw, dtype="<u2").reshape(rows, cols)
         return Kind.DEPTH16, seq, arr
+    if kind == Kind.DEPTH16_COLOR:
+        nd = rows * cols * 2
+        depth = np.frombuffer(raw[:nd], dtype="<u2").reshape(rows, cols)
+        rgb = np.frombuffer(raw[nd:], dtype=np.uint8).reshape(rows, cols, 3)
+        return Kind.DEPTH16_COLOR, seq, (depth, rgb)
+    if kind == Kind.POINTS_I16MM:
+        return (Kind.POINTS_I16MM, seq,
+                unpack_points_i16mm(raw, with_rgb=bool(flags & FLAG_HAS_RGB)))
     return Kind(kind), seq, raw
 
 

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--codec", default="zlib")
     ap.add_argument("--points", action="store_true",
                     help="legacy mode: servers send packed points")
+    ap.add_argument("--color", action="store_true",
+                    help="colored streams (depth-aligned RGB)")
     ap.add_argument("--client-args", default="",
                     help="extra args forwarded to stitch_cli")
     args = ap.parse_args()
@@ -44,6 +46,8 @@ def main():
                 cmd += ["--fps", str(args.fps)]
             if args.points:
                 cmd += ["--points"]
+            if args.color:
+                cmd += ["--color"]
             p = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True)
             print(p.stdout.readline().strip(), flush=True)
             servers.append(p)
@@ -57,6 +61,8 @@ def main():
             client_cmd += ["--camera", f"127.0.0.1:{args.base_port + i}"]
         if args.points:
             client_cmd += ["--payload", "points"]
+        if args.color:
+            client_cmd += ["--color"]
         client_cmd += args.client_args.split()
         rc = subprocess.call(client_cmd)
         sys.exit(rc)

@@ -149,3 +149,58 @@ def test_legacy_points_protocol_end_to_end():
     finally:
         for s in servers:
             s.stop()
+
+
+def test_colored_depth_stream_end_to_end():
+    """DEPTH16_COLOR wire mode -> colored stitched cloud (PointXYZRGB parity)."""
+    import dataclasses
+    ncam, h, w = 2, 60, 106
+    servers = [FakeCameraServer(synthetic_frames(4, h, w, seed=s),
+                                color=True).start() for s in range(ncam)]
+    try:
+        pipe = _make_pipeline(ncam, h, w)
+        pipe.cfg = dataclasses.replace(pipe.cfg, with_color=True)
+        # rebuild pipeline with color-enabled config
+        from pointcloud_stitching_tpu.models import StitchingPipeline
+        pipe = StitchingPipeline(pipe.cfg, pipe.intr, pipe.extrinsics)
+        client = MulticameraClient(
+            [("127.0.0.1", s.port) for s in servers], pipe).start()
+        assert client.wait_for_first_frames(timeout=10)
+        out = client.step()
+        assert out is not None
+        assert out.cloud.rgb is not None
+        m = np.asarray(out.cloud.mask)
+        rgb = np.asarray(out.cloud.rgb)[m]
+        assert (rgb >= 0).all() and (rgb <= 255).all()
+        assert rgb.std() > 1.0  # actual color variation came through
+        client.stop()
+    finally:
+        for s in servers:
+            s.stop()
+
+
+def test_colored_points_stream_end_to_end():
+    """Legacy points payload with RGB (the reference's PointXYZRGB wire)."""
+    import dataclasses
+    ncam, h, w = 2, 60, 106
+    servers = [FakeCameraServer(synthetic_frames(4, h, w, seed=s),
+                                points=True, color=True,
+                                intrinsics=(53.0, 53.0, None, None)).start()
+               for s in range(ncam)]
+    try:
+        pipe = _make_pipeline(ncam, h, w)
+        cfg = dataclasses.replace(pipe.cfg, with_color=True)
+        from pointcloud_stitching_tpu.models import StitchingPipeline
+        pipe = StitchingPipeline(cfg, pipe.intr, pipe.extrinsics)
+        client = MulticameraClient(
+            [("127.0.0.1", s.port) for s in servers], pipe,
+            payload="points").start()
+        assert client.wait_for_first_frames(timeout=10)
+        out = client.step()
+        assert out is not None and out.cloud.rgb is not None
+        m = np.asarray(out.cloud.mask)
+        assert np.asarray(out.cloud.rgb)[m].std() > 1.0
+        client.stop()
+    finally:
+        for s in servers:
+            s.stop()
