@@ -6,6 +6,10 @@ PY ?= python
 native:
 	$(PY) -m pointcloud_stitching_tpu.native.build
 
+native-server:
+	g++ -O2 -std=c++17 -o native/pcs-camera-server \
+	    native/camera_server.cc native/snappy.cc -lpthread
+
 test: native
 	$(PY) -m pytest tests/ -q
 
@@ -16,5 +20,5 @@ bench: native
 	$(PY) bench.py
 
 clean:
-	rm -f pointcloud_stitching_tpu/native/*.so
+	rm -f pointcloud_stitching_tpu/native/*.so native/pcs-camera-server
 	find . -name __pycache__ -type d -exec rm -rf {} +

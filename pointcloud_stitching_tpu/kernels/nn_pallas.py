@@ -60,35 +60,6 @@ def _block_d2(q, rT, rsq, precision, method):
     return qsq + rsq - 2.0 * cross
 
 
-def _nn_kernel(q_ref, rT_ref, rsq_ref, d2_ref, idx_ref, *, ref_block,
-               precision, method):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        d2_ref[...] = jnp.full_like(d2_ref, jnp.inf)
-        idx_ref[...] = jnp.zeros_like(idx_ref)
-
-    d2 = _block_d2(q_ref[...], rT_ref[...], rsq_ref[...], precision, method)
-    m = jnp.min(d2, axis=1)                            # [QT]
-    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    am = jnp.min(jnp.where(d2 <= m[:, None], cols, jnp.int32(2 ** 30)),
-                 axis=1)                               # first tie wins
-    gidx = j * ref_block + am
-
-    best = d2_ref[...]                                 # [QT] (1-D block)
-    better = m < best
-    d2_ref[...] = jnp.where(better, m, best)
-    idx_ref[...] = jnp.where(better, gidx, idx_ref[...])
-
-
-def _pad_rows(x, n, value=0.0):
-    pad = n - x.shape[0]
-    if pad <= 0:
-        return x
-    return jnp.pad(x, ((0, pad), (0, 0)), constant_values=value)
-
-
 @partial(jax.jit, static_argnames=("query_tile", "ref_block", "interpret",
                                    "precision", "method"))
 def nearest_neighbors_pallas(query: jax.Array, ref: jax.Array,
@@ -106,50 +77,14 @@ def nearest_neighbors_pallas(query: jax.Array, ref: jax.Array,
     (the outputs are 1-D running-best vectors; other tile sizes fail Mosaic
     layout checks outside interpret mode).
     """
-    n, m = query.shape[0], ref.shape[0]
-    if ref_mask is None:
-        ref_mask = jnp.ones((m,), bool)
-    refm = jnp.where(ref_mask[:, None], ref, _FAR)
-
-    npad = -(-n // query_tile) * query_tile
-    mpad = -(-m // ref_block) * ref_block
-
-    qp = jnp.pad(query, ((0, npad - n), (0, 8 - query.shape[1])))
-    rp = _pad_rows(refm, mpad, value=_FAR)
-    rsq = jnp.sum(rp * rp, axis=1)[None, :]            # [1, Mpad]
-    rT = jnp.pad(rp, ((0, 0), (0, 8 - rp.shape[1]))).T  # [8, Mpad], K-pad 0
-
-    nq, nm = npad // query_tile, mpad // ref_block
-    grid_spec = pl.GridSpec(
-        grid=(nq, nm),
-        in_specs=[
-            pl.BlockSpec((query_tile, 8), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, ref_block), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ref_block), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((query_tile,), lambda i, j: (i,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((query_tile,), lambda i, j: (i,),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    d2, idx = pl.pallas_call(
-        partial(_nn_kernel, ref_block=ref_block,
-                precision=jax.lax.Precision(precision.lower()),
-                method=method),
-        out_shape=[jax.ShapeDtypeStruct((npad,), jnp.float32),
-                   jax.ShapeDtypeStruct((npad,), jnp.int32)],
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(qp, rT, rsq)
-
-    d2 = d2[:n]
-    idx = jnp.minimum(idx[:n], m - 1)
-    return idx, jnp.maximum(d2, 0.0)
+    # single-pair = batched with B=1 (one kernel implementation to maintain;
+    # the DMA-looped kernel is also the fastest)
+    ref_mask_b = None if ref_mask is None else ref_mask[None]
+    idx, d2 = nearest_neighbors_pallas_batched(
+        query[None], ref[None], ref_mask_b, query_tile=query_tile,
+        ref_block=ref_block, interpret=interpret, precision=precision,
+        method=method)
+    return idx[0], d2[0]
 
 
 def prepare_ref_batched(ref: jax.Array, ref_mask: jax.Array | None,

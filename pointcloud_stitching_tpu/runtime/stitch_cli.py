@@ -48,6 +48,8 @@ def main(argv=None):
                     help="wire payload kind (points = reference legacy mode)")
     ap.add_argument("--color", action="store_true",
                     help="ingest depth-aligned RGB and stitch colored clouds")
+    ap.add_argument("--trace-dir",
+                    help="capture a jax.profiler device trace to this dir")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -113,7 +115,13 @@ def main(argv=None):
                        out.cloud)
 
     try:
-        metrics = client.run(num_frames=args.frames, on_frame=on_frame)
+        if args.trace_dir:
+            from ..utils.profiling import trace
+            with trace(args.trace_dir):
+                metrics = client.run(num_frames=args.frames,
+                                     on_frame=on_frame)
+        else:
+            metrics = client.run(num_frames=args.frames, on_frame=on_frame)
     except KeyboardInterrupt:
         client.stop()
         metrics = client.metrics

@@ -1,0 +1,70 @@
+"""Native C++ camera server: build, serve, interop with the Python client."""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BIN = os.path.join(REPO, "native", "pcs-camera-server")
+
+
+@pytest.fixture(scope="module")
+def server_bin():
+    r = subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-o", BIN,
+         os.path.join(REPO, "native", "camera_server.cc"),
+         os.path.join(REPO, "native", "snappy.cc"), "-lpthread"],
+        capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"native toolchain failed: {r.stderr[:500]}")
+    return BIN
+
+
+def _start(args):
+    p = subprocess.Popen([*args], stdout=subprocess.PIPE, text=True)
+    line = p.stdout.readline()
+    assert "native camera server" in line, line
+    port = int(line.split(":")[1].split(" ")[0])
+    return p, port
+
+
+def test_native_server_snappy_stream(server_bin):
+    from pointcloud_stitching_tpu.runtime.wire import (Kind, recv_frame,
+                                                       send_pull)
+    p, port = _start([server_bin, "--port", "0" if False else "18920",
+                      "--synthetic", "--n-frames", "4",
+                      "--height", "48", "--width", "128"])
+    try:
+        s = socket.create_connection(("127.0.0.1", 18920), timeout=5)
+        seen = []
+        for i in range(6):  # loops past T
+            send_pull(s)
+            kind, seq, depth = recv_frame(s)
+            assert kind == Kind.DEPTH16 and seq == i
+            assert depth.shape == (48, 128)
+            seen.append(depth)
+        np.testing.assert_array_equal(seen[0], seen[4])  # loop replay
+        s.close()
+    finally:
+        p.terminate()
+
+
+def test_native_server_npy_replay(server_bin, tmp_path):
+    from pointcloud_stitching_tpu.runtime.wire import recv_frame, send_pull
+    frames = (np.arange(3 * 16 * 32) % 2000).reshape(3, 16, 32).astype(
+        np.uint16)
+    path = tmp_path / "rec.npy"
+    np.save(path, frames)
+    p, port = _start([server_bin, "--port", "18921", "--file", str(path)])
+    try:
+        s = socket.create_connection(("127.0.0.1", 18921), timeout=5)
+        for i in range(3):
+            send_pull(s)
+            _, seq, depth = recv_frame(s)
+            np.testing.assert_array_equal(depth, frames[i])
+        s.close()
+    finally:
+        p.terminate()
