@@ -9,9 +9,14 @@ ids sorted, a segment sum needs no scatter at all:
     sequentially, so read-modify-write on the output block is race-free),
   * each chunk builds a one-hot matrix of its *local* segment offsets and
     multiplies it with the values on the MXU → per-chunk partial sums,
-  * partials accumulate into a window of the VMEM-resident output at a
-    chunk-aligned dynamic offset (segment ids grow by at most 1 per element,
-    so a chunk's segments span < 2*chunk slots).
+  * partials accumulate into a window of the VMEM-resident output at an
+    aligned dynamic offset (segment ids grow by at most 1 per element, which
+    bounds each chunk's window).
+
+Two entry points: ``segment_sum_from_flags`` (primary — derives ids
+in-kernel from boundary flags with an SMEM carry across the sequential
+grid) and ``segment_sum_sorted`` (takes precomputed ids; used by the
+flattened batched path where per-cloud id offsets are easier outside).
 
 Accumulation is plain float32 adds — the same error profile as PCL's
 VoxelGrid centroid accumulation, unlike a cumsum-difference scheme whose

@@ -10,10 +10,11 @@ contract):
   * one output point per occupied voxel = centroid (mean) of its points
   * output ordered by ascending (ix, iy, iz)
 
-TPU has no hash maps, so uniquing is sort-based: ``lax.sort`` on the three
-integer voxel indices as a lexicographic key (3 keys avoids linearised-key
-overflow), then a segment boundary pass, then per-segment mean. The segment
-reduction has two interchangeable backends:
+TPU has no hash maps, so uniquing is sort-based: ``lax.sort`` with a
+two-key lexicographic voxel key (packed (ix,iy), then iz — avoids the
+reference's int32 linearised-index overflow), then a segment boundary pass,
+then per-segment mean. The segment reduction has two interchangeable
+backends:
 
   * 'pallas' (default on TPU): the scatter-free sequential-grid kernel in
     kernels/segment_reduce.py — XLA's scatter-add costs ~170 ms for the

@@ -204,3 +204,41 @@ def test_colored_points_stream_end_to_end():
     finally:
         for s in servers:
             s.stop()
+
+
+def test_garbage_protocol_degrades_gracefully():
+    """A server speaking garbage must kill only its camera slot, with a
+    readable error — never the client."""
+    import socket as socketlib
+    import threading
+
+    srv = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_STREAM)
+    srv.setsockopt(socketlib.SOL_SOCKET, socketlib.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def junk_server():
+        conn, _ = srv.accept()
+        try:
+            conn.recv(1)
+            conn.sendall(b"\xde\xad\xbe\xef" * 64)  # not a valid frame
+            time.sleep(1)
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=junk_server, daemon=True)
+    t.start()
+    try:
+        pipe = _make_pipeline(1, 60, 106)
+        client = MulticameraClient([("127.0.0.1", port)], pipe,
+                                   stale_timeout=0.3).start()
+        deadline = time.time() + 5
+        while client._slots[0].alive and time.time() < deadline:
+            time.sleep(0.05)
+        assert not client._slots[0].alive
+        assert client.camera_errors()  # cause is surfaced
+        assert client.step() is None   # no live cameras -> clean None
+        client.stop()
+    finally:
+        srv.close()
