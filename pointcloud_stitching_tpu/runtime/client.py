@@ -59,19 +59,38 @@ class CameraIngest(threading.Thread):
 
     def __init__(self, index: int, address: tuple[str, int], slot: _CameraSlot,
                  stop: threading.Event, connect_timeout: float = 5.0,
-                 record_frames: int = 0):
+                 record_frames: int = 0, reconnect: bool = True,
+                 reconnect_backoff: float = 0.5):
         super().__init__(daemon=True, name=f"ingest-cam{index}")
         self.index = index
         self.address = address
         self.slot = slot
         self._stop = stop
         self._connect_timeout = connect_timeout
+        self._reconnect = reconnect
+        self._backoff = reconnect_backoff
         # record+replay (SURVEY.md §5 checkpoint/record): keep the first K
         # received depth frames for .npy export via Client.save_recording
         self.record_frames = record_frames
         self.recorded: list[np.ndarray] = []
 
     def run(self) -> None:
+        """Pull loop with reconnection: a dead camera server marks its slot
+        stale (so the stitcher drops it from the batch) but the thread keeps
+        retrying with backoff and resurrects the slot when the server
+        returns — the reference client permanently blocks/crashes instead
+        (SURVEY.md §5 failure handling)."""
+        backoff = self._backoff
+        while not self._stop.is_set():
+            self._run_once()
+            if not self._reconnect:
+                return
+            # slot is dead; wait and retry (capped exponential backoff)
+            if self._stop.wait(backoff):
+                return
+            backoff = min(backoff * 2, 5.0)
+
+    def _run_once(self) -> None:
         try:
             sock = socket.create_connection(self.address,
                                             timeout=self._connect_timeout)
@@ -81,6 +100,8 @@ class CameraIngest(threading.Thread):
             self.slot.error = f"connect {self.address}: {e}"
             self.slot.alive = False
             return
+        self.slot.alive = True
+        self.slot.error = None
         try:
             while not self._stop.is_set():
                 send_pull(sock)
@@ -133,7 +154,8 @@ class MulticameraClient:
                  pipeline: StitchingPipeline,
                  stale_timeout: float = 0.5,
                  payload: str = "depth",
-                 record_frames: int = 0):
+                 record_frames: int = 0,
+                 reconnect: bool = True):
         cfg = pipeline.cfg
         if len(addresses) != cfg.num_cameras:
             raise ValueError("address count != cfg.num_cameras")
@@ -151,7 +173,7 @@ class MulticameraClient:
                        for _ in addresses]
         self._threads = [
             CameraIngest(i, addr, slot, self._stop,
-                         record_frames=record_frames)
+                         record_frames=record_frames, reconnect=reconnect)
             for i, (addr, slot) in enumerate(zip(addresses, self._slots))]
 
     def save_recording(self, directory: str) -> list[str]:
@@ -176,10 +198,14 @@ class MulticameraClient:
         self._stop.set()
 
     def wait_for_first_frames(self, timeout: float = 10.0) -> bool:
+        """Wait until every camera has either delivered a frame or is down
+        (with at least one frame somewhere). `alive` flaps during reconnect
+        backoff, so "delivered a frame ever" (seq >= 0) is the stable signal.
+        """
         deadline = time.time() + timeout
         while time.time() < deadline:
             if all((s.seq >= 0) or not s.alive for s in self._slots) and \
-                    any(s.alive for s in self._slots):
+                    any(s.seq >= 0 for s in self._slots):
                 return True
             time.sleep(0.01)
         return False

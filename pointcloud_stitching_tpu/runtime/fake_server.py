@@ -100,23 +100,36 @@ class FakeCameraServer:
             self._thread.join(timeout=2)
 
     def _serve(self) -> None:
-        try:
-            conn, _ = self._sock.accept()
-        except OSError:
-            return
+        self._seq = 0
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            if not self._serve_conn(conn):
+                # permanent fault injected: stop listening entirely
+                try:
+                    self._sock.close()
+                except OSError:
+                    pass
+                return
+
+    def _serve_conn(self, conn) -> bool:
+        """Serve one client connection. Returns False to kill the server
+        permanently (fault injection); True to accept the next client."""
         conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        seq = 0
         last = 0.0
         try:
             while not self._stop.is_set():
+                seq = self._seq
                 recv_exact(conn, 1)  # pull request
                 if self.die_after is not None and seq >= self.die_after:
                     conn.close()
-                    return
+                    return False
                 if self.stall_after is not None and seq >= self.stall_after:
                     # stall: hold the socket open, never answer
                     self._stop.wait()
-                    return
+                    return False
                 if self.fps:
                     now = time.time()
                     wait = (1.0 / self.fps) - (now - last)
@@ -133,7 +146,7 @@ class FakeCameraServer:
                     c = self.colors[t] if self.color else None
                     conn.sendall(encode_depth_frame(self.frames[t], seq,
                                                     self.codec, color=c))
-                seq += 1
+                self._seq = seq + 1
         except (ConnectionError, OSError):
             pass
         finally:
@@ -141,6 +154,7 @@ class FakeCameraServer:
                 conn.close()
             except OSError:
                 pass
+        return True
 
 
 def synthetic_frames(n_frames: int, h: int = 480, w: int = 848,

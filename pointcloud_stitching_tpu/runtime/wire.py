@@ -182,9 +182,17 @@ def recv_exact(sock: socket.socket, n: int) -> bytes:
     return bytes(buf)
 
 
+MAX_FRAME_BYTES = 64 * 2 ** 20  # sanity bound; a D435 frame is < 1 MB
+
+
 def recv_frame(sock: socket.socket):
     header = recv_exact(sock, HEADER_SIZE)
     size = struct.unpack_from("<I", header)[0]
+    if size > MAX_FRAME_BYTES:
+        # garbage on the wire decodes as an absurd length; fail fast instead
+        # of blocking on a gigabyte recv
+        raise ValueError(f"frame size {size} exceeds {MAX_FRAME_BYTES} "
+                         "(corrupt stream?)")
     body = recv_exact(sock, size)
     return decode_frame(header, body)
 

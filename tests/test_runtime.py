@@ -232,7 +232,8 @@ def test_garbage_protocol_degrades_gracefully():
     try:
         pipe = _make_pipeline(1, 60, 106)
         client = MulticameraClient([("127.0.0.1", port)], pipe,
-                                   stale_timeout=0.3).start()
+                                   stale_timeout=0.3,
+                                   reconnect=False).start()
         deadline = time.time() + 5
         while client._slots[0].alive and time.time() < deadline:
             time.sleep(0.05)
@@ -242,3 +243,32 @@ def test_garbage_protocol_degrades_gracefully():
         client.stop()
     finally:
         srv.close()
+
+
+def test_camera_reconnects_after_server_restart():
+    """Ingest threads retry with backoff: when a camera server comes back,
+    its slot resurrects and frames flow again (the reference client would
+    be stuck forever)."""
+    ncam, h, w = 1, 60, 106
+    frames = synthetic_frames(4, h, w, seed=2)
+    srv = FakeCameraServer(frames, die_after=2).start()
+    port = srv.port
+    pipe = _make_pipeline(ncam, h, w)
+    client = MulticameraClient([("127.0.0.1", port)], pipe,
+                               stale_timeout=0.3).start()
+    try:
+        assert client.wait_for_first_frames(timeout=10)
+        time.sleep(0.8)  # server dies after 2 frames; slot goes stale
+        assert client.step() is None
+        srv.stop()
+        # restart a fresh server on the same port
+        srv = FakeCameraServer(frames, port=port).start()
+        deadline = time.time() + 15
+        out = None
+        while out is None and time.time() < deadline:
+            time.sleep(0.2)
+            out = client.step()
+        assert out is not None, "camera did not resurrect"
+        client.stop()
+    finally:
+        srv.stop()
