@@ -20,7 +20,6 @@ the bottleneck.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -29,7 +28,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.stitcher import stitch_step
 from ..utils.config import StitchConfig
-from ..utils.types import Intrinsics
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "cam") -> Mesh:

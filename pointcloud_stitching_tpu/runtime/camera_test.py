@@ -30,7 +30,6 @@ def run(host: str, port: int, frames: int, deproject: bool = False,
     dep_fn = None
     if deproject:
         import jax
-        import jax.numpy as jnp
         from ..ops.deproject import deproject as dep
         from ..utils.types import Intrinsics
         intr = Intrinsics.d435_default()

@@ -251,7 +251,6 @@ class MulticameraClient:
 
     def step(self) -> Optional[StitchOutput]:
         """One stitch tick over the freshest frames. None if no camera is live."""
-        import jax
         import jax.numpy as jnp
 
         t0 = time.time()

@@ -50,6 +50,9 @@ def main(argv=None):
                     help="ingest depth-aligned RGB and stitch colored clouds")
     ap.add_argument("--trace-dir",
                     help="capture a jax.profiler device trace to this dir")
+    ap.add_argument("--record-dir",
+                    help="record incoming depth streams as replayable .npy")
+    ap.add_argument("--record-frames", type=int, default=300)
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -93,8 +96,9 @@ def main(argv=None):
     intr = i0.stack([i0] * (ncam - 1)) if ncam > 1 else i0.stack([])
 
     pipe = StitchingPipeline(cfg, intr, ext)
-    client = MulticameraClient(addresses, pipe,
-                               payload=args.payload).start()
+    client = MulticameraClient(
+        addresses, pipe, payload=args.payload,
+        record_frames=args.record_frames if args.record_dir else 0).start()
     if not client.wait_for_first_frames(timeout=15):
         errs = client.camera_errors()
         raise SystemExit("no camera produced a frame within 15 s"
@@ -125,6 +129,9 @@ def main(argv=None):
     except KeyboardInterrupt:
         client.stop()
         metrics = client.metrics
+    if args.record_dir:
+        paths = client.save_recording(args.record_dir)
+        print(f"recorded {len(paths)} camera streams to {args.record_dir}")
     print(metrics)
     return metrics
 
