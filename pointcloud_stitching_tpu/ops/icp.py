@@ -162,7 +162,8 @@ def icp_converge(src: PointCloud, dst: PointCloud,
         T, _, _, it, _ = carry
         T2, err, n_in = _icp_step(T, src.xyz, src.mask, dst.xyz, dst.mask,
                                   max_d2, query_tile, ref_tile, nn_impl)
-        dT = T2 @ jnp.linalg.inv(T)
+        from .se3 import se3_inverse
+        dT = T2 @ se3_inverse(T)  # rigid inverse: transpose + negate, exact
         delta = jnp.sum((dT - eye) ** 2)
         return (T2, err, n_in, it + 1, delta)
 

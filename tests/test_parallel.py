@@ -90,3 +90,18 @@ def test_ring_nn_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(d2), np.asarray(rd2), atol=1e-5)
     agree = (np.asarray(idx) == np.asarray(ridx)).mean()
     assert agree > 0.999  # ties may resolve to a different shard's index
+
+
+def test_sharded_program_contains_collectives():
+    """The sharded step must actually communicate over the mesh (ring ICP
+    neighbour exchange / fused-cloud gather), not silently replicate."""
+    ncam = len(jax.devices())
+    depths, intr, ext = _scene(ncam)
+    cfg = _cfg(ncam)
+    fn = make_sharded_stitch(cfg, make_mesh())
+    compiled = fn.lower(intr, jnp.asarray(ext),
+                        jnp.asarray(depths)).compile()
+    hlo = compiled.as_text()
+    assert any(op in hlo for op in
+               ("all-gather", "collective-permute", "all-to-all",
+                "all-reduce")), "no collectives in sharded program"
