@@ -1,0 +1,134 @@
+"""shard_map sharded stitching: Pallas kernels stay active per chip.
+
+The pjit path (parallel/mesh.py) lets GSPMD partition the program but must
+force the XLA kernel backend — Pallas custom calls have no partitioning
+rule. Under ``jax.shard_map`` each device executes *local* code on its own
+camera shard, so the Pallas voxel/NN kernels run unmodified per chip, and
+the cross-chip dataflow is explicit (SURVEY.md §2.5):
+
+  * deproject / ICP-cloud prep / per-camera voxel: chip-local,
+  * ring drift correction: each chip's first camera needs the LAST camera
+    cloud of the previous chip — one ``ppermute`` around the ring,
+  * the (tiny) per-pair corrections are ``all_gather``-ed so every chip
+    computes the same global prefix composition,
+  * per-chip world clouds are voxel-bounded then ``all_gather``-ed over ICI
+    (only ~cam_capacity points per camera cross the wire, never raw
+    frames); the final fused voxel pass is replicated.
+
+Requires cfg.cam_voxel_enabled (it bounds the gathered bytes) and
+num_cameras divisible by the mesh size.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.stitcher import StitchMetrics, StitchOutput
+from ..ops.deproject import deproject
+from ..ops.icp import icp_batched
+from ..ops.se3 import se3_apply
+from ..ops.voxel import voxel_downsample
+from ..utils.config import StitchConfig
+from ..utils.types import Intrinsics, PointCloud
+
+
+def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
+    """Build a sharded stitch step: (intr, extrinsics, depths) -> StitchOutput.
+
+    intr is camera-batched Intrinsics; extrinsics [ncam,4,4]; depths
+    [ncam,H,W]. Outputs are replicated.
+    """
+    d = mesh.devices.size
+    if cfg.num_cameras % d != 0:
+        raise ValueError(f"num_cameras={cfg.num_cameras} not divisible by "
+                         f"mesh size {d}")
+    if not cfg.cam_voxel_enabled:
+        cfg = dataclasses.replace(cfg, cam_voxel_enabled=True)
+    ncl = cfg.num_cameras // d  # cameras per chip
+
+    def local_fn(fx, fy, ppx, ppy, coeffs, ext_l, depths_l):
+        my = jax.lax.axis_index(axis)
+        intr_l = Intrinsics(fx=fx, fy=fy, ppx=ppx, ppy=ppy, coeffs=coeffs,
+                            width=cfg.width, height=cfg.height,
+                            model=int(0))
+        raw = deproject(depths_l, intr_l, depth_scale=cfg.depth_scale,
+                        z_min=cfg.z_min, z_max=cfg.z_max)
+        points_in = jax.lax.psum(jnp.sum(raw.mask), axis)
+
+        h, w = cfg.height, cfg.width
+        s = cfg.icp_stride
+        sub = PointCloud(
+            xyz=raw.xyz.reshape(ncl, h, w, 3)[:, ::s, ::s].reshape(ncl, -1, 3),
+            mask=raw.mask.reshape(ncl, h, w)[:, ::s, ::s].reshape(ncl, -1))
+        icp_clouds = voxel_downsample(sub, cfg.icp_voxel_leaf,
+                                      capacity=cfg.icp_capacity,
+                                      impl=cfg.kernel_impl)
+
+        ext_full = ext_l  # [ncl, 4, 4] local extrinsics
+        world = icp_clouds.replace(xyz=se3_apply(ext_full, icp_clouds.xyz))
+
+        # predecessor clouds: local shift + ring ppermute for the boundary
+        perm = [(i, (i + 1) % d) for i in range(d)]
+        prev_xyz = jax.lax.ppermute(world.xyz[ncl - 1], axis, perm)
+        prev_mask = jax.lax.ppermute(world.mask[ncl - 1], axis, perm)
+        dst_xyz = jnp.concatenate([prev_xyz[None], world.xyz[:-1]], axis=0)
+        dst_mask = jnp.concatenate([prev_mask[None], world.mask[:-1]], axis=0)
+        # global camera 0 (chip 0, local 0) has no predecessor: mask its
+        # pair out — kabsch returns identity for zero total weight
+        anchor = (my == 0)
+        dst_mask = dst_mask.at[0].set(jnp.where(anchor, False, dst_mask[0]))
+
+        res = icp_batched(world, PointCloud(xyz=dst_xyz, mask=dst_mask),
+                          iterations=cfg.icp_iterations,
+                          max_corr_dist=cfg.icp_max_corr_dist,
+                          query_tile=cfg.icp_query_tile,
+                          ref_tile=cfg.icp_ref_tile,
+                          nn_impl=cfg.kernel_impl)
+        # gather every chip's deltas; all chips compute the same prefix
+        deltas = jax.lax.all_gather(res.T, axis).reshape(cfg.num_cameras, 4, 4)
+        prefix = jax.lax.associative_scan(jnp.matmul, deltas)
+        refined_full = prefix @ jax.lax.all_gather(ext_l, axis).reshape(
+            cfg.num_cameras, 4, 4)
+        refined_l = jax.lax.dynamic_slice_in_dim(refined_full, my * ncl, ncl)
+
+        # bounded per-camera world clouds -> ICI all_gather -> global voxel
+        cam_clouds = voxel_downsample(raw, cfg.cam_voxel_leaf,
+                                      capacity=cfg.cam_capacity,
+                                      impl=cfg.kernel_impl)
+        world_cams = cam_clouds.replace(
+            xyz=se3_apply(refined_l, cam_clouds.xyz))
+        g_xyz = jax.lax.all_gather(world_cams.xyz, axis).reshape(-1, 3)
+        g_mask = jax.lax.all_gather(world_cams.mask, axis).reshape(-1)
+        fused = PointCloud(xyz=g_xyz, mask=g_mask)
+        out = voxel_downsample(fused, cfg.out_voxel_leaf,
+                               capacity=cfg.out_capacity,
+                               impl=cfg.kernel_impl)
+
+        err = jax.lax.all_gather(res.mean_error, axis).reshape(-1)[1:]
+        inl = jax.lax.all_gather(res.num_inliers, axis).reshape(-1)[1:]
+        metrics = StitchMetrics(points_in=points_in,
+                                points_out=out.count(),
+                                icp_mean_error=err, icp_inliers=inl)
+        return StitchOutput(cloud=out, extrinsics=refined_full,
+                            metrics=metrics)
+
+    sharded = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis)),
+        out_specs=StitchOutput(
+            cloud=PointCloud(xyz=P(), mask=P(), rgb=None),
+            extrinsics=P(),
+            metrics=StitchMetrics(points_in=P(), points_out=P(),
+                                  icp_mean_error=P(), icp_inliers=P())),
+        check_vma=False)
+
+    @jax.jit
+    def step(intr: Intrinsics, extrinsics, depths):
+        return sharded(intr.fx, intr.fy, intr.ppx, intr.ppy, intr.coeffs,
+                       extrinsics, depths)
+
+    return step

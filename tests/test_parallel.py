@@ -105,3 +105,25 @@ def test_sharded_program_contains_collectives():
     assert any(op in hlo for op in
                ("all-gather", "collective-permute", "all-to-all",
                 "all-reduce")), "no collectives in sharded program"
+
+
+def test_shardmap_stitch_matches_single_device():
+    """shard_map sharded stitch (Pallas-capable per-chip path) vs the
+    single-device pipeline, including ring drift correction."""
+    import dataclasses
+    from pointcloud_stitching_tpu.parallel import make_shardmap_stitch
+    ncam = len(jax.devices())
+    depths, intr, ext = _scene(ncam)
+    cfg = dataclasses.replace(_cfg(ncam), cam_voxel_enabled=True,
+                              cam_voxel_leaf=0.005, cam_capacity=8192)
+    fn = make_shardmap_stitch(cfg, make_mesh())
+    out_s = fn(intr, jnp.asarray(ext), jnp.asarray(depths))
+    out_1 = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths))
+    np.testing.assert_allclose(np.asarray(out_s.extrinsics),
+                               np.asarray(out_1.extrinsics), atol=1e-4)
+    a = np.asarray(out_s.cloud.xyz)[np.asarray(out_s.cloud.mask)]
+    b = np.asarray(out_1.cloud.xyz)[np.asarray(out_1.cloud.mask)]
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.sort(a, axis=0), np.sort(b, axis=0),
+                               atol=1e-4)
+    assert int(out_s.metrics.points_in) == int(out_1.metrics.points_in)
