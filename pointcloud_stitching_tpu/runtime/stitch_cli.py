@@ -53,6 +53,8 @@ def main(argv=None):
     ap.add_argument("--record-dir",
                     help="record incoming depth streams as replayable .npy")
     ap.add_argument("--record-frames", type=int, default=300)
+    ap.add_argument("--publish-port", type=int, default=None,
+                    help="serve the stitched cloud stream on this TCP port")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -108,7 +110,15 @@ def main(argv=None):
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
 
+    publisher = None
+    if args.publish_port is not None:
+        from .publisher import CloudPublisher
+        publisher = CloudPublisher(port=args.publish_port).start()
+        print(f"publishing stitched clouds on :{publisher.port}", flush=True)
+
     def on_frame(i, out):
+        if publisher is not None and publisher.num_subscribers:
+            publisher.publish_cloud(out.cloud)
         if args.print_every and i > 0 and i % args.print_every == 0:
             line = str(client.metrics)
             if args.timing:
@@ -129,6 +139,8 @@ def main(argv=None):
     except KeyboardInterrupt:
         client.stop()
         metrics = client.metrics
+    if publisher is not None:
+        publisher.stop()
     if args.record_dir:
         paths = client.save_recording(args.record_dir)
         print(f"recorded {len(paths)} camera streams to {args.record_dir}")

@@ -272,3 +272,35 @@ def test_camera_reconnects_after_server_restart():
         client.stop()
     finally:
         srv.stop()
+
+
+def test_cloud_publisher_fanout(rng):
+    """Stitched-cloud publisher: consumers receive the stream in the wire
+    format; a dead consumer is dropped without affecting the rest."""
+    from pointcloud_stitching_tpu.runtime import CloudPublisher
+    from pointcloud_stitching_tpu.runtime.wire import Kind, recv_frame
+
+    pub = CloudPublisher(host="127.0.0.1").start()
+    try:
+        c1 = socket.create_connection(("127.0.0.1", pub.port), timeout=5)
+        c2 = socket.create_connection(("127.0.0.1", pub.port), timeout=5)
+        deadline = time.time() + 5
+        while pub.num_subscribers < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        xyz = rng.uniform(-2, 2, (500, 3)).astype(np.float32)
+        rgb = rng.integers(0, 255, (500, 3)).astype(np.uint8)
+        n = pub.publish(xyz, rgb)
+        assert n == 2
+        for c in (c1, c2):
+            kind, seq, (got_xyz, got_rgb) = recv_frame(c)
+            assert kind == Kind.POINTS_I16MM and seq == 0
+            np.testing.assert_allclose(got_xyz, xyz, atol=5.1e-4)
+            np.testing.assert_array_equal(got_rgb, rgb)
+        c2.close()
+        time.sleep(0.05)
+        n = pub.publish(xyz)  # dead consumer dropped, stream continues
+        kind, seq, (got_xyz, got_rgb) = recv_frame(c1)
+        assert seq == 1 and got_rgb is None
+        c1.close()
+    finally:
+        pub.stop()
