@@ -26,6 +26,10 @@ import numpy as np
 
 def main():
     import jax
+    # persistent compile cache: the 8-cam program costs 60-100 s to compile
+    # through the remote compile service; cache hits cut repeat runs to ~2 s
+    from __graft_entry__ import _enable_compile_cache
+    _enable_compile_cache()
     import jax.numpy as jnp
     from functools import partial
 
