@@ -66,7 +66,8 @@ def _ring_drift_correction(cfg: StitchConfig, clouds: PointCloud,
                       max_corr_dist=cfg.icp_max_corr_dist,
                       query_tile=cfg.icp_query_tile,
                       ref_tile=cfg.icp_ref_tile,
-                      nn_impl=cfg.kernel_impl)
+                      nn_impl=cfg.kernel_impl,
+                      trim_fraction=cfg.icp_trim_fraction)
     deltas = res.T  # [ncam-1, 4, 4]: world-frame correction for camera i+1
 
     # prefix[i] = delta_1 @ ... @ delta_i ; camera 0 is the anchor (identity)

@@ -45,18 +45,38 @@ def _nn_batched(query, ref, ref_mask, query_tile, ref_tile, nn_impl):
     )(query, ref, ref_mask)
 
 
+def _trim_weights(w, d2, trim_fraction):
+    """Zero the worst trim_fraction of currently-accepted correspondences.
+
+    Trimmed ICP (robustness under partial overlap): per iteration, keep the
+    (1-f) best matches by distance among those passing the hard gate. The
+    quantile sorts only the (small) ICP cloud, so the cost is negligible.
+    """
+    if trim_fraction <= 0.0:
+        return w
+    big = jnp.where(w > 0, d2, jnp.inf)
+    q = jnp.quantile(jnp.where(jnp.isinf(big), jnp.nan, big),
+                     1.0 - trim_fraction, axis=-1, keepdims=True,
+                     method="lower")
+    q = jnp.where(jnp.isnan(q), jnp.inf, q)
+    return jnp.where(d2 <= q, w, 0.0)
+
+
 @partial(jax.jit, static_argnames=("iterations", "query_tile", "ref_tile",
-                                   "nn_impl"))
+                                   "nn_impl", "trim_fraction"))
 def icp_batched(src: PointCloud, dst: PointCloud,
                 init_T: jax.Array | None = None, iterations: int = 5,
                 max_corr_dist: float | jax.Array = 0.1,
                 query_tile: int = 1024, ref_tile: int = 4096,
-                nn_impl: str = "auto") -> ICPResult:
+                nn_impl: str = "auto",
+                trim_fraction: float = 0.0) -> ICPResult:
     """Fixed-iteration ICP over B independent cloud pairs at once.
 
     src/dst are batched PointClouds ([B, N, 3] xyz). All B correspondence
     searches run as one batched-NN kernel per iteration (the stitcher's
     ring drift correction runs ncam-1 pairs this way — SURVEY.md §2.4).
+    trim_fraction > 0 additionally drops that fraction of the worst accepted
+    matches each iteration (trimmed ICP, for partial overlap).
     """
     b = src.xyz.shape[0]
     if init_T is None:
@@ -84,6 +104,7 @@ def icp_batched(src: PointCloud, dst: PointCloud,
         p = se3_apply(T, src.xyz)                       # [B, N, 3]
         idx, d2 = nn(p)
         w = (src.mask & (d2 <= max_d2)).astype(jnp.float32)
+        w = _trim_weights(w, d2, trim_fraction)
         matched = jnp.take_along_axis(dst.xyz, idx[..., None], axis=1)
         dT = jax.vmap(_kabsch)(p, matched, w)
         n_in = jnp.sum(w, axis=-1)
@@ -99,12 +120,13 @@ def icp_batched(src: PointCloud, dst: PointCloud,
 
 
 def _icp_step(T, src_xyz, src_mask, dst_xyz, dst_mask, max_dist2,
-              query_tile, ref_tile, nn_impl):
+              query_tile, ref_tile, nn_impl, trim_fraction=0.0):
     p = se3_apply(T, src_xyz)
     idx, d2 = nearest_neighbors(p, dst_xyz, dst_mask,
                                 query_tile=query_tile, ref_tile=ref_tile,
                                 impl=nn_impl)
     w = (src_mask & (d2 <= max_dist2)).astype(jnp.float32)
+    w = _trim_weights(w, d2, trim_fraction)
     matched = dst_xyz[idx]
     dT = kabsch(p, matched, w)
     n_in = jnp.sum(w)
@@ -113,11 +135,11 @@ def _icp_step(T, src_xyz, src_mask, dst_xyz, dst_mask, max_dist2,
 
 
 @partial(jax.jit, static_argnames=("iterations", "query_tile", "ref_tile",
-                                   "nn_impl"))
+                                   "nn_impl", "trim_fraction"))
 def icp(src: PointCloud, dst: PointCloud, init_T: jax.Array | None = None,
         iterations: int = 5, max_corr_dist: float | jax.Array = 0.1,
         query_tile: int = 1024, ref_tile: int = 4096,
-        nn_impl: str = "auto") -> ICPResult:
+        nn_impl: str = "auto", trim_fraction: float = 0.0) -> ICPResult:
     """Fixed-iteration ICP (streaming-friendly: constant cost per frame)."""
     if init_T is None:
         init_T = jnp.eye(4, dtype=jnp.float32)
@@ -126,7 +148,8 @@ def icp(src: PointCloud, dst: PointCloud, init_T: jax.Array | None = None,
     def body(_, carry):
         T, _, _ = carry
         T2, err, n_in = _icp_step(T, src.xyz, src.mask, dst.xyz, dst.mask,
-                                  max_d2, query_tile, ref_tile, nn_impl)
+                                  max_d2, query_tile, ref_tile, nn_impl,
+                                  trim_fraction)
         return (T2, err, n_in)
 
     T, err, n_in = jax.lax.fori_loop(
@@ -137,14 +160,15 @@ def icp(src: PointCloud, dst: PointCloud, init_T: jax.Array | None = None,
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "query_tile", "ref_tile",
-                                   "nn_impl"))
+                                   "nn_impl", "trim_fraction"))
 def icp_converge(src: PointCloud, dst: PointCloud,
                  init_T: jax.Array | None = None,
                  max_iterations: int = 50,
                  transformation_epsilon: float = 1e-8,
                  max_corr_dist: float | jax.Array = 0.25,
                  query_tile: int = 1024, ref_tile: int = 4096,
-                 nn_impl: str = "auto") -> ICPResult:
+                 nn_impl: str = "auto",
+                 trim_fraction: float = 0.0) -> ICPResult:
     """ICP with PCL-style termination: stop when the incremental transform's
     deviation from identity drops below ``transformation_epsilon`` (Frobenius
     norm squared) or after ``max_iterations``. Offline-registration variant.
@@ -161,7 +185,8 @@ def icp_converge(src: PointCloud, dst: PointCloud,
     def body(carry):
         T, _, _, it, _ = carry
         T2, err, n_in = _icp_step(T, src.xyz, src.mask, dst.xyz, dst.mask,
-                                  max_d2, query_tile, ref_tile, nn_impl)
+                                  max_d2, query_tile, ref_tile, nn_impl,
+                                  trim_fraction)
         from .se3 import se3_inverse
         dT = T2 @ se3_inverse(T)  # rigid inverse: transpose + negate, exact
         delta = jnp.sum((dT - eye) ** 2)

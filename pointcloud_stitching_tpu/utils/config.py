@@ -47,6 +47,7 @@ class StitchConfig:
                                # drift residuals within 10%)
     icp_iterations: int = 5
     icp_max_corr_dist: float = 0.1
+    icp_trim_fraction: float = 0.0  # trimmed-ICP rejection (partial overlap)
     icp_query_tile: int = 1024
     icp_ref_tile: int = 4096
 

@@ -33,6 +33,8 @@ def main(argv=None):
     ap.add_argument("--max-corr-dist", type=float, default=0.25)
     ap.add_argument("--max-iter", type=int, default=50)
     ap.add_argument("--epsilon", type=float, default=1e-8)
+    ap.add_argument("--trim", type=float, default=0.0,
+                    help="trimmed-ICP rejection fraction (partial overlap)")
     ap.add_argument("--voxel", type=float, default=None,
                     help="pre-downsample both clouds (meters)")
     args = ap.parse_args(argv)
@@ -72,7 +74,8 @@ def main(argv=None):
                         refine=not args.no_refine,
                         max_iterations=args.max_iter,
                         transformation_epsilon=args.epsilon,
-                        max_corr_dist=args.max_corr_dist)
+                        max_corr_dist=args.max_corr_dist,
+                        trim_fraction=args.trim)
     if res.icp is not None:
         print(f"ICP: {int(res.icp.iterations)} iterations, "
               f"mean_error={float(res.icp.mean_error):.3e}, "

@@ -94,3 +94,22 @@ def test_icp_with_partial_overlap_and_masks(rng):
     # rejected by max_corr_dist once alignment is near)
     err = np.abs(np.asarray(res.T) - T_true).max()
     assert err < 0.05
+
+
+def test_trimmed_icp_survives_gross_outliers(rng):
+    """30% of the target replaced by garbage: plain ICP drifts, trimmed ICP
+    recovers the transform (partial-overlap robustness)."""
+    src = rng.uniform(-1, 1, size=(2000, 3)).astype(np.float32)
+    T_true = random_se3(seed=11, max_angle=0.1, max_trans=0.08)
+    dst = transform_np(T_true, src)
+    dst[:600] = rng.uniform(-1, 1, (600, 3)) + np.array([5.0, 0, 0])
+    plain = icp(PointCloud.from_points(src), PointCloud.from_points(dst),
+                iterations=20, max_corr_dist=10.0,
+                query_tile=512, ref_tile=512)
+    trimmed = icp(PointCloud.from_points(src), PointCloud.from_points(dst),
+                  iterations=20, max_corr_dist=10.0, trim_fraction=0.4,
+                  query_tile=512, ref_tile=512)
+    err_plain = np.abs(np.asarray(plain.T) - T_true).max()
+    err_trim = np.abs(np.asarray(trimmed.T) - T_true).max()
+    assert err_trim < 0.02, err_trim
+    assert err_trim < err_plain
