@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from ..ops.deproject import deproject, deproject_with_color
 from ..ops.fuse import fuse_batched
-from ..ops.icp import icp_batched
+from ..ops.icp import icp_batched, icp_point_to_plane_batched
+from ..ops.normals import grid_normals
 from ..ops.se3 import se3_apply
 from ..ops.voxel import decimate_depth, voxel_downsample
 from ..utils.config import StitchConfig
@@ -58,16 +59,33 @@ def _ring_drift_correction(cfg: StitchConfig, clouds: PointCloud,
     the ring with an associative scan, so nothing is sequential in ncam but
     the O(log n) scan.
     """
-    world = clouds.replace(xyz=se3_apply(extrinsics, clouds.xyz))
+    # clouds.rgb carries sensor-frame normals in point-to-plane mode
+    # (averaged through the voxel pass, renormalised here)
+    world_xyz = se3_apply(extrinsics, clouds.xyz)
+    world = PointCloud(xyz=world_xyz, mask=clouds.mask)
     src = jax.tree.map(lambda a: a[1:], world)    # cameras 1..n-1
     dst = jax.tree.map(lambda a: a[:-1], world)   # cameras 0..n-2
 
-    res = icp_batched(src, dst, iterations=cfg.icp_iterations,
-                      max_corr_dist=cfg.icp_max_corr_dist,
-                      query_tile=cfg.icp_query_tile,
-                      ref_tile=cfg.icp_ref_tile,
-                      nn_impl=cfg.kernel_impl,
-                      trim_fraction=cfg.icp_trim_fraction)
+    if cfg.icp_variant == "point_to_plane":
+        n = clouds.rgb                             # [ncam, C, 3] normals
+        norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+        # voxel-averaged normals that cancel out (>60 deg disagreement)
+        # are dropped by the n_ok gate inside the solver
+        n = jnp.where(norm > 0.5, n / jnp.maximum(norm, 1e-12), 0.0)
+        R = extrinsics[:, :3, :3]
+        n_world = jnp.einsum("cij,cnj->cni", R, n, precision="highest")
+        res = icp_point_to_plane_batched(
+            src, dst, n_world[:-1], iterations=cfg.icp_iterations,
+            max_corr_dist=cfg.icp_max_corr_dist,
+            query_tile=cfg.icp_query_tile, ref_tile=cfg.icp_ref_tile,
+            nn_impl=cfg.kernel_impl, trim_fraction=cfg.icp_trim_fraction)
+    else:
+        res = icp_batched(src, dst, iterations=cfg.icp_iterations,
+                          max_corr_dist=cfg.icp_max_corr_dist,
+                          query_tile=cfg.icp_query_tile,
+                          ref_tile=cfg.icp_ref_tile,
+                          nn_impl=cfg.kernel_impl,
+                          trim_fraction=cfg.icp_trim_fraction)
     deltas = res.T  # [ncam-1, 4, 4]: world-frame correction for camera i+1
 
     # prefix[i] = delta_1 @ ... @ delta_i ; camera 0 is the anchor (identity)
@@ -149,8 +167,15 @@ def stitch_step(cfg: StitchConfig, intr: Intrinsics, extrinsics: jax.Array,
     s = cfg.icp_stride
     sub_xyz = raw.xyz.reshape(ncam, h, w, 3)[:, ::s, ::s]
     sub_mask = raw.mask.reshape(ncam, h, w)[:, ::s, ::s]
+    sub_rgb = None
+    if cfg.icp_enabled and cfg.icp_variant == "point_to_plane":
+        # normals from the strided organised grid ride the voxel pass in the
+        # rgb channels (centroid-averaged, renormalised at the solver)
+        nrm, nvalid = grid_normals(sub_xyz, sub_mask)
+        sub_mask = sub_mask & nvalid
+        sub_rgb = nrm.reshape(ncam, -1, 3)
     sub = PointCloud(xyz=sub_xyz.reshape(ncam, -1, 3),
-                     mask=sub_mask.reshape(ncam, -1))
+                     mask=sub_mask.reshape(ncam, -1), rgb=sub_rgb)
     return _stitch_tail(cfg, raw, extrinsics, points_in, sub)
 
 

@@ -5,7 +5,9 @@ from .voxel import decimate_depth, voxel_downsample, voxel_indices
 from .fuse import compact, fuse, fuse_batched
 from .nn import nearest_neighbors
 from .kabsch import kabsch
-from .icp import ICPResult, icp, icp_batched, icp_converge
+from .icp import (ICPResult, icp, icp_batched, icp_converge,
+                  icp_point_to_plane_batched)
+from .normals import grid_normals
 
 __all__ = [
     "deproject", "deproject_with_color",
@@ -15,4 +17,5 @@ __all__ = [
     "compact", "fuse", "fuse_batched",
     "nearest_neighbors", "kabsch",
     "ICPResult", "icp", "icp_batched", "icp_converge",
+    "icp_point_to_plane_batched", "grid_normals",
 ]

@@ -119,6 +119,99 @@ def icp_batched(src: PointCloud, dst: PointCloud,
                      iterations=jnp.full((b,), iterations, jnp.int32))
 
 
+def _exp_se3(x: jax.Array) -> jax.Array:
+    """Small-motion SE(3) from x = [omega, t] (the point-to-plane update).
+
+    Rodrigues for the rotation; translation applied directly (the standard
+    point-to-plane linearisation). Batched over leading dims.
+    """
+    omega, t = x[..., :3], x[..., 3:]
+    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+    safe = jnp.maximum(theta, 1e-12)
+    k = omega / safe
+    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
+    zero = jnp.zeros_like(kx)
+    K = jnp.stack([
+        jnp.stack([zero, -kz, ky], axis=-1),
+        jnp.stack([kz, zero, -kx], axis=-1),
+        jnp.stack([-ky, kx, zero], axis=-1)], axis=-2)
+    st = jnp.sin(theta)[..., None]
+    ct = (1.0 - jnp.cos(theta))[..., None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), K.shape)
+    R = eye + st * K + ct * (K @ K)
+    R = jnp.where(theta[..., None] < 1e-8, eye, R)
+    from .se3 import se3_from_rt
+    return se3_from_rt(R, t)
+
+
+@partial(jax.jit, static_argnames=("iterations", "query_tile", "ref_tile",
+                                   "nn_impl", "trim_fraction"))
+def icp_point_to_plane_batched(src: PointCloud, dst: PointCloud,
+                               dst_normals: jax.Array,
+                               init_T: jax.Array | None = None,
+                               iterations: int = 5,
+                               max_corr_dist: float | jax.Array = 0.1,
+                               query_tile: int = 1024, ref_tile: int = 4096,
+                               nn_impl: str = "auto",
+                               trim_fraction: float = 0.0) -> ICPResult:
+    """Point-to-plane ICP over B cloud pairs (Chen & Medioni formulation).
+
+    Minimises sum w ((R p + t - q) . n_q)^2 per iteration via the linearised
+    6x6 normal equations. Beyond-reference capability: converges in roughly
+    half the iterations of point-to-point and does not slide along smooth
+    surfaces. dst_normals: [B, M, 3] unit normals (see ops/normals.py);
+    correspondences with near-zero normals are dropped.
+    """
+    b = src.xyz.shape[0]
+    if init_T is None:
+        init_T = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+    max_d2 = jnp.asarray(max_corr_dist, jnp.float32) ** 2
+
+    impl = nn_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from ..kernels.nn_pallas import (nn_batched_prepared,
+                                         prepare_ref_batched)
+        rT, rsq = prepare_ref_batched(dst.xyz, dst.mask)
+        nn = lambda p: nn_batched_prepared(p, rT, rsq,
+                                           num_ref=dst.xyz.shape[1])
+    else:
+        nn = lambda p: _nn_batched(p, dst.xyz, dst.mask,
+                                   query_tile, ref_tile, "xla")
+
+    def body(_, carry):
+        T, _, _ = carry
+        p = se3_apply(T, src.xyz)                        # [B, N, 3]
+        idx, d2 = nn(p)
+        q = jnp.take_along_axis(dst.xyz, idx[..., None], axis=1)
+        n = jnp.take_along_axis(dst_normals, idx[..., None], axis=1)
+        n_ok = jnp.sum(n * n, axis=-1) > 0.25            # unit or zeroed
+        w = (src.mask & (d2 <= max_d2) & n_ok).astype(jnp.float32)
+        w = _trim_weights(w, d2, trim_fraction)
+
+        r0 = jnp.sum((p - q) * n, axis=-1)               # [B, N]
+        J = jnp.concatenate([jnp.cross(p, n), n], axis=-1)  # [B, N, 6]
+        wJ = w[..., None] * J
+        A = jnp.einsum("bni,bnj->bij", wJ, J, precision="highest")
+        rhs = -jnp.einsum("bni,bn->bi", J, w * r0, precision="highest")
+        # Tikhonov floor keeps degenerate frames (all-rejected) solvable
+        A = A + 1e-8 * jnp.eye(6, dtype=jnp.float32)
+        x = jnp.linalg.solve(A, rhs[..., None])[..., 0]
+        n_in = jnp.sum(w, axis=-1)
+        x = jnp.where((n_in > 5.0)[:, None], x, 0.0)     # identity if starved
+        dT = _exp_se3(x)
+        err = jnp.sum(w * r0 * r0, axis=-1) / jnp.maximum(n_in, 1.0)
+        return (dT @ T, err, n_in)
+
+    T, err, n_in = jax.lax.fori_loop(
+        0, iterations, body,
+        (init_T, jnp.full((b,), jnp.inf, jnp.float32),
+         jnp.zeros((b,), jnp.float32)))
+    return ICPResult(T=T, mean_error=err, num_inliers=n_in.astype(jnp.int32),
+                     iterations=jnp.full((b,), iterations, jnp.int32))
+
+
 def _icp_step(T, src_xyz, src_mask, dst_xyz, dst_mask, max_dist2,
               query_tile, ref_tile, nn_impl, trim_fraction=0.0):
     p = se3_apply(T, src_xyz)
