@@ -66,7 +66,10 @@ def _ring_drift_correction(cfg: StitchConfig, clouds: PointCloud,
     src = jax.tree.map(lambda a: a[1:], world)    # cameras 1..n-1
     dst = jax.tree.map(lambda a: a[:-1], world)   # cameras 0..n-2
 
-    if cfg.icp_variant == "point_to_plane":
+    if cfg.icp_variant == "point_to_plane" and clouds.rgb is not None:
+        # clouds.rgb carries voxel-averaged sensor-frame normals (the
+        # legacy points payload has no grid to derive normals from, so it
+        # falls back to point-to-point below)
         n = clouds.rgb                             # [ncam, C, 3] normals
         norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
         # voxel-averaged normals that cancel out (>60 deg disagreement)
