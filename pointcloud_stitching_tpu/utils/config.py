@@ -61,6 +61,21 @@ class StitchConfig:
     kernel_impl: str = "auto"
 
 
+    def __post_init__(self):
+        if self.num_cameras < 1:
+            raise ValueError("num_cameras must be >= 1")
+        if self.icp_variant not in ("point_to_point", "point_to_plane"):
+            raise ValueError(f"unknown icp_variant {self.icp_variant!r}")
+        if self.kernel_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown kernel_impl {self.kernel_impl!r}")
+        if not (0.0 <= self.icp_trim_fraction < 1.0):
+            raise ValueError("icp_trim_fraction must be in [0, 1)")
+        for name in ("cam_capacity", "out_capacity", "icp_capacity"):
+            if getattr(self, name) < 1:
+                raise ValueError(f"{name} must be positive")
+        if self.decimation < 1:
+            raise ValueError("decimation must be >= 1")
+
     @property
     def pixels_per_camera(self) -> int:
         return (self.height // self.decimation) * (self.width // self.decimation)

@@ -176,3 +176,15 @@ def test_register_pair_writes_cal(tmp_path, rng):
     p = tmp_path / "pair.cal"
     write_cal(str(p), res)
     np.testing.assert_allclose(load_cal(str(p)), np.asarray(res.T), atol=1e-6)
+
+
+def test_config_validation():
+    import pytest
+    with pytest.raises(ValueError):
+        StitchConfig(icp_variant="nope")
+    with pytest.raises(ValueError):
+        StitchConfig(kernel_impl="cuda")
+    with pytest.raises(ValueError):
+        StitchConfig(icp_trim_fraction=1.5)
+    with pytest.raises(ValueError):
+        StitchConfig(num_cameras=0)
