@@ -45,13 +45,14 @@ def main(argv=None):
     import numpy as np
 
     from pointcloud_stitching_tpu import PointCloud
-    from pointcloud_stitching_tpu.io import load_ply
+    from pointcloud_stitching_tpu.io import load_pcd, load_ply
     from pointcloud_stitching_tpu.models import register_pair, write_cal
     from pointcloud_stitching_tpu.ops import voxel_downsample
     from pointcloud_stitching_tpu.utils.types import round_up
 
     def load(path):
-        xyz, _ = load_ply(path)
+        xyz, _ = (load_pcd(path) if path.endswith(".pcd")
+                  else load_ply(path))
         pc = PointCloud.from_points(xyz, capacity=round_up(len(xyz), 1024))
         if args.voxel:
             pc = voxel_downsample(pc, args.voxel, capacity=pc.capacity)

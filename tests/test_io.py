@@ -60,3 +60,35 @@ def test_save_cloud_writes_valid_prefix_only(tmp_path, rng):
     xyz, _ = load_ply(str(p))
     assert xyz.shape == (50, 3)
     np.testing.assert_allclose(xyz, pts)
+
+
+@pytest.mark.parametrize("binary", [True, False])
+@pytest.mark.parametrize("with_rgb", [True, False])
+def test_pcd_roundtrip(tmp_path, rng, binary, with_rgb):
+    from pointcloud_stitching_tpu.io import load_pcd, save_pcd
+    xyz = rng.normal(size=(321, 3)).astype(np.float32)
+    rgb = (rng.integers(0, 256, (321, 3)).astype(np.uint8) if with_rgb
+           else None)
+    p = tmp_path / "c.pcd"
+    save_pcd(str(p), xyz, rgb, binary=binary)
+    got_xyz, got_rgb = load_pcd(str(p))
+    np.testing.assert_allclose(got_xyz, xyz, atol=0 if binary else 1e-4)
+    if with_rgb:
+        np.testing.assert_array_equal(got_rgb, rgb)
+    else:
+        assert got_rgb is None
+
+
+def test_pcd_pcl_reference_file(tmp_path):
+    """Hand-written PCD in PCL's own ascii style (separate header idioms)."""
+    p = tmp_path / "ref.pcd"
+    p.write_text(
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+        "COUNT 1 1 1\nWIDTH 2\nHEIGHT 1\n"
+        "VIEWPOINT 0 0 0 1 0 0 0\nPOINTS 2\nDATA ascii\n"
+        "1.5 -2.0 0.25\n0 0 3\n")
+    from pointcloud_stitching_tpu.io import load_pcd
+    xyz, rgb = load_pcd(str(p))
+    np.testing.assert_allclose(xyz, [[1.5, -2.0, 0.25], [0, 0, 3]])
+    assert rgb is None
