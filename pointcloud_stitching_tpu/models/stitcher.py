@@ -148,6 +148,14 @@ def stitch_step(cfg: StitchConfig, intr: Intrinsics, extrinsics: jax.Array,
     assert depths.shape[0] == ncam
 
     depths = decimate_depth(depths, cfg.decimation)
+    if cfg.decimation > 1:
+        # decimated pixel (u, v) is original pixel (u*s, v*s):
+        # (u - ppx/s) / (fx/s) == (u*s - ppx) / fx, so scale the intrinsics
+        s0 = float(cfg.decimation)
+        intr = intr.replace(fx=intr.fx / s0, fy=intr.fy / s0,
+                            ppx=intr.ppx / s0, ppy=intr.ppy / s0,
+                            width=cfg.width // cfg.decimation,
+                            height=cfg.height // cfg.decimation)
     if colors is not None:
         colors = colors[..., ::cfg.decimation, ::cfg.decimation, :] \
             if cfg.decimation > 1 else colors

@@ -188,3 +188,34 @@ def test_config_validation():
         StitchConfig(icp_trim_fraction=1.5)
     with pytest.raises(ValueError):
         StitchConfig(num_cameras=0)
+
+
+def test_decimation_preserves_geometry():
+    """decimation=2 must produce exactly the points of the full-resolution
+    deprojection at the strided pixels (intrinsics rescale with the grid)."""
+    from pointcloud_stitching_tpu.ops import deproject
+    ncam, h, w = 2, 120, 212
+    depths, intr, ext = _scene(ncam)
+    cfg = _small_cfg(ncam, icp_enabled=False, decimation=2)
+    out = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths))
+
+    # reference: full-res deproject, take strided pixels, transform+voxel
+    from pointcloud_stitching_tpu.ops import fuse, transform_cloud, \
+        voxel_downsample
+    clouds = []
+    for i in range(ncam):
+        i0 = Intrinsics.create(fx=106.0, fy=106.0, ppx=106.0, ppy=60.0,
+                               width=w, height=h)
+        pc = deproject(depths[i], i0, z_min=cfg.z_min, z_max=cfg.z_max)
+        grid = pc.xyz.reshape(h, w, 3)[::2, ::2].reshape(-1, 3)
+        gmask = pc.mask.reshape(h, w)[::2, ::2].reshape(-1)
+        from pointcloud_stitching_tpu import PointCloud as PC
+        clouds.append(transform_cloud(jnp.asarray(ext[i]),
+                                      PC(xyz=grid, mask=gmask)))
+    ref = voxel_downsample(fuse(clouds), cfg.out_voxel_leaf,
+                           capacity=cfg.out_capacity)
+    got = np.asarray(out.cloud.xyz)[np.asarray(out.cloud.mask)]
+    want = np.asarray(ref.xyz)[np.asarray(ref.mask)]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.sort(got, axis=0), np.sort(want, axis=0),
+                               atol=1e-4)
