@@ -115,7 +115,7 @@ def _nn_kernel_dma(q_ref, rT_hbm, rsq_hbm, d2_ref, idx_ref,
     math."""
     bb = pl.program_id(0)
     q = q_ref[...]                                     # [QT, 8]
-    need_rsq = method != "vpu"
+    need_rsq = method == "mxu"
 
     def dma_rT(slot, j):
         return pltpu.make_async_copy(
@@ -145,6 +145,8 @@ def _nn_kernel_dma(q_ref, rT_hbm, rsq_hbm, d2_ref, idx_ref,
         if need_rsq:
             dma_rsq(slot, j).wait()
         d2 = _block_d2(q, rT_s[slot], rsq_s[slot], precision, method)
+        # min + masked index-min beats jnp.argmin here (measured 2.5 vs
+        # 3.0 ms on the ring workload) and keeps first-tie semantics
         m = jnp.min(d2, axis=1)
         cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
         am = jnp.min(jnp.where(d2 <= m[:, None], cols, jnp.int32(2 ** 30)),
