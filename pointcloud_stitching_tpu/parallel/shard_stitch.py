@@ -16,7 +16,9 @@ the cross-chip dataflow is explicit (SURVEY.md §2.5):
     frames); the final fused voxel pass is replicated.
 
 Requires cfg.cam_voxel_enabled (it bounds the gathered bytes) and
-num_cameras divisible by the mesh size.
+num_cameras divisible by the mesh size. Drift correction here is
+point-to-point (cfg.icp_variant is honoured only by the single-chip and
+GSPMD paths; carrying grid normals across the ring is future work).
 """
 from __future__ import annotations
 
