@@ -79,8 +79,14 @@ def icp_batched(src: PointCloud, dst: PointCloud,
     matches each iteration (trimmed ICP, for partial overlap).
     """
     b = src.xyz.shape[0]
+    # derive loop carries from the inputs so shard_map's varying-axis type
+    # system accepts the fori_loop (plain constants are 'unvarying' and
+    # mismatch the body outputs under manual sharding)
+    zero_b = src.xyz[:, 0, 0] * 0.0                     # [B]
     if init_T is None:
-        init_T = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+        init_T = jnp.eye(4, dtype=jnp.float32) + zero_b[:, None, None]
+    else:
+        init_T = init_T + zero_b[:, None, None]
     max_d2 = jnp.asarray(max_corr_dist, jnp.float32) ** 2
 
     from .kabsch import kabsch as _kabsch
@@ -113,8 +119,7 @@ def icp_batched(src: PointCloud, dst: PointCloud,
 
     T, err, n_in = jax.lax.fori_loop(
         0, iterations, body,
-        (init_T, jnp.full((b,), jnp.inf, jnp.float32),
-         jnp.zeros((b,), jnp.float32)))
+        (init_T, zero_b + jnp.inf, zero_b))
     return ICPResult(T=T, mean_error=err, num_inliers=n_in.astype(jnp.int32),
                      iterations=jnp.full((b,), iterations, jnp.int32))
 
@@ -163,8 +168,11 @@ def icp_point_to_plane_batched(src: PointCloud, dst: PointCloud,
     correspondences with near-zero normals are dropped.
     """
     b = src.xyz.shape[0]
+    zero_b = src.xyz[:, 0, 0] * 0.0                     # [B]; see icp_batched
     if init_T is None:
-        init_T = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+        init_T = jnp.eye(4, dtype=jnp.float32) + zero_b[:, None, None]
+    else:
+        init_T = init_T + zero_b[:, None, None]
     max_d2 = jnp.asarray(max_corr_dist, jnp.float32) ** 2
 
     impl = nn_impl
@@ -206,8 +214,7 @@ def icp_point_to_plane_batched(src: PointCloud, dst: PointCloud,
 
     T, err, n_in = jax.lax.fori_loop(
         0, iterations, body,
-        (init_T, jnp.full((b,), jnp.inf, jnp.float32),
-         jnp.zeros((b,), jnp.float32)))
+        (init_T, zero_b + jnp.inf, zero_b))
     return ICPResult(T=T, mean_error=err, num_inliers=n_in.astype(jnp.int32),
                      iterations=jnp.full((b,), iterations, jnp.int32))
 

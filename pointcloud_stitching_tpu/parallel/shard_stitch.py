@@ -126,6 +126,10 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
             extrinsics=P(),
             metrics=StitchMetrics(points_in=P(), points_out=P(),
                                   icp_mean_error=P(), icp_inliers=P())),
+        # outputs ARE replicated (everything downstream of the all_gathers),
+        # but the static varying-axis checker can't prove it through the
+        # sort/segment machinery; cross-device equality is covered by
+        # tests/test_parallel.py instead
         check_vma=False)
 
     @jax.jit
