@@ -35,6 +35,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+
+def _accumulate_onehot_dot(pT, v, onehot, precision):
+    """pT += v @ onehot on the MXU with parity-safe precision.
+
+    The default MXU pass truncates the value operand to bf16 (breaks
+    PCL-tolerance parity), so either HIGHEST (6 full-f32 passes) or
+    'bf16x3': split the values into three bf16 limbs whose products against
+    the exact bf16 one-hot reconstruct the f32 product at half HIGHEST's
+    cost.
+    """
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "bf16x3":
+        oh = onehot.astype(jnp.bfloat16)
+        hi = v.astype(jnp.bfloat16)
+        r1 = v - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        for limb in (hi, mid, lo):
+            pT = pT + jax.lax.dot_general(
+                limb, oh, dimension_numbers=dims,
+                preferred_element_type=jnp.float32)
+        return pT
+    return pT + jax.lax.dot_general(
+        v, onehot.astype(jnp.float32), dimension_numbers=dims,
+        precision=precision, preferred_element_type=jnp.float32)
+
+
 def _segsum_kernel(starts_ref, lseg_ref, valsT_ref, out_ref, *, chunk, span,
                    sub, precision):
     j = pl.program_id(0)
@@ -53,32 +80,7 @@ def _segsum_kernel(starts_ref, lseg_ref, valsT_ref, out_ref, *, chunk, span,
         ls = lseg[k * sub:(k + 1) * sub]                    # [sub]
         onehot = (ls[:, None] == iota)                      # [sub, span] bool
         v = vals[:, k * sub:(k + 1) * sub]                  # [ch, sub]
-        # [ch, sub] x [sub, span] partial sums on the MXU. The default MXU
-        # pass truncates the value operand to bf16, which breaks
-        # PCL-tolerance parity, so either:
-        #   * precision=HIGHEST (6 full-f32 passes), or
-        #   * 'bf16x3': split the values into three bf16 limbs (hi/mid/lo)
-        #     and run three DEFAULT passes — the one-hot side is exact in
-        #     bf16, so the three limb products reconstruct the f32 product
-        #     exactly at half the MXU cost of HIGHEST.
-        if precision == "bf16x3":
-            oh = onehot.astype(jnp.bfloat16)
-            hi = v.astype(jnp.bfloat16)
-            r1 = (v - hi.astype(jnp.float32))
-            mid = r1.astype(jnp.bfloat16)
-            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            acc = jnp.zeros((ch, span), jnp.float32)
-            for limb in (hi, mid, lo):
-                acc = acc + jax.lax.dot_general(
-                    limb, oh, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            pT = pT + acc
-        else:
-            pT = pT + jax.lax.dot_general(
-                v, onehot.astype(jnp.float32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=precision,
-                preferred_element_type=jnp.float32)
+        pT = _accumulate_onehot_dot(pT, v, onehot, precision)
     start = pl.multiple_of(starts_ref[j], chunk)
     out_ref[:, pl.ds(start, span)] += pT
 
@@ -135,22 +137,7 @@ def _segsum_flags_kernel(flags_ref, valsT_ref, out_ref, carry_ref, *,
             ls = lseg[k * sub:(k + 1) * sub]
             onehot = (ls[:, None] == iota)
             v = vals[:, k * sub:(k + 1) * sub]
-            if precision == "bf16x3":
-                oh = onehot.astype(jnp.bfloat16)
-                hi = v.astype(jnp.bfloat16)
-                r1 = (v - hi.astype(jnp.float32))
-                mid = r1.astype(jnp.bfloat16)
-                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-                for limb in (hi, mid, lo):
-                    pT = pT + jax.lax.dot_general(
-                        limb, oh, dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-            else:
-                pT = pT + jax.lax.dot_general(
-                    v, onehot.astype(jnp.float32),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    precision=precision,
-                    preferred_element_type=jnp.float32)
+            pT = _accumulate_onehot_dot(pT, v, onehot, precision)
         start = pl.multiple_of(start, sub)
         out_ref[:, pl.ds(start, span)] += pT
 

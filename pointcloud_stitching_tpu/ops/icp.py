@@ -29,16 +29,9 @@ class ICPResult(NamedTuple):
     iterations: jax.Array
 
 
-def _nn_batched(query, ref, ref_mask, query_tile, ref_tile, nn_impl):
-    """[B, N, 3] vs [B, M, 3] pairwise NN with impl dispatch."""
-    impl = nn_impl
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
-        from ..kernels.nn_pallas import nearest_neighbors_pallas_batched
-        # ref_block fixed at 1024: the [query_tile x ref_block] distance
-        # intermediate must stay well under the 16 MB VMEM budget
-        return nearest_neighbors_pallas_batched(query, ref, ref_mask)
+def _nn_batched_xla(query, ref, ref_mask, query_tile, ref_tile):
+    """[B, N, 3] vs [B, M, 3] pairwise NN, portable XLA path (the pallas
+    path pre-prepares the reference once per ICP call instead)."""
     return jax.vmap(
         lambda q, r, rm: nearest_neighbors(
             q, r, rm, query_tile=query_tile, ref_tile=ref_tile, impl="xla")
@@ -102,8 +95,8 @@ def icp_batched(src: PointCloud, dst: PointCloud,
         nn = lambda p: nn_batched_prepared(p, rT, rsq,
                                            num_ref=dst.xyz.shape[1])
     else:
-        nn = lambda p: _nn_batched(p, dst.xyz, dst.mask,
-                                   query_tile, ref_tile, "xla")
+        nn = lambda p: _nn_batched_xla(p, dst.xyz, dst.mask,
+                                       query_tile, ref_tile)
 
     def body(_, carry):
         T, _, _ = carry
@@ -185,8 +178,8 @@ def icp_point_to_plane_batched(src: PointCloud, dst: PointCloud,
         nn = lambda p: nn_batched_prepared(p, rT, rsq,
                                            num_ref=dst.xyz.shape[1])
     else:
-        nn = lambda p: _nn_batched(p, dst.xyz, dst.mask,
-                                   query_tile, ref_tile, "xla")
+        nn = lambda p: _nn_batched_xla(p, dst.xyz, dst.mask,
+                                       query_tile, ref_tile)
 
     def body(_, carry):
         T, _, _ = carry
