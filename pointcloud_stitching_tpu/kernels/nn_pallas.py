@@ -229,3 +229,220 @@ def nearest_neighbors_pallas_batched(query: jax.Array, ref: jax.Array,
                                query_tile=query_tile, ref_block=ref_block,
                                interpret=interpret, precision=precision,
                                method=method)
+
+def _nn_kernel_dma_ranged(jlo_ref, jhi_ref, q_ref, rT_hbm, rsq_hbm,
+                          d2_ref, idx_ref, rT_s, rsq_s, sem_rT, sem_rsq, *,
+                          ref_block, precision, method):
+    """Range-pruned variant: only sweeps ref blocks [jlo, jhi] for this
+    query tile (scalar-prefetched per (batch, tile)). The caller guarantees
+    every block that could hold a nearer neighbour than the tile's known
+    upper bound lies inside the range, so results stay exact.
+    """
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    nq = pl.num_programs(1)
+    step = bb * nq + i
+    jlo = jlo_ref[step]
+    jhi = jhi_ref[step]
+    q = q_ref[...]
+    need_rsq = method == "mxu"
+
+    def dma_rT(slot, j):
+        return pltpu.make_async_copy(
+            rT_hbm.at[bb, :, pl.ds(j * ref_block, ref_block)],
+            rT_s.at[slot], sem_rT.at[slot])
+
+    def dma_rsq(slot, j):
+        return pltpu.make_async_copy(
+            rsq_hbm.at[bb, :, pl.ds(j * ref_block, ref_block)],
+            rsq_s.at[slot], sem_rsq.at[slot])
+
+    dma_rT(0, jlo).start()
+    if need_rsq:
+        dma_rsq(0, jlo).start()
+
+    def body(j, carry):
+        best_d2, best_idx = carry
+        slot = (j - jlo) % 2
+
+        @pl.when(j + 1 <= jhi)
+        def _():
+            dma_rT((j - jlo + 1) % 2, j + 1).start()
+            if need_rsq:
+                dma_rsq((j - jlo + 1) % 2, j + 1).start()
+
+        dma_rT(slot, j).wait()
+        if need_rsq:
+            dma_rsq(slot, j).wait()
+        d2 = _block_d2(q, rT_s[slot], rsq_s[slot], precision, method)
+        m = jnp.min(d2, axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        am = jnp.min(jnp.where(d2 <= m[:, None], cols, jnp.int32(2 ** 30)),
+                     axis=1)
+        gidx = j * ref_block + am
+        better = m < best_d2
+        return (jnp.where(better, m, best_d2),
+                jnp.where(better, gidx, best_idx))
+
+    init = (q[:, 0] * 0.0 + jnp.inf, (q[:, 0] * 0.0).astype(jnp.int32))
+    best_d2, best_idx = jax.lax.fori_loop(jlo, jhi + 1, body, init)
+    d2_ref[...] = best_d2
+    idx_ref[...] = best_idx
+
+
+@partial(jax.jit, static_argnames=("query_tile", "ref_block", "interpret",
+                                   "precision", "method", "num_ref"))
+def nn_batched_prepared_ranged(query: jax.Array, rT: jax.Array,
+                               rsq: jax.Array, jlo: jax.Array,
+                               jhi: jax.Array, num_ref: int,
+                               query_tile: int = 1024,
+                               ref_block: int = 1024,
+                               interpret: bool = False,
+                               precision: str = "highest",
+                               method: str = "vpu"):
+    """Batched NN sweeping only blocks [jlo, jhi] per (batch, query tile).
+
+    jlo/jhi: [B, nq] int32 inclusive block ranges (see
+    nearest_neighbors_pruned for how exact ranges are derived).
+    """
+    b, n, _ = query.shape
+    npad = -(-n // query_tile) * query_tile
+    qp = jnp.pad(query, ((0, 0), (0, npad - n), (0, 8 - query.shape[-1])))
+    qp = qp.reshape(b * npad, 8)
+    nq = npad // query_tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((query_tile, 8),
+                         lambda bb, i, *_: (bb * nq + i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((query_tile,), lambda bb, i, *_: (bb * nq + i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile,), lambda bb, i, *_: (bb * nq + i,),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, ref_block), jnp.float32),
+            pltpu.VMEM((2, 1, ref_block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    d2, idx = pl.pallas_call(
+        partial(_nn_kernel_dma_ranged, ref_block=ref_block,
+                precision=jax.lax.Precision(precision.lower()),
+                method=method),
+        out_shape=[jax.ShapeDtypeStruct((b * npad,), jnp.float32),
+                   jax.ShapeDtypeStruct((b * npad,), jnp.int32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jlo.reshape(-1), jhi.reshape(-1), qp, rT, rsq)
+    d2 = d2.reshape(b, npad)[:, :n]
+    idx = jnp.minimum(idx.reshape(b, npad)[:, :n], num_ref - 1)
+    return idx, jnp.maximum(d2, 0.0)
+
+
+def block_ranges(query: jax.Array, query_mask: jax.Array, ref: jax.Array,
+                 ref_mask: jax.Array, d2_ub: jax.Array,
+                 query_tile: int = 1024, ref_block: int = 1024):
+    """Exact per-query-tile ref-block ranges from bounding-box lower bounds.
+
+    Voxel-sorted reference clouds are spatially coherent, so consecutive
+    blocks have compact bounding boxes and the blocks that can beat a known
+    upper bound d2_ub form (a superset of) a contiguous key range.
+
+    Args:
+      query: [B, N, 3]; query_mask: [B, N].
+      ref: [B, M, 3]; ref_mask: [B, M].
+      d2_ub: [B, N] — per-query upper bound on the squared NN distance
+        (e.g. from a coarse pass over a subsampled ref). Must satisfy
+        d2_ub >= true NN squared distance.
+    Returns (jlo, jhi): [B, nq] inclusive block index ranges.
+    """
+    b, n, _ = query.shape
+    m = ref.shape[1]
+    npad = -(-n // query_tile) * query_tile
+    mpad = -(-m // ref_block) * ref_block
+    nq, nm = npad // query_tile, mpad // ref_block
+
+    def bbox(x, mask, tile, tpad):
+        big = jnp.float32(3.0e38)
+        xm = jnp.where(mask[..., None], x, big)
+        xM = jnp.where(mask[..., None], x, -big)
+        xm = jnp.pad(xm, ((0, 0), (0, tpad - x.shape[1]), (0, 0)),
+                     constant_values=big)
+        xM = jnp.pad(xM, ((0, 0), (0, tpad - x.shape[1]), (0, 0)),
+                     constant_values=-big)
+        lo = jnp.min(xm.reshape(b, -1, tile, 3), axis=2)
+        hi = jnp.max(xM.reshape(b, -1, tile, 3), axis=2)
+        return lo, hi  # [B, ntiles, 3]
+
+    qlo, qhi = bbox(query, query_mask, query_tile, npad)
+    rlo, rhi = bbox(ref, ref_mask, ref_block, mpad)
+
+    # squared box-to-box distance [B, nq, nm]
+    gap = jnp.maximum(
+        0.0, jnp.maximum(qlo[:, :, None] - rhi[:, None, :],
+                         rlo[:, None, :] - qhi[:, :, None]))
+    lb2 = jnp.sum(gap * gap, axis=-1)
+
+    ubm = jnp.where(query_mask, d2_ub, 0.0)
+    ubm = jnp.pad(ubm, ((0, 0), (0, npad - n)))
+    ub_tile = jnp.max(ubm.reshape(b, nq, query_tile), axis=-1)  # [B, nq]
+
+    # empty ref blocks (all-masked) get +inf lower bound automatically via
+    # the sentinel bbox; candidate blocks:
+    cand = lb2 <= ub_tile[..., None] * (1.0 + 1e-5) + 1e-12
+    idxs = jnp.arange(nm, dtype=jnp.int32)
+    jlo = jnp.min(jnp.where(cand, idxs, nm - 1), axis=-1)
+    jhi = jnp.max(jnp.where(cand, idxs, 0), axis=-1)
+    jhi = jnp.maximum(jhi, jlo)  # degenerate tiles sweep one block
+    return jlo.astype(jnp.int32), jhi.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("query_tile", "ref_block",
+                                   "coarse_stride", "interpret", "precision",
+                                   "method"))
+def nearest_neighbors_pruned(query: jax.Array, ref: jax.Array,
+                             ref_mask: jax.Array | None = None,
+                             query_mask: jax.Array | None = None,
+                             coarse_stride: int = 16,
+                             query_tile: int = 1024, ref_block: int = 1024,
+                             interpret: bool = False,
+                             precision: str = "highest",
+                             method: str = "vpu"):
+    """Exact batched NN with key-range pruning (BVH-lite for sorted clouds).
+
+    Pass 1 searches a stride-subsampled reference for a per-query upper
+    bound; pass 2 sweeps only the ref blocks whose bounding boxes can beat
+    that bound. On voxel-sorted clouds after rough alignment this skips the
+    vast majority of blocks; results remain exactly the brute-force answer
+    (the subsampled ref is a subset, so pass 1's bound is valid).
+    """
+    b, n, _ = query.shape
+    m = ref.shape[1]
+    if ref_mask is None:
+        ref_mask = jnp.ones((b, m), bool)
+    if query_mask is None:
+        query_mask = jnp.ones((b, n), bool)
+
+    coarse_ref = ref[:, ::coarse_stride]
+    coarse_mask = ref_mask[:, ::coarse_stride]
+    _, d2_ub = nearest_neighbors_pallas_batched(
+        query, coarse_ref, coarse_mask, query_tile=query_tile,
+        ref_block=ref_block, interpret=interpret, precision=precision,
+        method=method)
+
+    jlo, jhi = block_ranges(query, query_mask, ref, ref_mask, d2_ub,
+                            query_tile=query_tile, ref_block=ref_block)
+    rT, rsq = prepare_ref_batched(ref, ref_mask, ref_block)
+    return nn_batched_prepared_ranged(
+        query, rT, rsq, jlo, jhi, num_ref=m, query_tile=query_tile,
+        ref_block=ref_block, interpret=interpret, precision=precision,
+        method=method)

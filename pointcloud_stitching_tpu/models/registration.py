@@ -57,7 +57,8 @@ def register_pair(src: PointCloud, dst: PointCloud,
                   max_corr_dist: float = 0.25,
                   query_tile: int = 1024,
                   ref_tile: int = 4096,
-                  trim_fraction: float = 0.0) -> RegistrationResult:
+                  trim_fraction: float = 0.0,
+                  prune: bool = False) -> RegistrationResult:
     """Full calibration solve: optional picked-pair init + ICP refinement."""
     if src_idx is not None:
         init_T = register_from_correspondences(src, dst, src_idx, dst_idx)
@@ -71,7 +72,7 @@ def register_pair(src: PointCloud, dst: PointCloud,
                                transformation_epsilon=transformation_epsilon,
                                max_corr_dist=max_corr_dist,
                                query_tile=query_tile, ref_tile=ref_tile,
-                               trim_fraction=trim_fraction)
+                               trim_fraction=trim_fraction, prune=prune)
         T = icp_res.T
     return RegistrationResult(T=T, initial_T=init_T, icp=icp_res)
 

@@ -35,6 +35,8 @@ def main(argv=None):
     ap.add_argument("--epsilon", type=float, default=1e-8)
     ap.add_argument("--trim", type=float, default=0.0,
                     help="trimmed-ICP rejection fraction (partial overlap)")
+    ap.add_argument("--prune", action="store_true",
+                    help="key-range-pruned NN (exact; ~5x at 100k scale)")
     ap.add_argument("--voxel", type=float, default=None,
                     help="pre-downsample both clouds (meters)")
     args = ap.parse_args(argv)
@@ -76,7 +78,7 @@ def main(argv=None):
                         max_iterations=args.max_iter,
                         transformation_epsilon=args.epsilon,
                         max_corr_dist=args.max_corr_dist,
-                        trim_fraction=args.trim)
+                        trim_fraction=args.trim, prune=args.prune)
     if res.icp is not None:
         print(f"ICP: {int(res.icp.iterations)} iterations, "
               f"mean_error={float(res.icp.mean_error):.3e}, "

@@ -85,3 +85,23 @@ def test_pallas_nn_batched_interpret(rng):
         np.testing.assert_array_equal(np.asarray(idx[b]), np.asarray(ri))
         np.testing.assert_allclose(np.asarray(d2[b]), np.asarray(rd),
                                    atol=1e-5)
+
+
+def test_pruned_nn_exactness(rng):
+    """Range-pruned NN must equal brute force exactly (interpret mode)."""
+    from pointcloud_stitching_tpu.kernels.nn_pallas import (
+        nearest_neighbors_pruned)
+    # voxel-key-ordered ref (sorted by x) -> coherent blocks
+    r = np.sort(rng.uniform(-3, 3, (2, 600, 3)).astype(np.float32), axis=1)
+    q = rng.uniform(-3, 3, (2, 300, 3)).astype(np.float32)
+    mask = rng.random((2, 600)) > 0.1
+    ip, dp = nearest_neighbors_pruned(
+        jnp.asarray(q), jnp.asarray(r), jnp.asarray(mask),
+        coarse_stride=8, query_tile=128, ref_block=128, interpret=True)
+    for b in range(2):
+        ix, dx = nearest_neighbors(jnp.asarray(q[b]), jnp.asarray(r[b]),
+                                   jnp.asarray(mask[b]),
+                                   query_tile=128, ref_tile=128, impl="xla")
+        np.testing.assert_array_equal(np.asarray(ip[b]), np.asarray(ix))
+        np.testing.assert_allclose(np.asarray(dp[b]), np.asarray(dx),
+                                   atol=1e-5)
