@@ -53,3 +53,37 @@ def test_nn_backends_agree_fuzz(seed):
                                ref_tile=128, impl="xla")
     np.testing.assert_array_equal(np.asarray(ip), np.asarray(ix))
     np.testing.assert_allclose(np.asarray(dp), np.asarray(dx), atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_pruned_nn_exact_fuzz(seed):
+    """Range-pruned NN must be exactly brute force on arbitrary inputs
+    (even unsorted/incoherent ones, where pruning just degrades to a full
+    sweep)."""
+    from pointcloud_stitching_tpu.kernels.nn_pallas import (
+        nearest_neighbors_pruned)
+    rng = np.random.default_rng(3000 + seed)
+    b = int(rng.integers(1, 3))
+    nq = int(rng.integers(20, 400))
+    nr = int(rng.integers(30, 700))
+    sort_ref = rng.random() < 0.5
+    q = rng.uniform(-4, 4, (b, nq, 3)).astype(np.float32)
+    r = rng.uniform(-4, 4, (b, nr, 3)).astype(np.float32)
+    if sort_ref:
+        r = np.sort(r, axis=1)
+    rmask = rng.random((b, nr)) > 0.2
+    rmask[:, 0] = True
+    qmask = rng.random((b, nq)) > 0.2
+    ip, dp = nearest_neighbors_pruned(
+        jnp.asarray(q), jnp.asarray(r), jnp.asarray(rmask),
+        jnp.asarray(qmask), coarse_stride=int(rng.integers(2, 9)),
+        query_tile=128, ref_block=128, interpret=True)
+    for bb in range(b):
+        ix, dx = nearest_neighbors(jnp.asarray(q[bb]), jnp.asarray(r[bb]),
+                                   jnp.asarray(rmask[bb]), query_tile=128,
+                                   ref_tile=128, impl="xla")
+        sel = qmask[bb]
+        np.testing.assert_array_equal(np.asarray(ip[bb])[sel],
+                                      np.asarray(ix)[sel])
+        np.testing.assert_allclose(np.asarray(dp[bb])[sel],
+                                   np.asarray(dx)[sel], atol=1e-5)
