@@ -16,7 +16,12 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# script (not package) entry point: make the repo root importable so the
+# CLI works from a plain checkout without PYTHONPATH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
