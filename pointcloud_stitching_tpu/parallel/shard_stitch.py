@@ -16,9 +16,9 @@ the cross-chip dataflow is explicit (SURVEY.md §2.5):
     frames); the final fused voxel pass is replicated.
 
 Requires cfg.cam_voxel_enabled (it bounds the gathered bytes) and
-num_cameras divisible by the mesh size. Drift correction here is
-point-to-point (cfg.icp_variant is honoured only by the single-chip and
-GSPMD paths; carrying grid normals across the ring is future work).
+num_cameras divisible by the mesh size. Both icp_variant values are
+honoured: point-to-plane carries the (voxel-averaged) grid normals across
+the ring ppermute together with the boundary cloud.
 """
 from __future__ import annotations
 
@@ -30,7 +30,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.stitcher import StitchMetrics, StitchOutput
 from ..ops.deproject import deproject
-from ..ops.icp import icp_batched
+from ..ops.icp import icp_batched, icp_point_to_plane_batched
+from ..ops.normals import grid_normals
 from ..ops.se3 import se3_apply
 from ..ops.voxel import voxel_downsample
 from ..utils.config import StitchConfig
@@ -62,9 +63,16 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
 
         h, w = cfg.height, cfg.width
         s = cfg.icp_stride
-        sub = PointCloud(
-            xyz=raw.xyz.reshape(ncl, h, w, 3)[:, ::s, ::s].reshape(ncl, -1, 3),
-            mask=raw.mask.reshape(ncl, h, w)[:, ::s, ::s].reshape(ncl, -1))
+        sub_xyz = raw.xyz.reshape(ncl, h, w, 3)[:, ::s, ::s]
+        sub_mask = raw.mask.reshape(ncl, h, w)[:, ::s, ::s]
+        p2l = cfg.icp_variant == "point_to_plane"
+        sub_rgb = None
+        if p2l:
+            nrm, nvalid = grid_normals(sub_xyz, sub_mask)
+            sub_mask = sub_mask & nvalid
+            sub_rgb = nrm.reshape(ncl, -1, 3)
+        sub = PointCloud(xyz=sub_xyz.reshape(ncl, -1, 3),
+                         mask=sub_mask.reshape(ncl, -1), rgb=sub_rgb)
         icp_clouds = voxel_downsample(sub, cfg.icp_voxel_leaf,
                                       capacity=cfg.icp_capacity,
                                       impl=cfg.kernel_impl)
@@ -83,12 +91,31 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
         anchor = (my == 0)
         dst_mask = dst_mask.at[0].set(jnp.where(anchor, False, dst_mask[0]))
 
-        res = icp_batched(world, PointCloud(xyz=dst_xyz, mask=dst_mask),
-                          iterations=cfg.icp_iterations,
-                          max_corr_dist=cfg.icp_max_corr_dist,
-                          query_tile=cfg.icp_query_tile,
-                          ref_tile=cfg.icp_ref_tile,
-                          nn_impl=cfg.kernel_impl)
+        src_world = PointCloud(xyz=world.xyz, mask=world.mask)
+        dst_world = PointCloud(xyz=dst_xyz, mask=dst_mask)
+        if p2l:
+            n = icp_clouds.rgb
+            norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+            n = jnp.where(norm > 0.5, n / jnp.maximum(norm, 1e-12), 0.0)
+            R = ext_full[:, :3, :3]
+            n_world = jnp.einsum("cij,cnj->cni", R, n, precision="highest")
+            prev_n = jax.lax.ppermute(n_world[ncl - 1], axis, perm)
+            dst_n = jnp.concatenate([prev_n[None], n_world[:-1]], axis=0)
+            res = icp_point_to_plane_batched(
+                src_world, dst_world, dst_n,
+                iterations=cfg.icp_iterations,
+                max_corr_dist=cfg.icp_max_corr_dist,
+                query_tile=cfg.icp_query_tile, ref_tile=cfg.icp_ref_tile,
+                nn_impl=cfg.kernel_impl,
+                trim_fraction=cfg.icp_trim_fraction)
+        else:
+            res = icp_batched(src_world, dst_world,
+                              iterations=cfg.icp_iterations,
+                              max_corr_dist=cfg.icp_max_corr_dist,
+                              query_tile=cfg.icp_query_tile,
+                              ref_tile=cfg.icp_ref_tile,
+                              nn_impl=cfg.kernel_impl,
+                              trim_fraction=cfg.icp_trim_fraction)
         # gather every chip's deltas; all chips compute the same prefix
         deltas = jax.lax.all_gather(res.T, axis).reshape(cfg.num_cameras, 4, 4)
         prefix = jax.lax.associative_scan(jnp.matmul, deltas)

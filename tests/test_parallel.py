@@ -127,3 +127,23 @@ def test_shardmap_stitch_matches_single_device():
     np.testing.assert_allclose(np.sort(a, axis=0), np.sort(b, axis=0),
                                atol=1e-4)
     assert int(out_s.metrics.points_in) == int(out_1.metrics.points_in)
+
+
+def test_shardmap_stitch_point_to_plane_matches_single_device():
+    import dataclasses
+    from pointcloud_stitching_tpu.parallel import make_shardmap_stitch
+    ncam = len(jax.devices())
+    depths, intr, ext = _scene(ncam)
+    cfg = dataclasses.replace(_cfg(ncam), cam_voxel_enabled=True,
+                              cam_voxel_leaf=0.005, cam_capacity=8192,
+                              icp_variant="point_to_plane", icp_stride=2)
+    fn = make_shardmap_stitch(cfg, make_mesh())
+    out_s = fn(intr, jnp.asarray(ext), jnp.asarray(depths))
+    out_1 = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths))
+    np.testing.assert_allclose(np.asarray(out_s.extrinsics),
+                               np.asarray(out_1.extrinsics), atol=1e-4)
+    a = np.asarray(out_s.cloud.xyz)[np.asarray(out_s.cloud.mask)]
+    b = np.asarray(out_1.cloud.xyz)[np.asarray(out_1.cloud.mask)]
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.sort(a, axis=0), np.sort(b, axis=0),
+                               atol=1e-4)
