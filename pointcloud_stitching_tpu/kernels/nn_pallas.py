@@ -21,6 +21,11 @@ Two block-distance methods:
 Tie behaviour matches numpy/XLA argmin: the smallest reference index wins
 (strict `<` across blocks, min-index within a block).
 
+For large voxel-sorted clouds, ``nearest_neighbors_pruned`` adds exact
+key-range pruning (coarse-pass distance bound + block bounding boxes →
+contiguous block ranges per query tile): 118 → 26 ms per 131k x 131k ICP
+iteration with bit-identical results. See docs/KERNELS.md.
+
 Replaces: pcl::KdTreeFLANN::nearestKSearch(k=1) inside
 pcl::IterativeClosestPoint (reference: registration/ tool; SURVEY.md §2.2
 row 5). Contract-identical to ops.nn.nearest_neighbors (the XLA version).
