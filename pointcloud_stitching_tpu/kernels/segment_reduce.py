@@ -125,9 +125,13 @@ def _segsum_flags_kernel(flags_ref, valsT_ref, out_ref, carry_ref, *,
         carry_ref[0] = carry + lpre[chunk - 1]
 
         # align the window at `sub` granularity: span = chunk + sub instead
-        # of 2*chunk — one-hot work scales with span
+        # of 2*chunk — one-hot work scales with span. The overflow clamp must
+        # itself stay `sub`-aligned (capacity need not be a multiple of sub,
+        # and a misaligned start would falsify the multiple_of promise below);
+        # the aligned clamp still covers every id < capacity since
+        # capacity - (capacity // sub) * sub < sub <= span.
         s0 = jnp.maximum(seg[0], 0)
-        start = jnp.minimum((s0 // sub) * sub, capacity)
+        start = jnp.minimum((s0 // sub) * sub, (capacity // sub) * sub)
         lseg = seg - start
         # negative ids (leading invalid rows) and ids past the window
         # one-hot to zero; rows past `capacity` land in the sliced-off tail.
@@ -222,7 +226,11 @@ def segment_sum_sorted(vals: jax.Array, seg: jax.Array, capacity: int,
     # chunk-aligned window starts, clamped so a contract-violating seg (e.g.
     # a stray negative id) can never produce an out-of-bounds VMEM window
     # (which faults the TPU worker); out-of-window ids just drop instead.
-    starts = jnp.clip((seg[::chunk] // chunk) * chunk, 0, capacity)
+    # The upper clamp is re-aligned to `chunk` (capacity is arbitrary; a
+    # misaligned start would break the kernel's multiple_of promise) — ids in
+    # [aligned, capacity) still fit: capacity - aligned < chunk < span.
+    starts = jnp.clip((seg[::chunk] // chunk) * chunk, 0,
+                      (capacity // chunk) * chunk)
     # local offsets; flat 1-D so the block is a pure lane vector
     lseg = (seg.reshape(nchunks, chunk) - starts[:, None]).reshape(-1)
     # offsets outside [0, span) (mixed real/discard chunks) one-hot to zero.

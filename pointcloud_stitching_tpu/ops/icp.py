@@ -47,11 +47,13 @@ def _trim_weights(w, d2, trim_fraction):
     """
     if trim_fraction <= 0.0:
         return w
-    big = jnp.where(w > 0, d2, jnp.inf)
-    q = jnp.quantile(jnp.where(jnp.isinf(big), jnp.nan, big),
-                     1.0 - trim_fraction, axis=-1, keepdims=True,
-                     method="lower")
-    q = jnp.where(jnp.isnan(q), jnp.inf, q)
+    # nanquantile, NOT quantile: rejected/masked entries are NaN, and
+    # jnp.quantile returns NaN whenever any NaN is present — which would
+    # silently disable trimming for every realistically padded cloud.
+    q = jnp.nanquantile(jnp.where(w > 0, d2, jnp.nan),
+                        1.0 - trim_fraction, axis=-1, keepdims=True,
+                        method="lower")
+    q = jnp.where(jnp.isnan(q), jnp.inf, q)  # nothing accepted: keep w as-is
     return jnp.where(d2 <= q, w, 0.0)
 
 
@@ -248,6 +250,9 @@ def icp(src: PointCloud, dst: PointCloud, init_T: jax.Array | None = None,
 
     prune=True uses key-range-pruned NN (exact; ~5x at 100k-point scale on
     voxel-sorted clouds — see kernels.nn_pallas.nearest_neighbors_pruned).
+    Pruning requires the Pallas/TPU backend: if the resolved backend is not
+    pallas (CPU run, or nn_impl="xla"), it silently falls back to the
+    unpruned brute-force NN — same results, no speedup.
     """
     if init_T is None:
         init_T = jnp.eye(4, dtype=jnp.float32)
@@ -281,6 +286,7 @@ def icp_converge(src: PointCloud, dst: PointCloud,
     """ICP with PCL-style termination: stop when the incremental transform's
     deviation from identity drops below ``transformation_epsilon`` (Frobenius
     norm squared) or after ``max_iterations``. Offline-registration variant.
+    prune=True only takes effect on the Pallas/TPU backend (see ``icp``).
     """
     if init_T is None:
         init_T = jnp.eye(4, dtype=jnp.float32)

@@ -113,3 +113,35 @@ def test_trimmed_icp_survives_gross_outliers(rng):
     err_trim = np.abs(np.asarray(trimmed.T) - T_true).max()
     assert err_trim < 0.02, err_trim
     assert err_trim < err_plain
+
+
+def test_trim_weights_acts_on_accepted_subset_only():
+    """Regression (ADVICE r1, high): jnp.quantile returns NaN whenever any
+    correspondence is rejected (masked / gated), which silently disabled
+    trimming for every realistic padded-cloud config. nanquantile must trim
+    the accepted subset regardless of how many entries are rejected."""
+    from pointcloud_stitching_tpu.ops.icp import _trim_weights
+    d2 = jnp.concatenate([jnp.linspace(0.0, 1.0, 100),
+                          jnp.full((900,), jnp.inf)])
+    w = jnp.concatenate([jnp.ones(100), jnp.zeros(900)])
+    kept = int(jnp.sum(_trim_weights(w, d2, 0.3)))
+    assert kept == 70, kept  # keep the best 70% of the 100 accepted
+    # nothing accepted: must stay all-zero, not NaN-poisoned
+    none = _trim_weights(jnp.zeros(1000), d2, 0.3)
+    assert int(jnp.sum(none)) == 0
+    assert not bool(jnp.any(jnp.isnan(none)))
+
+
+def test_trimmed_icp_trims_with_padded_clouds(rng):
+    """Trimming must engage when clouds are padded and the hard gate is
+    finite (the padded entries are rejected -> NaNs in the quantile input)."""
+    src = rng.uniform(-1, 1, size=(2000, 3)).astype(np.float32)
+    dst = src + rng.normal(scale=0.01, size=src.shape).astype(np.float32)
+    src_pc = PointCloud.from_points(src, capacity=4096)
+    dst_pc = PointCloud.from_points(dst, capacity=4096)
+    res = icp(src_pc, dst_pc, iterations=1, max_corr_dist=0.5,
+              trim_fraction=0.25, query_tile=512, ref_tile=512)
+    kept = int(res.num_inliers)
+    # exactly the best 75% of the 2000 accepted matches (ties aside);
+    # the pre-fix behaviour kept all 2000
+    assert 1450 <= kept <= 1550, kept

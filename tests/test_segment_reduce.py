@@ -82,3 +82,41 @@ def test_kernel_bf16x3_matches(rng):
                             chunk=128, interpret=True, precision="bf16x3")
     np.testing.assert_allclose(np.asarray(b3), np.asarray(hi),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_flags_kernel_unaligned_capacity_with_overflow(rng):
+    """Regression (ADVICE r1, medium): when capacity is not a multiple of the
+    sub-block (256) AND the segment count overflows capacity, the window
+    clamp must stay sub-aligned (a misaligned start falsifies the kernel's
+    multiple_of promise -> misaligned VMEM store on hardware) while still
+    capturing every id < capacity."""
+    from pointcloud_stitching_tpu.kernels.segment_reduce import (
+        segment_sum_from_flags)
+    n, capacity = 8192, 1000  # 1000 % 256 != 0
+    flags = (rng.random(n) < 0.3).astype(np.int32)
+    flags[0] = 1
+    seg = np.cumsum(flags) - 1          # ~2400 segments >> capacity
+    assert seg[-1] > capacity
+    vals = rng.normal(size=(n, 8)).astype(np.float32)
+    got = segment_sum_from_flags(jnp.asarray(vals), jnp.asarray(flags),
+                                 capacity, interpret=True)
+    keep = seg < capacity
+    want = jax.ops.segment_sum(
+        jnp.asarray(vals * keep[:, None]),
+        jnp.asarray(np.minimum(seg, capacity)),
+        num_segments=capacity + 1)[:capacity]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_sorted_kernel_unaligned_capacity(rng):
+    """segment_sum_sorted twin of the clamp fix: arbitrary (chunk-unaligned)
+    capacity with a discard tail must stay exact."""
+    n, capacity = 2048, 300             # 300 % 128 != 0
+    seg = np.minimum(np.arange(n, dtype=np.int32) // 5, capacity)
+    vals = rng.normal(size=(n, 8)).astype(np.float32)
+    vals[seg == capacity] = 0.0
+    got = segment_sum_sorted(jnp.asarray(vals), jnp.asarray(seg), capacity,
+                             chunk=128, interpret=True)
+    want = jax.ops.segment_sum(jnp.asarray(vals), jnp.asarray(seg),
+                               num_segments=capacity + 1)[:capacity]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
