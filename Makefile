@@ -10,6 +10,9 @@ native-server:
 	g++ -O2 -std=c++17 -o native/pcs-camera-server \
 	    native/camera_server.cc native/snappy.cc -lpthread
 
+cpu-baseline:
+	$(PY) scripts/cpu_baseline.py
+
 test: native
 	$(PY) -m pytest tests/ -q
 

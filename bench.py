@@ -84,12 +84,26 @@ def main():
     p50_raw = float(np.median(lats) * 1e3)
     p50_device = max(p50_raw - sync_rtt * 1e3, 0.0)
 
+    # measured CPU baseline for the ">=10x C++/PCL CPU" north-star ratio
+    # (BASELINE.md line 16): scripts/cpu_baseline.py times both the numpy
+    # oracle pipeline and a C++ -O3 twin on this host over the identical
+    # 8-cam workload and records the FASTER one in BENCH_CPU.json.
+    import os
+    cpu_pps = None
+    cpu_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_CPU.json")
+    if os.path.exists(cpu_path):
+        with open(cpu_path) as f:
+            cpu_pps = json.load(f).get("cpu_pps")
+
     print(json.dumps({
         "metric": "stitched points/sec/chip (8cam 848x480, 5 ICP iters/pair/frame)",
         "value": round(pps, 0),
         "unit": "points/s",
         "vs_baseline": round(pps / design_point, 3),
         "extras": {
+            "vs_cpu_baseline": (round(pps / cpu_pps, 1) if cpu_pps else None),
+            "cpu_baseline_pps": cpu_pps,
             "frame_time_ms_8cam": round(dt * 1e3, 2),
             "fps_8cam": round(1.0 / dt, 2),
             "p50_latency_ms_4cam_device": round(p50_device, 2),
