@@ -191,8 +191,8 @@ def nn_batched_prepared(query: jax.Array, rT: jax.Array, rsq: jax.Array,
         in_specs=[
             pl.BlockSpec((query_tile, 8), lambda bb, i: (bb * nq + i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # rT stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # rsq stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # rT stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # rsq stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((query_tile,), lambda bb, i: (bb * nq + i,),
@@ -323,8 +323,8 @@ def nn_batched_prepared_ranged(query: jax.Array, rT: jax.Array,
             pl.BlockSpec((query_tile, 8),
                          lambda bb, i, *_: (bb * nq + i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((query_tile,), lambda bb, i, *_: (bb * nq + i,),

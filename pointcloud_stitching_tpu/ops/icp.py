@@ -125,23 +125,8 @@ def _exp_se3(x: jax.Array) -> jax.Array:
     Rodrigues for the rotation; translation applied directly (the standard
     point-to-plane linearisation). Batched over leading dims.
     """
-    omega, t = x[..., :3], x[..., 3:]
-    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
-    safe = jnp.maximum(theta, 1e-12)
-    k = omega / safe
-    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
-    zero = jnp.zeros_like(kx)
-    K = jnp.stack([
-        jnp.stack([zero, -kz, ky], axis=-1),
-        jnp.stack([kz, zero, -kx], axis=-1),
-        jnp.stack([-ky, kx, zero], axis=-1)], axis=-2)
-    st = jnp.sin(theta)[..., None]
-    ct = (1.0 - jnp.cos(theta))[..., None]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), K.shape)
-    R = eye + st * K + ct * (K @ K)
-    R = jnp.where(theta[..., None] < 1e-8, eye, R)
-    from .se3 import se3_from_rt
-    return se3_from_rt(R, t)
+    from .se3 import se3_from_rt, so3_exp
+    return se3_from_rt(so3_exp(x[..., :3]), x[..., 3:])
 
 
 @partial(jax.jit, static_argnames=("iterations", "query_tile", "ref_tile",

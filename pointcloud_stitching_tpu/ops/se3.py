@@ -56,6 +56,57 @@ def se3_identity(dtype=jnp.float32) -> jax.Array:
     return jnp.eye(4, dtype=dtype)
 
 
+def so3_exp(omega: jax.Array) -> jax.Array:
+    """Rodrigues: rotation vector [..., 3] -> rotation matrix [..., 3, 3]."""
+    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+    safe = jnp.maximum(theta, 1e-12)
+    k = omega / safe
+    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
+    zero = jnp.zeros_like(kx)
+    K = jnp.stack([
+        jnp.stack([zero, -kz, ky], axis=-1),
+        jnp.stack([kz, zero, -kx], axis=-1),
+        jnp.stack([-ky, kx, zero], axis=-1)], axis=-2)
+    st = jnp.sin(theta)[..., None]
+    ct = (1.0 - jnp.cos(theta))[..., None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), K.shape)
+    R = eye + st * K + ct * (K @ K)
+    return jnp.where(theta[..., None] < 1e-8, eye, R)
+
+
+def so3_log(R: jax.Array) -> jax.Array:
+    """Rotation matrix [..., 3, 3] -> rotation vector [..., 3].
+
+    Safe for small angles (series limit); not intended near theta = pi
+    (loop-closure residuals and ICP increments are always tiny).
+    """
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos)
+    w = jnp.stack([R[..., 2, 1] - R[..., 1, 2],
+                   R[..., 0, 2] - R[..., 2, 0],
+                   R[..., 1, 0] - R[..., 0, 1]], axis=-1)  # 2 sin(theta) axis
+    scale = jnp.where(theta < 1e-6, 0.5,
+                      theta / jnp.maximum(2.0 * jnp.sin(theta), 1e-12))
+    return w * scale[..., None]
+
+
+def se3_power(T: jax.Array, alpha) -> jax.Array:
+    """Fractional power of a near-identity rigid transform.
+
+    Uses the pseudo log/exp pair on SO(3) x R^3 (rotation via so3_log/exp,
+    translation scaled linearly) — exact at alpha in {0, 1}, smooth in
+    between, and the same parameterisation as the ICP point-to-plane update.
+    Used to distribute a ring loop-closure residual along the camera chain
+    (models/stitcher._ring_drift_correction).
+    """
+    alpha = jnp.asarray(alpha, T.dtype)
+    omega = so3_log(T[..., :3, :3])
+    R = so3_exp(alpha[..., None] * omega)
+    t = alpha[..., None] * T[..., :3, 3]
+    return se3_from_rt(R, t)
+
+
 def se3_blend(A: jax.Array, B: jax.Array, alpha) -> jax.Array:
     """Blend rigid transforms: (1-alpha)*A + alpha*B, re-projected to SE(3).
 

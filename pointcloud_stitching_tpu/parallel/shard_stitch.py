@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.stitcher import StitchMetrics, StitchOutput
+from ..models.stitcher import (StitchMetrics, StitchOutput,
+                               _compose_ring_corrections)
 from ..ops.deproject import deproject
 from ..ops.icp import icp_batched, icp_point_to_plane_batched
 from ..ops.normals import grid_normals
@@ -86,10 +87,15 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
         prev_mask = jax.lax.ppermute(world.mask[ncl - 1], axis, perm)
         dst_xyz = jnp.concatenate([prev_xyz[None], world.xyz[:-1]], axis=0)
         dst_mask = jnp.concatenate([prev_mask[None], world.mask[:-1]], axis=0)
-        # global camera 0 (chip 0, local 0) has no predecessor: mask its
-        # pair out — kabsch returns identity for zero total weight
-        anchor = (my == 0)
-        dst_mask = dst_mask.at[0].set(jnp.where(anchor, False, dst_mask[0]))
+        closure = cfg.icp_ring_closure and cfg.num_cameras >= 3
+        if not closure:
+            # chain mode: global camera 0 (chip 0, local 0) has no
+            # predecessor — mask its pair out (kabsch returns identity for
+            # zero total weight). With closure the wrap-around pair the
+            # ppermute already delivers IS the measurement we want.
+            anchor = (my == 0)
+            dst_mask = dst_mask.at[0].set(
+                jnp.where(anchor, False, dst_mask[0]))
 
         src_world = PointCloud(xyz=world.xyz, mask=world.mask)
         dst_world = PointCloud(xyz=dst_xyz, mask=dst_mask)
@@ -116,10 +122,12 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
                               ref_tile=cfg.icp_ref_tile,
                               nn_impl=cfg.kernel_impl,
                               trim_fraction=cfg.icp_trim_fraction)
-        # gather every chip's deltas; all chips compute the same prefix
+        # gather every chip's deltas; all chips compute the same composition
+        # (deltas[0] is the ring-closing pair — identity when closure is off,
+        # since its dst is fully masked and kabsch then returns identity)
         deltas = jax.lax.all_gather(res.T, axis).reshape(cfg.num_cameras, 4, 4)
-        prefix = jax.lax.associative_scan(jnp.matmul, deltas)
-        refined_full = prefix @ jax.lax.all_gather(ext_l, axis).reshape(
+        corrections, loop_err = _compose_ring_corrections(deltas, closure)
+        refined_full = corrections @ jax.lax.all_gather(ext_l, axis).reshape(
             cfg.num_cameras, 4, 4)
         refined_l = jax.lax.dynamic_slice_in_dim(refined_full, my * ncl, ncl)
 
@@ -140,7 +148,8 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
         inl = jax.lax.all_gather(res.num_inliers, axis).reshape(-1)[1:]
         metrics = StitchMetrics(points_in=points_in,
                                 points_out=out.count(),
-                                icp_mean_error=err, icp_inliers=inl)
+                                icp_mean_error=err, icp_inliers=inl,
+                                loop_error=loop_err)
         return StitchOutput(cloud=out, extrinsics=refined_full,
                             metrics=metrics)
 
@@ -152,7 +161,8 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
             cloud=PointCloud(xyz=P(), mask=P(), rgb=None),
             extrinsics=P(),
             metrics=StitchMetrics(points_in=P(), points_out=P(),
-                                  icp_mean_error=P(), icp_inliers=P())),
+                                  icp_mean_error=P(), icp_inliers=P(),
+                                  loop_error=P())),
         # outputs ARE replicated (everything downstream of the all_gathers),
         # but the static varying-axis checker can't prove it through the
         # sort/segment machinery; cross-device equality is covered by

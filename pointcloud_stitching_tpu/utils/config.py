@@ -48,6 +48,10 @@ class StitchConfig:
     icp_iterations: int = 5
     icp_max_corr_dist: float = 0.1
     icp_trim_fraction: float = 0.0  # trimmed-ICP rejection (partial overlap)
+    # measure the closing pair (camera 0 vs camera n-1) too and distribute
+    # the loop residual along the chain: chain-end drift stays bounded
+    # instead of compounding with ncam. No effect below 3 cameras.
+    icp_ring_closure: bool = True
     # 'point_to_point' (reference parity) or 'point_to_plane' (grid normals;
     # converges in ~half the iterations, no smooth-surface sliding)
     icp_variant: str = "point_to_point"
