@@ -13,11 +13,14 @@ import numpy as np
 
 def render_orthographic(xyz: np.ndarray, rgb: np.ndarray | None = None,
                         axis: str = "z", size: int = 800,
-                        background: int = 0) -> np.ndarray:
+                        background: int = 0,
+                        bounds: tuple | None = None) -> np.ndarray:
     """Project points along an axis into a [size, size, 3] uint8 image.
 
     Depth-buffered splatting: nearer points win; colored by RGB if present,
-    else by depth colormap.
+    else by depth colormap. ``bounds=(lo, span)`` pins the projection window
+    (lo: [2] min corner in the projected plane, span: scalar width) so a
+    live view doesn't rescale every frame; None autoscales to this cloud.
     """
     xyz = np.asarray(xyz, np.float32).reshape(-1, 3)
     if len(xyz) == 0:
@@ -27,8 +30,12 @@ def render_orthographic(xyz: np.ndarray, rgb: np.ndarray | None = None,
     uv = xyz[:, keep]
     d = xyz[:, ax]
 
-    lo, hi = uv.min(axis=0), uv.max(axis=0)
-    span = np.maximum(hi - lo, 1e-6).max()
+    if bounds is not None:
+        lo, span = np.asarray(bounds[0], np.float32), float(bounds[1])
+        span = max(span, 1e-6)
+    else:
+        lo, hi = uv.min(axis=0), uv.max(axis=0)
+        span = np.maximum(hi - lo, 1e-6).max()
     px = ((uv - lo) / span * (size - 1)).astype(np.int32)
     px = np.clip(px, 0, size - 1)
 
