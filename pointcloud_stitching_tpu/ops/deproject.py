@@ -94,6 +94,20 @@ def deproject(depth: jax.Array, intr: Intrinsics,
     elif intr.model == int(DistortionModel.INVERSE_BROWN_CONRADY):
         coeffs = jnp.asarray(intr.coeffs, jnp.float32)[..., None, None, :]
         x, y = _distort_inverse_brown_conrady(x, y, coeffs)
+    elif intr.model == int(DistortionModel.MIXED):
+        # mixed rig (real D400 fleets mix models): compute every correction
+        # and select per camera by the traced id — branchless, so one
+        # compiled program serves any id assignment. The extra corrections
+        # are pure VPU elementwise work, negligible next to the NN/voxel
+        # kernels, and only mixed rigs pay it.
+        coeffs = jnp.asarray(intr.coeffs, jnp.float32)[..., None, None, :]
+        x_bc, y_bc = _undistort_brown_conrady_iterative(x, y, coeffs)
+        x_ibc, y_ibc = _distort_inverse_brown_conrady(x, y, coeffs)
+        mid = jnp.asarray(intr.model_ids, jnp.int32)[..., None, None]
+        is_bc = mid == int(DistortionModel.BROWN_CONRADY)
+        is_ibc = mid == int(DistortionModel.INVERSE_BROWN_CONRADY)
+        x = jnp.where(is_bc, x_bc, jnp.where(is_ibc, x_ibc, x))
+        y = jnp.where(is_bc, y_bc, jnp.where(is_ibc, y_ibc, y))
 
     xyz = jnp.stack([x * z, y * z, z], axis=-1)
     mask = (z > jnp.float32(max(z_min, 0.0))) if z_max == jnp.inf else (

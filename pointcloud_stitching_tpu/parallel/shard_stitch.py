@@ -23,6 +23,7 @@ the ring ppermute together with the boundary cloud.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -53,11 +54,12 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
         cfg = dataclasses.replace(cfg, cam_voxel_enabled=True)
     ncl = cfg.num_cameras // d  # cameras per chip
 
-    def local_fn(fx, fy, ppx, ppy, coeffs, ext_l, depths_l):
+    def local_fn(model, fx, fy, ppx, ppy, coeffs, model_ids, ext_l,
+                 depths_l):
         my = jax.lax.axis_index(axis)
         intr_l = Intrinsics(fx=fx, fy=fy, ppx=ppx, ppy=ppy, coeffs=coeffs,
-                            width=cfg.width, height=cfg.height,
-                            model=int(0))
+                            model_ids=model_ids,
+                            width=cfg.width, height=cfg.height, model=model)
         raw = deproject(depths_l, intr_l, depth_scale=cfg.depth_scale,
                         z_min=cfg.z_min, z_max=cfg.z_max)
         points_in = jax.lax.psum(jnp.sum(raw.mask), axis)
@@ -153,25 +155,35 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
         return StitchOutput(cloud=out, extrinsics=refined_full,
                             metrics=metrics)
 
-    sharded = jax.shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(axis)),
-        out_specs=StitchOutput(
-            cloud=PointCloud(xyz=P(), mask=P(), rgb=None),
-            extrinsics=P(),
-            metrics=StitchMetrics(points_in=P(), points_out=P(),
-                                  icp_mean_error=P(), icp_inliers=P(),
-                                  loop_error=P())),
-        # outputs ARE replicated (everything downstream of the all_gathers),
-        # but the static varying-axis checker can't prove it through the
-        # sort/segment machinery; cross-device equality is covered by
-        # tests/test_parallel.py instead
-        check_vma=False)
+    def _make_sharded(model: int, with_model_ids: bool):
+        return jax.shard_map(
+            functools.partial(local_fn, model), mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
+                      P(axis) if with_model_ids else None,
+                      P(axis), P(axis)),
+            out_specs=StitchOutput(
+                cloud=PointCloud(xyz=P(), mask=P(), rgb=None),
+                extrinsics=P(),
+                metrics=StitchMetrics(points_in=P(), points_out=P(),
+                                      icp_mean_error=P(), icp_inliers=P(),
+                                      loop_error=P())),
+            # outputs ARE replicated (everything downstream of the
+            # all_gathers), but the static varying-axis checker can't prove
+            # it through the sort/segment machinery; cross-device equality
+            # is covered by tests/test_parallel.py instead
+            check_vma=False)
 
-    @jax.jit
+    # intr.model is static (changes the traced program), so it keys the jit
+    # cache; model_ids is an operand only for MIXED rigs (None cannot ride
+    # a P(axis) spec), so its presence keys the shard_map variant.
+    _sharded = {}
+
     def step(intr: Intrinsics, extrinsics, depths):
-        return sharded(intr.fx, intr.fy, intr.ppx, intr.ppy, intr.coeffs,
-                       extrinsics, depths)
+        key = (intr.model, intr.model_ids is not None)
+        if key not in _sharded:
+            _sharded[key] = jax.jit(_make_sharded(*key))
+        return _sharded[key](intr.fx, intr.fy, intr.ppx, intr.ppy,
+                             intr.coeffs, intr.model_ids,
+                             extrinsics, depths)
 
     return step

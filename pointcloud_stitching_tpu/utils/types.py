@@ -28,6 +28,11 @@ class DistortionModel(enum.IntEnum):
     NONE = 0
     BROWN_CONRADY = 1          # forward model: distort during projection
     INVERSE_BROWN_CONRADY = 2  # forward model applied during deprojection
+    # static sentinel for a camera batch mixing the models above; the actual
+    # per-camera ids ride in the traced Intrinsics.model_ids array (a real
+    # D400 fleet does mix models, so a rig must be expressible — deprojection
+    # computes every correction branchlessly and selects per camera)
+    MIXED = -1
 
 
 @struct.dataclass
@@ -44,6 +49,10 @@ class Intrinsics:
     ppx: jax.Array
     ppy: jax.Array
     coeffs: jax.Array  # [5] Brown–Conrady: k1, k2, p1, p2, k3
+    # per-camera distortion ids (traced int32, batch-shaped) — only present
+    # when model == MIXED; None otherwise so the static fast paths stay
+    # single-branch
+    model_ids: Optional[jax.Array] = None
     width: int = struct.field(pytree_node=False, default=848)
     height: int = struct.field(pytree_node=False, default=480)
     model: int = struct.field(pytree_node=False, default=int(DistortionModel.NONE))
@@ -71,15 +80,33 @@ class Intrinsics:
                           width=width, height=height)
 
     def stack(self, others: list["Intrinsics"]) -> "Intrinsics":
-        """Stack per-camera intrinsics into a batched Intrinsics (leading axis)."""
+        """Stack per-camera intrinsics into a batched Intrinsics (leading axis).
+
+        Cameras may mix distortion models (the batched model becomes MIXED
+        with traced per-camera model_ids; deprojection selects per camera).
+        Resolutions must match — the depth stack is one fixed-shape
+        [ncam, H, W] array; pad mixed-resolution rigs to a common H, W
+        before building Intrinsics.
+        """
         all_i = [self, *others]
+        if any(i.width != self.width or i.height != self.height
+               for i in all_i):
+            raise ValueError(
+                "stacked cameras must share width/height (pad mixed-"
+                "resolution rigs to a common shape first)")
+        models = [i.model for i in all_i]
+        if any(m == int(DistortionModel.MIXED) for m in models):
+            raise ValueError("cannot re-stack an already-MIXED Intrinsics")
+        mixed = len(set(models)) > 1
         return Intrinsics(
             fx=jnp.stack([i.fx for i in all_i]),
             fy=jnp.stack([i.fy for i in all_i]),
             ppx=jnp.stack([i.ppx for i in all_i]),
             ppy=jnp.stack([i.ppy for i in all_i]),
             coeffs=jnp.stack([i.coeffs for i in all_i]),
-            width=self.width, height=self.height, model=self.model,
+            model_ids=(jnp.asarray(models, jnp.int32) if mixed else None),
+            width=self.width, height=self.height,
+            model=(int(DistortionModel.MIXED) if mixed else self.model),
         )
 
 

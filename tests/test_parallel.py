@@ -52,6 +52,47 @@ def test_sharded_matches_single_device():
                                np.asarray(out_single.extrinsics), atol=1e-4)
 
 
+def _mixed_scene(ncam, h=60, w=106):
+    """Scene whose cameras alternate distortion models (MIXED rig)."""
+    from pointcloud_stitching_tpu import DistortionModel
+    depths = np.stack([synth_depth_frame(h, w, seed=s) for s in range(ncam)])
+    cams = []
+    for i in range(ncam):
+        model = (DistortionModel.BROWN_CONRADY if i % 2
+                 else DistortionModel.NONE)
+        coeffs = [0.05, -0.02, 0.001, -0.001, 0.002] if i % 2 else None
+        cams.append(Intrinsics.create(fx=53.0, fy=53.0, ppx=w / 2,
+                                      ppy=h / 2, width=w, height=h,
+                                      coeffs=coeffs, model=model))
+    intr = cams[0].stack(cams[1:])
+    ext = np.stack([random_se3(seed=20 + i, max_angle=0.05, max_trans=0.1)
+                    for i in range(ncam)]).astype(np.float32)
+    return depths, intr, ext
+
+
+@pytest.mark.parametrize("path", ["gspmd", "shard_map"])
+def test_sharded_mixed_distortion_matches_single_device(path):
+    """A MIXED-distortion rig through both sharded paths equals the
+    single-device program (the shard_map path used to hardcode model=NONE)."""
+    ncam = len(jax.devices())
+    depths, intr, ext = _mixed_scene(ncam)
+    cfg = _cfg(ncam)
+    if path == "gspmd":
+        fn = make_sharded_stitch(cfg, make_mesh())
+    else:
+        from pointcloud_stitching_tpu.parallel import make_shardmap_stitch
+        import dataclasses
+        cfg = dataclasses.replace(cfg, cam_voxel_enabled=True)
+        fn = make_shardmap_stitch(cfg, make_mesh())
+    out_sharded = fn(intr, jnp.asarray(ext), jnp.asarray(depths))
+    out_single = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths))
+    a = np.asarray(out_sharded.cloud.xyz)[np.asarray(out_sharded.cloud.mask)]
+    b = np.asarray(out_single.cloud.xyz)[np.asarray(out_single.cloud.mask)]
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.sort(a, axis=0), np.sort(b, axis=0),
+                               atol=1e-4)
+
+
 def test_sharded_no_icp_matches():
     ncam = len(jax.devices())
     depths, intr, ext = _scene(ncam)
