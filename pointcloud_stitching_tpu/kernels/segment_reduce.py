@@ -40,19 +40,24 @@ def _accumulate_onehot_dot(pT, v, onehot, precision):
     """pT += v @ onehot on the MXU with parity-safe precision.
 
     The default MXU pass truncates the value operand to bf16 (breaks
-    PCL-tolerance parity), so either HIGHEST (6 full-f32 passes) or
-    'bf16x3': split the values into three bf16 limbs whose products against
-    the exact bf16 one-hot reconstruct the f32 product at half HIGHEST's
-    cost.
+    PCL-tolerance parity), so either HIGHEST (6 full-f32 passes) or a limb
+    split: the values decompose into bf16 limbs whose products against the
+    exact bf16 one-hot reconstruct the full product. 'bf16x3' is f32-exact
+    for any value at half HIGHEST's cost; 'bf16x2' (two limbs) is exact for
+    values with <= 16 significant bits — integers in [-65535, 65535] — and
+    costs another third less (the packed voxel path feeds exactly such
+    quantised integer channels).
     """
     dims = (((1,), (0,)), ((), ()))
-    if precision == "bf16x3":
+    if precision in ("bf16x3", "bf16x2"):
         oh = onehot.astype(jnp.bfloat16)
         hi = v.astype(jnp.bfloat16)
         r1 = v - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        for limb in (hi, mid, lo):
+        limbs = [hi, mid]
+        if precision == "bf16x3":
+            limbs.append((r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16))
+        for limb in limbs:
             pT = pT + jax.lax.dot_general(
                 limb, oh, dimension_numbers=dims,
                 preferred_element_type=jnp.float32)
@@ -174,7 +179,7 @@ def segment_sum_from_flags(vals: jax.Array, flags: jax.Array, capacity: int,
     valsT = vals.T
     out_w = capacity + span
 
-    prec = (precision if precision == "bf16x3"
+    prec = (precision if precision in ("bf16x3", "bf16x2")
             else jax.lax.Precision(precision.lower()))
     out = pl.pallas_call(
         partial(_segsum_flags_kernel, chunk=chunk, span=span,
@@ -249,7 +254,7 @@ def segment_sum_sorted(vals: jax.Array, seg: jax.Array, capacity: int,
         out_specs=pl.BlockSpec((ch, out_w), lambda j, *_: (0, 0),
                                memory_space=pltpu.VMEM),
     )
-    prec = (precision if precision == "bf16x3"
+    prec = (precision if precision in ("bf16x3", "bf16x2")
             else jax.lax.Precision(precision.lower()))
     out = pl.pallas_call(
         partial(_segsum_kernel, chunk=chunk, span=span,

@@ -86,8 +86,19 @@ def _extents(ijk):
 
 
 def _sorted_segments_packed(pc: PointCloud, leaf, ijk):
-    """Two-operand sort: linearised key + quantised offsets. Returns
-    (flags, vals) shaped like the exact path's output (4 channels)."""
+    """Two-operand sort: linearised key + quantised offsets.
+
+    Returns (flags, vals [..., N, 7], min_ijk). The 7 channels are all
+    small integers — [ix·flag, iy·flag, iz·flag, q0, q1, q2, 1] — so the
+    segment reduction runs with exact two-limb bf16 products (bf16x2: one
+    third cheaper than the general bf16x3 path; see
+    kernels.segment_reduce._accumulate_onehot_dot). The per-axis voxel
+    index lands only on each segment's first row (flag-masked: exactly one
+    contribution per segment survives the sum), the offsets sum over the
+    whole segment, and the centroid reconstructs in _finalize_packed as
+    (base + (Σq/n + ½)/1024)·leaf — algebraically the same mean the exact
+    path computes, quantised at leaf/2048.
+    """
     xyz, mask = pc.xyz, pc.mask
     inv = 1.0 / jnp.asarray(leaf, jnp.float32)
     ext = _extents(ijk)
@@ -105,7 +116,7 @@ def _sorted_segments_packed(pc: PointCloud, leaf, ijk):
     skey, soff = jax.lax.sort([key, off], num_keys=1)
     valid = skey != _SENTINEL
 
-    # unpack key -> per-axis floor(p/leaf), then reconstruct coordinates
+    # unpack key -> per-axis voxel indices (relative to min_ijk)
     sk = jnp.where(valid, skey, 0)
     iz = sk % nz
     t = sk // nz
@@ -115,21 +126,19 @@ def _sorted_segments_packed(pc: PointCloud, leaf, ijk):
     fm = jnp.where(mask[..., None], jnp.floor(xyz * inv).astype(jnp.int32),
                    big)
     min_ijk = jnp.min(fm, axis=-2, keepdims=True)
-    fx = (ix + min_ijk[..., 0]).astype(jnp.float32)
-    fy = (iy + min_ijk[..., 1]).astype(jnp.float32)
-    fz = (iz + min_ijk[..., 2]).astype(jnp.float32)
-    q = jnp.stack([(soff >> 20) & 1023, (soff >> 10) & 1023, soff & 1023],
-                  axis=-1).astype(jnp.float32)
-    lf = jnp.asarray(leaf, jnp.float32)
-    sxyz = (jnp.stack([fx, fy, fz], axis=-1) + (q + 0.5) * (1.0 / 1024.0)) * lf
 
     prev = lambda a: jnp.concatenate(
         [jnp.full_like(a[..., :1], -1), a[..., :-1]], axis=-1)
     flags = (skey != prev(skey)) & valid
-    vals = jnp.concatenate(
-        [sxyz, jnp.ones((*sxyz.shape[:-1], 1), jnp.float32)], axis=-1)
+    f = flags.astype(jnp.float32)
+    q = jnp.stack([(soff >> 20) & 1023, (soff >> 10) & 1023, soff & 1023],
+                  axis=-1).astype(jnp.float32)
+    vals = jnp.concatenate([
+        jnp.stack([ix, iy, iz], axis=-1).astype(jnp.float32) * f[..., None],
+        q,
+        jnp.ones((*f.shape, 1), jnp.float32)], axis=-1)
     vals = jnp.where(valid[..., None], vals, 0.0)
-    return flags, vals
+    return flags, vals, min_ijk
 
 
 def _sorted_segments(pc: PointCloud, leaf, capacity: int):
@@ -186,13 +195,29 @@ def _finalize(sums: jax.Array, has_rgb: bool) -> PointCloud:
     return PointCloud(xyz=out_xyz, mask=out_mask, rgb=out_rgb)
 
 
+def _finalize_packed(sums: jax.Array, min_ijk: jax.Array, leaf) -> PointCloud:
+    """Centroids from integer-channel sums [ix, iy, iz, Σq0, Σq1, Σq2, n]:
+    (base + (Σq/n + ½)/1024)·leaf — the same mean the exact path computes,
+    quantised at leaf/2048."""
+    counts = sums[..., 6]
+    out_mask = counts > 0.0
+    denom = jnp.maximum(counts, 1.0)[..., None]
+    base = sums[..., :3] + min_ijk.astype(jnp.float32)
+    mean_q = sums[..., 3:6] / denom
+    lf = jnp.asarray(leaf, jnp.float32)
+    xyz = (base + (mean_q + 0.5) * (1.0 / 1024.0)) * lf
+    return PointCloud(xyz=jnp.where(out_mask[..., None], xyz, 0.0),
+                      mask=out_mask)
+
+
 def _reduce_xla(flags, vals, capacity: int):
     seg = _flags_to_seg(flags, capacity)
     return jax.ops.segment_sum(vals, seg, num_segments=capacity + 1,
                                indices_are_sorted=True)[:capacity]
 
 
-def _reduce_pallas(flags, vals, capacity: int, interpret: bool):
+def _reduce_pallas(flags, vals, capacity: int, interpret: bool,
+                   precision: str = "bf16x3"):
     from ..kernels.segment_reduce import segment_sum_from_flags
     ch = vals.shape[-1]
     if ch < 8:  # pad channels to a full sublane tile
@@ -200,13 +225,16 @@ def _reduce_pallas(flags, vals, capacity: int, interpret: bool):
             [vals, jnp.zeros((*vals.shape[:-1], 8 - ch), jnp.float32)],
             axis=-1)
     # flags variant: segment ids derive in-kernel (SMEM carry), removing the
-    # full-stream cumsum; bf16x3 limb decomposition gives f32-exact products
-    # at half HIGHEST's MXU cost (10.8 ms vs 18 ms on the 3.26M fused cloud)
+    # full-stream cumsum. Limb decomposition keeps products exact below
+    # HIGHEST's MXU cost: bf16x3 for arbitrary f32 (10.8 vs 18 ms on the
+    # 3.26M fused cloud); bf16x2 when the caller feeds <=16-bit integer
+    # channels (the packed path), one third cheaper again.
     return segment_sum_from_flags(vals, flags, capacity, interpret=interpret,
-                                  precision="bf16x3")[:, :ch]
+                                  precision=precision)[:, :ch]
 
 
-def _reduce_pallas_batched(flags, vals, capacity: int, interpret: bool):
+def _reduce_pallas_batched(flags, vals, capacity: int, interpret: bool,
+                           precision: str = "bf16x3"):
     """Batched reduction: one flat kernel call when the combined output fits
     in VMEM, else a sequential per-cloud map.
 
@@ -222,7 +250,8 @@ def _reduce_pallas_batched(flags, vals, capacity: int, interpret: bool):
     chunk = 1024
     total_cap = b * (capacity + 1)
     if (total_cap + 2 * chunk) * max(ch, 8) * 4 > 12 * 2 ** 20:
-        red = lambda s, v: _reduce_pallas(s, v, capacity, interpret)
+        red = lambda s, v: _reduce_pallas(s, v, capacity, interpret,
+                                          precision)
         return jax.lax.map(lambda sv: red(*sv), (flags, vals))
 
     if ch < 8:
@@ -237,7 +266,7 @@ def _reduce_pallas_batched(flags, vals, capacity: int, interpret: bool):
     seg_flat = (seg + offs).reshape(-1)
     vals_flat = vals.reshape(b * npad, -1)
     sums = segment_sum_sorted(vals_flat, seg_flat, total_cap, chunk=chunk,
-                              interpret=interpret, precision="bf16x3")
+                              interpret=interpret, precision=precision)
     return sums.reshape(b, capacity + 1, -1)[:, :capacity, :ch]
 
 
@@ -268,15 +297,16 @@ def voxel_downsample(pc: PointCloud, leaf, capacity: int,
     impl = _resolve_impl(impl)
     batched = pc.xyz.ndim == 3
 
-    def reduce_fn(flags, vals):
+    def reduce_fn(flags, vals, precision="bf16x3"):
         if impl == "xla":
             if batched:
                 return jax.vmap(
                     lambda s, v: _reduce_xla(s, v, capacity))(flags, vals)
             return _reduce_xla(flags, vals, capacity)
         if batched:
-            return _reduce_pallas_batched(flags, vals, capacity, interpret)
-        return _reduce_pallas(flags, vals, capacity, interpret)
+            return _reduce_pallas_batched(flags, vals, capacity, interpret,
+                                          precision)
+        return _reduce_pallas(flags, vals, capacity, interpret, precision)
 
     has_rgb = pc.rgb is not None
     if has_rgb or packed == "never":
@@ -284,20 +314,27 @@ def voxel_downsample(pc: PointCloud, leaf, capacity: int,
         return _finalize(reduce_fn(flags, vals), has_rgb)
 
     ijk = voxel_indices(pc.xyz, pc.mask, leaf)
-    cells = jnp.prod(_extents(ijk).astype(jnp.float32), axis=-1)
+    ext = _extents(ijk)
+    cells = jnp.prod(ext.astype(jnp.float32), axis=-1)
+    # per-axis bound <= 2^16 keeps the packed path's index channels exact
+    # under two-limb bf16 products (16 significant bits)
     fits = (jnp.all(cells <= _PACK_MAX_CELLS)
+            & jnp.all(ext <= 65536)
             & (jnp.asarray(leaf, jnp.float32) <= _PACK_MAX_LEAF))
 
     def fast(_):
-        flags, vals = _sorted_segments_packed(pc, leaf, ijk)
-        return reduce_fn(flags, vals)
+        flags, vals, min_ijk = _sorted_segments_packed(pc, leaf, ijk)
+        sums = reduce_fn(flags, vals, precision="bf16x2")
+        out = _finalize_packed(sums, min_ijk, leaf)
+        return out.xyz, out.mask
 
     def slow(_):
         flags, vals, _hr = _sorted_segments(pc, leaf, capacity)
-        return reduce_fn(flags, vals)
+        out = _finalize(reduce_fn(flags, vals), False)
+        return out.xyz, out.mask
 
-    sums = jax.lax.cond(fits, fast, slow, None)
-    return _finalize(sums, False)
+    xyz, mask = jax.lax.cond(fits, fast, slow, None)
+    return PointCloud(xyz=xyz, mask=mask)
 
 
 def decimate_depth(depth: jax.Array, stride: int) -> jax.Array:

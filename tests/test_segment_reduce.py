@@ -84,6 +84,38 @@ def test_kernel_bf16x3_matches(rng):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_kernel_bf16x2_exact_for_16bit_integers(rng):
+    """bf16x2 (two limbs) must be EXACT for <=16-bit integer channels — the
+    contract the packed voxel path relies on (its channels are voxel indices
+    <= 65535 and 10-bit quantised offsets)."""
+    n, capacity = 4000, 1024
+    seg = _random_sorted_seg(rng, n, capacity)
+    vals = rng.integers(0, 65536, size=(n, 8)).astype(np.float32)
+    vals[seg == capacity] = 0.0
+    hi = segment_sum_sorted(jnp.asarray(vals), jnp.asarray(seg), capacity,
+                            chunk=128, interpret=True, precision="highest")
+    b2 = segment_sum_sorted(jnp.asarray(vals), jnp.asarray(seg), capacity,
+                            chunk=128, interpret=True, precision="bf16x2")
+    np.testing.assert_array_equal(np.asarray(b2), np.asarray(hi))
+
+
+def test_voxel_packed_integer_channels_match_exact(rng):
+    """The packed (integer-channel, bf16x2) voxel path agrees with the exact
+    five-operand path within its leaf/2048 reconstruction quantum."""
+    pts = rng.uniform(-2, 2, size=(6000, 3)).astype(np.float32)
+    mask = rng.random(6000) < 0.9
+    pc = PointCloud(xyz=jnp.asarray(pts), mask=jnp.asarray(mask))
+    leaf = 0.02
+    a = voxel_downsample(pc, leaf, capacity=8192, impl="pallas",
+                         interpret=True)
+    b = voxel_downsample(pc, leaf, capacity=8192, impl="pallas",
+                         interpret=True, packed="never")
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+    m = np.asarray(a.mask)
+    np.testing.assert_allclose(np.asarray(a.xyz)[m], np.asarray(b.xyz)[m],
+                               atol=leaf / 2048 * 1.01)
+
+
 def test_flags_kernel_unaligned_capacity_with_overflow(rng):
     """Regression (ADVICE r1, medium): when capacity is not a multiple of the
     sub-block (256) AND the segment count overflows capacity, the window
