@@ -52,9 +52,13 @@ class StitchConfig:
     # the loop residual along the chain: chain-end drift stays bounded
     # instead of compounding with ncam. No effect below 3 cameras.
     icp_ring_closure: bool = True
-    # 'point_to_point' (reference parity) or 'point_to_plane' (grid normals;
-    # converges in ~half the iterations, no smooth-surface sliding)
-    icp_variant: str = "point_to_point"
+    # 'point_to_plane' (default: grid normals, converges in ~half the
+    # iterations, no smooth-surface sliding) or 'point_to_point' (the
+    # reference's PCL default). Measured on the 8-cam drift-recovery rig
+    # (scratch experiment, r2): p2plane@3 leaves 1.2% of injected drift at
+    # 20.3 ms/frame; p2point@5 left 165% (it slides on smooth surfaces) at
+    # 22.2 ms — better quality at lower cost, so p2plane is the default.
+    icp_variant: str = "point_to_plane"
     icp_query_tile: int = 1024
     icp_ref_tile: int = 4096
 
