@@ -24,7 +24,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.deproject import deproject, deproject_with_color
+from ..ops.deproject import deproject, deproject_with_color, map_color
 from ..ops.fuse import fuse_batched
 from ..ops.icp import icp_batched, icp_point_to_plane_batched
 from ..ops.normals import grid_normals
@@ -184,7 +184,9 @@ def _stitch_tail(cfg: StitchConfig, raw: PointCloud, extrinsics: jax.Array,
 
 def stitch_step(cfg: StitchConfig, intr: Intrinsics, extrinsics: jax.Array,
                 depths: jax.Array, colors: Optional[jax.Array] = None,
-                cam_mask: Optional[jax.Array] = None) -> StitchOutput:
+                cam_mask: Optional[jax.Array] = None,
+                color_intr: Optional[Intrinsics] = None,
+                color_ext: Optional[jax.Array] = None) -> StitchOutput:
     """One full stitching step. Pure function of its inputs; jit over `cfg`.
 
     Args:
@@ -192,9 +194,16 @@ def stitch_step(cfg: StitchConfig, intr: Intrinsics, extrinsics: jax.Array,
       intr: camera-batched Intrinsics ([ncam] leading axis on fields).
       extrinsics: [ncam, 4, 4] camera→world transforms (.cal matrices).
       depths: [ncam, H, W] uint16 raw depth.
-      colors: optional [ncam, H, W, 3] uint8 depth-aligned color.
+      colors: optional [ncam, H, W, 3] uint8 depth-aligned color — or, when
+        color_intr/color_ext are given, [ncam, Hc, Wc, 3] non-aligned color
+        at the color stream's own resolution.
       cam_mask: optional [ncam] bool — False drops a camera (timeout/failure
         handling per SURVEY.md §5: a dead camera costs nothing, no reshape).
+      color_intr/color_ext: optional per-camera color-stream Intrinsics and
+        [ncam, 4, 4] depth→color extrinsics. When given, color attaches by
+        texture-coordinate mapping (rs2 map_to semantics — projects each
+        point into the color camera; see ops.deproject.map_color) instead of
+        assuming depth-aligned streams.
     """
     ncam = cfg.num_cameras
     assert depths.shape[0] == ncam
@@ -208,7 +217,15 @@ def stitch_step(cfg: StitchConfig, intr: Intrinsics, extrinsics: jax.Array,
                             ppx=intr.ppx / s0, ppy=intr.ppy / s0,
                             width=cfg.width // cfg.decimation,
                             height=cfg.height // cfg.decimation)
-    if colors is not None:
+    if colors is not None and color_intr is not None:
+        # non-aligned color: map by projecting 3-D points into the color
+        # camera, so depth decimation needs no color-side counterpart
+        raw = deproject(depths, intr, depth_scale=cfg.depth_scale,
+                        z_min=cfg.z_min, z_max=cfg.z_max)
+        raw = map_color(raw, colors, color_intr,
+                        jnp.eye(4, dtype=jnp.float32) if color_ext is None
+                        else color_ext)
+    elif colors is not None:
         colors = colors[..., ::cfg.decimation, ::cfg.decimation, :] \
             if cfg.decimation > 1 else colors
         raw = deproject_with_color(depths, colors, intr,

@@ -1,4 +1,6 @@
-from .deproject import deproject, deproject_with_color
+from .deproject import (deproject, deproject_with_color,
+                        deproject_with_color_mapped, map_color,
+                        project)
 from .se3 import (se3_apply, se3_compose, se3_from_rt, se3_identity,
                   se3_inverse, transform_cloud)
 from .voxel import decimate_depth, voxel_downsample, voxel_indices
@@ -11,6 +13,7 @@ from .normals import grid_normals
 
 __all__ = [
     "deproject", "deproject_with_color",
+    "deproject_with_color_mapped", "map_color", "project",
     "se3_apply", "se3_compose", "se3_from_rt", "se3_identity", "se3_inverse",
     "transform_cloud",
     "decimate_depth", "voxel_downsample", "voxel_indices",

@@ -121,6 +121,96 @@ def deproject(depth: jax.Array, intr: Intrinsics,
     return PointCloud(xyz=xyz, mask=mask)
 
 
+def project(xyz: jax.Array, intr: Intrinsics) -> tuple[jax.Array, jax.Array]:
+    """Project 3-D points (camera frame) to pixel coordinates.
+
+    The inverse of deproject — librealsense's ``rs2_project_point_to_pixel``:
+    normalise by z, apply the *forward* distortion polynomial for
+    BROWN_CONRADY / (MODIFIED_)BROWN_CONRADY-style color streams, then the
+    pinhole. For INVERSE_BROWN_CONRADY streams projection inverts the stored
+    inverse map by fixed-point iteration (mirror of deprojection).
+
+    Returns (uv [..., N, 2] float32, in_front [..., N] bool — z > 0).
+    """
+    z = xyz[..., 2]
+    in_front = z > 1e-9
+    zs = jnp.where(in_front, z, 1.0)
+    x = xyz[..., 0] / zs
+    y = xyz[..., 1] / zs
+
+    if intr.model == int(DistortionModel.BROWN_CONRADY):
+        coeffs = jnp.asarray(intr.coeffs, jnp.float32)[..., None, :]
+        x, y = _distort_inverse_brown_conrady(x, y, coeffs)  # forward poly
+    elif intr.model == int(DistortionModel.INVERSE_BROWN_CONRADY):
+        coeffs = jnp.asarray(intr.coeffs, jnp.float32)[..., None, :]
+        x, y = _undistort_brown_conrady_iterative(x, y, coeffs)
+
+    def expand(p):  # [...] -> [..., 1] for broadcasting over N
+        return jnp.asarray(p, jnp.float32)[..., None]
+
+    u = x * expand(intr.fx) + expand(intr.ppx)
+    v = y * expand(intr.fy) + expand(intr.ppy)
+    return jnp.stack([u, v], axis=-1), in_front
+
+
+def map_color(pc: PointCloud, color: jax.Array, color_intr: Intrinsics,
+              depth_to_color: jax.Array) -> PointCloud:
+    """Attach color by texture-coordinate mapping with separate color
+    calibration (reference: ``rs2::pointcloud::map_to`` + ``pc.calculate``
+    texture coordinates in src/pcs-camera-server.cpp — SURVEY.md §2.1; the
+    D4xx color imager is NOT depth-aligned, it has its own intrinsics and a
+    depth→color extrinsic).
+
+    Per point: transform into the color camera frame, project with the
+    color intrinsics (forward distortion), sample the color image at the
+    nearest pixel (librealsense's texture lookup). Points that land outside
+    the color frame keep their geometry but get zero color, matching the
+    reference's black out-of-FOV texels.
+
+    Args:
+      pc: deprojected cloud in the DEPTH camera frame ([..., N, 3]).
+      color: [..., Hc, Wc, 3] uint8 color image (its own resolution).
+      color_intr: the color stream's Intrinsics (batched like pc).
+      depth_to_color: [..., 4, 4] depth→color extrinsic transform.
+
+    Everything is elementwise + one gather per camera — VPU work, no
+    pixel loops (the reference does this lookup inside its hot pack loop).
+    """
+    from .se3 import se3_apply
+
+    hc, wc = color.shape[-3], color.shape[-2]
+    xyz_c = se3_apply(depth_to_color, pc.xyz)
+    uv, in_front = project(xyz_c, color_intr)
+    ui = jnp.round(uv[..., 0]).astype(jnp.int32)
+    vi = jnp.round(uv[..., 1]).astype(jnp.int32)
+    in_fov = in_front & (ui >= 0) & (ui < wc) & (vi >= 0) & (vi < hc)
+    ui = jnp.clip(ui, 0, wc - 1)
+    vi = jnp.clip(vi, 0, hc - 1)
+    flat = color.astype(jnp.float32).reshape(*color.shape[:-3], hc * wc, 3)
+    idx = (vi * wc + ui)[..., None]
+    rgb = jnp.take_along_axis(flat, idx, axis=-2)
+    rgb = jnp.where((pc.mask & in_fov)[..., None], rgb, 0.0)
+    return pc.replace(rgb=rgb)
+
+
+def deproject_with_color_mapped(depth: jax.Array, color: jax.Array,
+                                intr: Intrinsics, color_intr: Intrinsics,
+                                depth_to_color: jax.Array,
+                                depth_scale: float = 0.001,
+                                z_min: float = 0.0,
+                                z_max: float = jnp.inf) -> PointCloud:
+    """Deproject depth and texture-map color from a non-aligned color stream.
+
+    The full reference camera-node path (rs2 pc.calculate + map_to) for rigs
+    that do NOT run the rs2 align processing block: depth deprojects with
+    the depth intrinsics, color attaches by projecting each point into the
+    color camera (separate intrinsics + extrinsic). For depth-aligned color
+    use deproject_with_color (a plain per-pixel lookup).
+    """
+    pc = deproject(depth, intr, depth_scale, z_min, z_max)
+    return map_color(pc, color, color_intr, depth_to_color)
+
+
 def deproject_with_color(depth: jax.Array, color: jax.Array, intr: Intrinsics,
                          depth_scale: float = 0.001,
                          z_min: float = 0.0, z_max: float = jnp.inf) -> PointCloud:

@@ -54,6 +54,39 @@ def transform_np(T, xyz):
             + np.asarray(T, np.float32)[:3, 3])
 
 
+def project_np(xyz, fx, fy, ppx, ppy, coeffs=None, model="none"):
+    """rs2_project_point_to_pixel: returns (uv [N,2] float32, in_front)."""
+    z = xyz[:, 2]
+    in_front = z > 1e-9
+    zs = np.where(in_front, z, 1.0)
+    x, y = xyz[:, 0] / zs, xyz[:, 1] / zs
+    if model == "brown_conrady":      # forward polynomial on projection
+        k1, k2, p1, p2, k3 = coeffs
+        r2 = x * x + y * y
+        f = 1 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+        ux = x * f + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        uy = y * f + 2 * p2 * x * y + p1 * (r2 + 2 * y * y)
+        x, y = ux, uy
+    u = x * np.float32(fx) + np.float32(ppx)
+    v = y * np.float32(fy) + np.float32(ppy)
+    return np.stack([u, v], axis=-1).astype(np.float32), in_front
+
+
+def map_color_np(xyz, mask, color_img, c_fx, c_fy, c_ppx, c_ppy, d2c,
+                 coeffs=None, model="none"):
+    """rs2 map_to texture lookup: nearest color pixel per 3-D point."""
+    hc, wc = color_img.shape[:2]
+    xyz_c = transform_np(d2c, xyz)
+    uv, in_front = project_np(xyz_c, c_fx, c_fy, c_ppx, c_ppy, coeffs, model)
+    ui = np.round(uv[:, 0]).astype(np.int64)
+    vi = np.round(uv[:, 1]).astype(np.int64)
+    in_fov = in_front & (ui >= 0) & (ui < wc) & (vi >= 0) & (vi < hc)
+    ui, vi = np.clip(ui, 0, wc - 1), np.clip(vi, 0, hc - 1)
+    rgb = color_img[vi, ui].astype(np.float32)
+    rgb[~(mask & in_fov)] = 0.0
+    return rgb
+
+
 def voxel_downsample_np(xyz, leaf, rgb=None):
     """PCL VoxelGrid semantics: centroid per voxel, ordered by (ix, iy, iz).
 

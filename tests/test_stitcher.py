@@ -73,6 +73,39 @@ def test_stitch_matches_manual_composition():
                                atol=1e-3)
 
 
+def test_stitch_step_mapped_color():
+    """Non-aligned color streams through the full step: color attaches via
+    texture mapping with separate color intrinsics + depth->color extrinsics
+    (rs2 map_to semantics), geometry identical to the colorless step."""
+    ncam = 2
+    cfg = _small_cfg(ncam, icp_enabled=False)
+    depths, intr, ext = _scene(ncam)
+    hc, wc = 90, 160
+    rng = np.random.default_rng(3)
+    colors = rng.integers(40, 256, (ncam, hc, wc, 3)).astype(np.uint8)
+    ci = Intrinsics.create(fx=80.0, fy=80.0, ppx=wc / 2, ppy=hc / 2,
+                           width=wc, height=hc)
+    cintr = ci.stack([ci] * (ncam - 1))
+    c_ext = np.tile(np.eye(4, dtype=np.float32), (ncam, 1, 1))
+    c_ext[:, 0, 3] = 0.015
+
+    out = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths),
+                      colors=jnp.asarray(colors), color_intr=cintr,
+                      color_ext=jnp.asarray(c_ext))
+    assert out.cloud.rgb is not None
+    m = np.asarray(out.cloud.mask)
+    rgb = np.asarray(out.cloud.rgb)[m]
+    assert (rgb > 0).any()              # in-FOV points picked up texture
+    # geometry must match the colorless step exactly
+    out0 = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths))
+    a = np.sort(np.asarray(out.cloud.xyz)[m], axis=0)
+    b = np.sort(np.asarray(out0.cloud.xyz)[np.asarray(out0.cloud.mask)],
+                axis=0)
+    # rgb clouds take the exact sort; colorless takes the packed sort whose
+    # reconstruction quantises at leaf/2048 (= 9.8e-6 at this 0.02 leaf)
+    np.testing.assert_allclose(a, b, atol=1.5e-5)
+
+
 def test_stitch_cam_mask_drops_camera():
     ncam = 3
     cfg = _small_cfg(ncam, icp_enabled=False)
