@@ -64,6 +64,15 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
                         z_min=cfg.z_min, z_max=cfg.z_max)
         points_in = jax.lax.psum(jnp.sum(raw.mask), axis)
 
+        if not cfg.icp_enabled:
+            # parity with stitch_step: frozen extrinsics, zero ICP metrics
+            refined_full = jax.lax.all_gather(ext_l, axis).reshape(
+                cfg.num_cameras, 4, 4)
+            zeros = jnp.zeros((cfg.num_cameras - 1,), jnp.float32)
+            return _finish(raw, ext_l, refined_full, points_in,
+                           err=zeros, inl=zeros.astype(jnp.int32),
+                           loop_err=jnp.float32(0.0))
+
         h, w = cfg.height, cfg.width
         s = cfg.icp_stride
         sub_xyz = raw.xyz.reshape(ncl, h, w, 3)[:, ::s, ::s]
@@ -133,21 +142,25 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
             cfg.num_cameras, 4, 4)
         refined_l = jax.lax.dynamic_slice_in_dim(refined_full, my * ncl, ncl)
 
-        # bounded per-camera world clouds -> ICI all_gather -> global voxel
+        err = jax.lax.all_gather(res.mean_error, axis).reshape(-1)[1:]
+        inl = jax.lax.all_gather(res.num_inliers, axis).reshape(-1)[1:]
+        return _finish(raw, refined_l, refined_full, points_in,
+                       err=err, inl=inl, loop_err=loop_err)
+
+    def _finish(raw, ext_local, refined_full, points_in, err, inl, loop_err):
+        """Shared tail: bounded per-camera world clouds -> ICI all_gather ->
+        global voxel -> metrics."""
         cam_clouds = voxel_downsample(raw, cfg.cam_voxel_leaf,
                                       capacity=cfg.cam_capacity,
                                       impl=cfg.kernel_impl)
         world_cams = cam_clouds.replace(
-            xyz=se3_apply(refined_l, cam_clouds.xyz))
+            xyz=se3_apply(ext_local, cam_clouds.xyz))
         g_xyz = jax.lax.all_gather(world_cams.xyz, axis).reshape(-1, 3)
         g_mask = jax.lax.all_gather(world_cams.mask, axis).reshape(-1)
         fused = PointCloud(xyz=g_xyz, mask=g_mask)
         out = voxel_downsample(fused, cfg.out_voxel_leaf,
                                capacity=cfg.out_capacity,
                                impl=cfg.kernel_impl)
-
-        err = jax.lax.all_gather(res.mean_error, axis).reshape(-1)[1:]
-        inl = jax.lax.all_gather(res.num_inliers, axis).reshape(-1)[1:]
         metrics = StitchMetrics(points_in=points_in,
                                 points_out=out.count(),
                                 icp_mean_error=err, icp_inliers=inl,

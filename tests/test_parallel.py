@@ -73,24 +73,42 @@ def _mixed_scene(ncam, h=60, w=106):
 @pytest.mark.parametrize("path", ["gspmd", "shard_map"])
 def test_sharded_mixed_distortion_matches_single_device(path):
     """A MIXED-distortion rig through both sharded paths equals the
-    single-device program (the shard_map path used to hardcode model=NONE)."""
+    single-device program (the shard_map path used to hardcode model=NONE).
+
+    Cloud equality is asserted with ICP off (deproject/voxel are exactly
+    deterministic); with ICP on only the refined extrinsics are compared —
+    the solver's ~1e-7 cross-partitioning float noise legitimately moves
+    single points across voxel boundaries, which is not the property under
+    test."""
+    import dataclasses as dc
     ncam = len(jax.devices())
     depths, intr, ext = _mixed_scene(ncam)
-    cfg = _cfg(ncam)
-    if path == "gspmd":
-        fn = make_sharded_stitch(cfg, make_mesh())
-    else:
+
+    def build(cfg):
+        if path == "gspmd":
+            return cfg, make_sharded_stitch(cfg, make_mesh())
         from pointcloud_stitching_tpu.parallel import make_shardmap_stitch
-        import dataclasses
-        cfg = dataclasses.replace(cfg, cam_voxel_enabled=True)
-        fn = make_shardmap_stitch(cfg, make_mesh())
-    out_sharded = fn(intr, jnp.asarray(ext), jnp.asarray(depths))
-    out_single = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths))
+        cfg = dc.replace(cfg, cam_voxel_enabled=True)
+        return cfg, make_shardmap_stitch(cfg, make_mesh())
+
+    # exact cloud parity, ICP off
+    cfg0, fn0 = build(dc.replace(_cfg(ncam, icp=False), out_capacity=32768))
+    out_sharded = fn0(intr, jnp.asarray(ext), jnp.asarray(depths))
+    out_single = stitch_step(cfg0, intr, jnp.asarray(ext),
+                             jnp.asarray(depths))
     a = np.asarray(out_sharded.cloud.xyz)[np.asarray(out_sharded.cloud.mask)]
     b = np.asarray(out_single.cloud.xyz)[np.asarray(out_single.cloud.mask)]
     assert a.shape == b.shape
     np.testing.assert_allclose(np.sort(a, axis=0), np.sort(b, axis=0),
                                atol=1e-4)
+
+    # refined-extrinsics parity, ICP on (exercises distortion through the
+    # whole ring-ICP path)
+    cfg1, fn1 = build(_cfg(ncam))
+    o_sh = fn1(intr, jnp.asarray(ext), jnp.asarray(depths))
+    o_si = stitch_step(cfg1, intr, jnp.asarray(ext), jnp.asarray(depths))
+    np.testing.assert_allclose(np.asarray(o_sh.extrinsics),
+                               np.asarray(o_si.extrinsics), atol=1e-5)
 
 
 def test_sharded_no_icp_matches():
