@@ -297,11 +297,21 @@ class StitchingPipeline:
 
     def __init__(self, cfg: StitchConfig, intr: Intrinsics,
                  extrinsics: jax.Array, update_mode: str = "anchored",
-                 ema_alpha: float = 0.05):
+                 ema_alpha: float = 0.05,
+                 color_intr: Optional[Intrinsics] = None,
+                 color_ext: Optional[jax.Array] = None):
+        """color_intr/color_ext: per-camera color-stream calibration for
+        non-aligned color (texture mapping — see stitch_step); required when
+        cfg.color_height is set."""
         if update_mode not in ("anchored", "track", "ema"):
             raise ValueError(update_mode)
+        if cfg.color_height is not None and color_intr is None:
+            raise ValueError("cfg.color_height set but no color_intr given")
         self.cfg = cfg
         self.intr = intr
+        self.color_intr = color_intr
+        self.color_ext = (None if color_ext is None
+                          else jnp.asarray(color_ext, jnp.float32))
         self.extrinsics = jnp.asarray(extrinsics, jnp.float32)
         self.update_mode = update_mode
         self.ema_alpha = ema_alpha
@@ -320,7 +330,8 @@ class StitchingPipeline:
                                           self.ema_alpha)
 
     def __call__(self, depths, colors=None, cam_mask=None) -> StitchOutput:
-        out = self._step(self.intr, self.extrinsics, depths, colors, cam_mask)
+        out = self._step(self.intr, self.extrinsics, depths, colors, cam_mask,
+                         self.color_intr, self.color_ext)
         self._update(out.extrinsics)
         return out
 

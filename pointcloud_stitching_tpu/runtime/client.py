@@ -37,7 +37,7 @@ class _CameraSlot:
     """
 
     def __init__(self, h: int, w: int, points: bool = False,
-                 color: bool = False):
+                 color: bool = False, color_shape=None):
         self.points = points
         self.color = color
         if points:
@@ -46,7 +46,8 @@ class _CameraSlot:
             self.count = 0
         else:
             self.frame = np.zeros((h, w), np.uint16)
-            self.rgb = np.zeros((h, w, 3), np.uint8) if color else None
+            ch, cw = color_shape if color_shape is not None else (h, w)
+            self.rgb = np.zeros((ch, cw, 3), np.uint8) if color else None
         self.seq = -1
         self.stamp = 0.0
         self.lock = threading.Lock()
@@ -120,8 +121,15 @@ class CameraIngest(threading.Thread):
                         self.slot.stamp = time.time()
                     continue
                 rgb = None
-                if kind == Kind.DEPTH16_COLOR:
+                if kind in (Kind.DEPTH16_COLOR, Kind.DEPTH16_COLOR_NATIVE):
                     payload, rgb = payload
+                    if self.slot.rgb is not None and \
+                            rgb.shape != self.slot.rgb.shape:
+                        raise ValueError(
+                            f"camera {self.index} sent color {rgb.shape} "
+                            f"but the pipeline expects "
+                            f"{self.slot.rgb.shape} (set StitchConfig "
+                            f"color_height/color_width to match)")
                 elif kind != Kind.DEPTH16:
                     raise ValueError(f"unexpected frame kind {kind}")
                 if payload.shape != self.slot.frame.shape:
@@ -167,9 +175,11 @@ class MulticameraClient:
         self.metrics = FrameMetrics()
         self.stages = StageTimer()
         self._stop = threading.Event()
+        cshape = (None if cfg.color_height is None
+                  else (cfg.color_height, cfg.color_width))
         self._slots = [_CameraSlot(cfg.height, cfg.width,
                                    points=payload == "points",
-                                   color=cfg.with_color)
+                                   color=cfg.with_color, color_shape=cshape)
                        for _ in addresses]
         self._threads = [
             CameraIngest(i, addr, slot, self._stop,
@@ -237,8 +247,10 @@ class MulticameraClient:
                 mask[i] = fresh
             return (xyz, pmask, rgb), mask
         depths = np.empty((cfg.num_cameras, cfg.height, cfg.width), np.uint16)
-        colors = (np.zeros((cfg.num_cameras, cfg.height, cfg.width, 3),
-                           np.uint8) if cfg.with_color else None)
+        ch = cfg.color_height or cfg.height
+        cw = cfg.color_width or cfg.width
+        colors = (np.zeros((cfg.num_cameras, ch, cw, 3), np.uint8)
+                  if cfg.with_color else None)
         for i, s in enumerate(self._slots):
             with s.lock:
                 depths[i] = s.frame

@@ -42,8 +42,12 @@ class FakeCameraServer:
                  die_after: Optional[int] = None,
                  points: bool = False,
                  color: bool = False,
+                 color_shape: Optional[tuple] = None,
                  intrinsics: tuple = (421.5, 421.1, None, None),
                  depth_scale: float = 0.001):
+        """``color_shape=(Hc, Wc)`` serves color at its own resolution
+        (DEPTH16_COLOR_NATIVE — an unaligned rs2 color stream); None keeps
+        depth-aligned color (DEPTH16_COLOR)."""
         if frames.ndim != 3 or frames.dtype != np.uint16:
             raise ValueError("frames must be [T, H, W] uint16")
         self.frames = frames
@@ -52,6 +56,13 @@ class FakeCameraServer:
         if color:
             # synthetic depth-aligned RGB: hue from depth, stable per pixel
             d = frames.astype(np.float32)
+            if color_shape is not None:
+                # resample to the color stream's own grid (nearest)
+                hc, wc = color_shape
+                h, w = frames.shape[1:]
+                vi = (np.arange(hc) * h // hc)
+                ui = (np.arange(wc) * w // wc)
+                d = d[:, vi][:, :, ui]
             self.colors = np.stack([
                 np.clip(d / 16.0, 0, 255),
                 np.clip(255 - d / 16.0, 0, 255),
@@ -194,6 +205,9 @@ def main(argv=None):
                     help="serve packed int16-mm points (reference legacy mode)")
     ap.add_argument("--color", action="store_true",
                     help="attach synthetic depth-aligned RGB")
+    ap.add_argument("--color-size", default=None, metavar="HxW",
+                    help="serve color at its own resolution (unaligned "
+                         "stream, DEPTH16_COLOR_NATIVE), e.g. 720x1280")
     ap.add_argument("--stall-after", type=int, default=None)
     ap.add_argument("--die-after", type=int, default=None)
     args = ap.parse_args(argv)
@@ -205,11 +219,16 @@ def main(argv=None):
                                   args.seed)
     codec = {"raw": Codec.RAW, "zlib": Codec.ZLIB,
              "snappy": Codec.SNAPPY}[args.codec]
+    cshape = None
+    if args.color_size:
+        hc, wc = args.color_size.lower().split("x")
+        cshape = (int(hc), int(wc))
     srv = FakeCameraServer(frames, port=args.port, host=args.host,
                            fps=args.fps, codec=codec,
                            stall_after=args.stall_after,
                            die_after=args.die_after,
-                           points=args.points, color=args.color)
+                           points=args.points, color=args.color,
+                           color_shape=cshape)
     srv.start()
     mode = "points" if args.points else "depth"
     print(f"fake camera server on {args.host}:{srv.port} "

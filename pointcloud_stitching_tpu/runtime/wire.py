@@ -41,7 +41,11 @@ PULL = b"\x01"  # client→server frame request (reference: 1-byte pull)
 class Kind(enum.IntEnum):
     DEPTH16 = 0
     POINTS_I16MM = 1
-    DEPTH16_COLOR = 2  # depth u16 + RGB u8 interleaved after depth block
+    DEPTH16_COLOR = 2  # depth u16 + depth-aligned RGB u8 after depth block
+    # depth u16 + color at the COLOR stream's own resolution (u16 crows,
+    # u16 ccols, then RGB u8) — for cameras that don't run the rs2 align
+    # block; the device texture-maps it (ops.deproject.map_color)
+    DEPTH16_COLOR_NATIVE = 3
 
 
 class Codec(enum.IntEnum):
@@ -140,10 +144,15 @@ def encode_depth_frame(depth: np.ndarray, seq: int,
         return encode_frame(depth.tobytes(), Kind.DEPTH16, codec, seq,
                             rows=depth.shape[0], cols=depth.shape[1])
     color = np.ascontiguousarray(color, dtype=np.uint8)
-    if color.shape[:2] != depth.shape:
-        raise ValueError("color must be depth-aligned [H, W, 3]")
-    return encode_frame(depth.tobytes() + color.tobytes(),
-                        Kind.DEPTH16_COLOR, codec, seq,
+    if color.shape[:2] == depth.shape:
+        return encode_frame(depth.tobytes() + color.tobytes(),
+                            Kind.DEPTH16_COLOR, codec, seq,
+                            rows=depth.shape[0], cols=depth.shape[1])
+    # non-aligned color stream: ship it at its own resolution, dims inline
+    ch, cw = color.shape[:2]
+    return encode_frame(depth.tobytes() + struct.pack("<HH", ch, cw)
+                        + color.tobytes(),
+                        Kind.DEPTH16_COLOR_NATIVE, codec, seq,
                         rows=depth.shape[0], cols=depth.shape[1])
 
 
@@ -164,6 +173,12 @@ def decode_frame(header: bytes, body: bytes):
         depth = np.frombuffer(raw[:nd], dtype="<u2").reshape(rows, cols)
         rgb = np.frombuffer(raw[nd:], dtype=np.uint8).reshape(rows, cols, 3)
         return Kind.DEPTH16_COLOR, seq, (depth, rgb)
+    if kind == Kind.DEPTH16_COLOR_NATIVE:
+        nd = rows * cols * 2
+        depth = np.frombuffer(raw[:nd], dtype="<u2").reshape(rows, cols)
+        ch, cw = struct.unpack_from("<HH", raw, nd)
+        rgb = np.frombuffer(raw[nd + 4:], dtype=np.uint8).reshape(ch, cw, 3)
+        return Kind.DEPTH16_COLOR_NATIVE, seq, (depth, rgb)
     if kind == Kind.POINTS_I16MM:
         return (Kind.POINTS_I16MM, seq,
                 unpack_points_i16mm(raw, with_rgb=bool(flags & FLAG_HAS_RGB)))

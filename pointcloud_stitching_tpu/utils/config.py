@@ -25,6 +25,12 @@ class StitchConfig:
     z_max: float = 10.0
     decimation: int = 1          # grid-stride depth decimation (server-side in ref)
     with_color: bool = False
+    # non-aligned color stream resolution (DEPTH16_COLOR_NATIVE wire kind):
+    # None = color is depth-aligned [height, width]. When set, the pipeline
+    # texture-maps color through separate color intrinsics + depth->color
+    # extrinsics (StitchingPipeline color_intr/color_ext).
+    color_height: int | None = None
+    color_width: int | None = None
 
     # optional per-camera voxel pre-downsample. Off by default: single-chip,
     # fusing raw clouds into one global voxel pass is cheaper AND matches the
@@ -83,6 +89,10 @@ class StitchConfig:
                 raise ValueError(f"{name} must be positive")
         if self.decimation < 1:
             raise ValueError("decimation must be >= 1")
+        if (self.color_height is None) != (self.color_width is None):
+            raise ValueError("set both color_height and color_width or neither")
+        if self.color_height is not None and not self.with_color:
+            raise ValueError("color_height/width require with_color=True")
 
     @property
     def pixels_per_camera(self) -> int:

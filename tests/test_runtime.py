@@ -86,6 +86,61 @@ def test_loopback_stream_end_to_end():
             s.stop()
 
 
+def test_native_color_wire_roundtrip(rng):
+    """DEPTH16_COLOR_NATIVE: color rides at its own resolution."""
+    from pointcloud_stitching_tpu.runtime.wire import (decode_frame,
+                                                       encode_depth_frame,
+                                                       HEADER_SIZE, Kind)
+    depth = rng.integers(0, 4000, (60, 106)).astype(np.uint16)
+    color = rng.integers(0, 256, (45, 80, 3)).astype(np.uint8)
+    frame = encode_depth_frame(depth, 7, color=color)
+    kind, seq, (d, c) = decode_frame(frame[:HEADER_SIZE], frame[HEADER_SIZE:])
+    assert kind == Kind.DEPTH16_COLOR_NATIVE and seq == 7
+    np.testing.assert_array_equal(d, depth)
+    np.testing.assert_array_equal(c, color)
+
+
+def test_loopback_native_color_stream():
+    """Unaligned color end to end: fake servers ship color at its own
+    resolution, the pipeline texture-maps it through separate color
+    intrinsics + depth->color extrinsics (rs2 map_to semantics)."""
+    from pointcloud_stitching_tpu.utils.config import StitchConfig as SC
+
+    ncam, h, w = 2, 60, 106
+    hc, wc = 45, 80
+    servers = [FakeCameraServer(synthetic_frames(6, h, w, seed=s),
+                                color=True, color_shape=(hc, wc)).start()
+               for s in range(ncam)]
+    try:
+        cfg = SC(num_cameras=ncam, height=h, width=w,
+                 cam_voxel_leaf=0.03, cam_capacity=4096,
+                 out_voxel_leaf=0.03, out_capacity=8192,
+                 icp_enabled=False, with_color=True,
+                 color_height=hc, color_width=wc)
+        i0 = Intrinsics.create(fx=53.0, fy=53.0, ppx=w / 2, ppy=h / 2,
+                               width=w, height=h)
+        ci = Intrinsics.create(fx=40.0, fy=40.0, ppx=wc / 2, ppy=hc / 2,
+                               width=wc, height=hc)
+        ext = np.tile(np.eye(4, dtype=np.float32), (ncam, 1, 1))
+        c_ext = np.tile(np.eye(4, dtype=np.float32), (ncam, 1, 1))
+        c_ext[:, 0, 3] = 0.015
+        pipe = StitchingPipeline(cfg, i0.stack([i0] * (ncam - 1)), ext,
+                                 color_intr=ci.stack([ci] * (ncam - 1)),
+                                 color_ext=c_ext)
+        client = MulticameraClient(
+            [("127.0.0.1", s.port) for s in servers], pipe).start()
+        assert client.wait_for_first_frames(timeout=10)
+        out = client.step()
+        assert out is not None and out.cloud.rgb is not None
+        m = np.asarray(out.cloud.mask)
+        rgb = np.asarray(out.cloud.rgb)[m]
+        assert m.sum() > 100 and (rgb > 0).any()
+        client.stop()
+    finally:
+        for s in servers:
+            s.stop()
+
+
 def test_overlap_pipeline_matches_serial():
     """The software-pipelined run loop (H2D of frame N+1 overlapping frame
     N's compute — VERDICT r1 weak #3) must deliver the same number of
