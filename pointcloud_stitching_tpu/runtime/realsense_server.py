@@ -48,11 +48,29 @@ def _open_pipeline(width: int, height: int, fps: int):
     return pipeline, meta
 
 
+def dump_intrinsics(meta: dict, width: int, height: int, path: str) -> None:
+    """Write the device's depth intrinsics as a stitch_cli-loadable
+    .intr.json (io.calio.load_intrinsics). The rs2 model string maps to the
+    DistortionModel enum values deprojection understands."""
+    import json
+    m = str(meta.get("model", "")).lower()
+    model = 2 if "inverse" in m else (1 if "brown" in m else 0)
+    with open(path, "w") as f:
+        json.dump({"fx": meta["fx"], "fy": meta["fy"],
+                   "ppx": meta["ppx"], "ppy": meta["ppy"],
+                   "coeffs": list(meta["coeffs"]), "model": model,
+                   "width": width, "height": height}, f, indent=2)
+    print(f"wrote intrinsics to {path}", flush=True)
+
+
 def serve(port: int, host: str = "0.0.0.0", width: int = 848,
           height: int = 480, fps: int = 30, codec: Codec = Codec.SNAPPY,
-          points: bool = False, decimation: int = 1) -> None:
+          points: bool = False, decimation: int = 1,
+          dump_intr: str | None = None) -> None:
     pipeline, meta = _open_pipeline(width, height, fps)
     print(f"camera intrinsics: {meta}", flush=True)
+    if dump_intr:
+        dump_intrinsics(meta, width, height, dump_intr)
 
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -109,11 +127,14 @@ def main(argv=None):
                     default="snappy")
     ap.add_argument("--points", action="store_true")
     ap.add_argument("--decimation", type=int, default=1)
+    ap.add_argument("--dump-intrinsics", metavar="PATH",
+                    help="write the device's depth intrinsics to PATH as "
+                         ".intr.json (for stitch_cli --intr-dir)")
     args = ap.parse_args(argv)
     serve(args.port, args.host, args.width, args.height, args.fps,
           {"raw": Codec.RAW, "zlib": Codec.ZLIB,
            "snappy": Codec.SNAPPY}[args.codec],
-          args.points, args.decimation)
+          args.points, args.decimation, dump_intr=args.dump_intrinsics)
 
 
 if __name__ == "__main__":

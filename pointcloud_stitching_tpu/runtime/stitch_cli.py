@@ -33,6 +33,11 @@ def main(argv=None):
                     help="host:port of a camera server (repeat per camera)")
     ap.add_argument("--cal-dir", help="directory of per-camera .cal files "
                                       "(sorted by name = camera order)")
+    ap.add_argument("--intr-dir",
+                    help="directory of per-camera .intr.json intrinsics "
+                         "(sorted by name = camera order; default: nominal "
+                         "D435 factory values — fine for fake servers, wrong "
+                         "for real cameras)")
     ap.add_argument("--config", help="StitchConfig JSON path")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--print-every", type=int, default=30)
@@ -94,8 +99,20 @@ def main(argv=None):
     else:
         ext = np.tile(np.eye(4, dtype=np.float32), (ncam, 1, 1))
 
-    i0 = Intrinsics.d435_default(width=cfg.width, height=cfg.height)
-    intr = i0.stack([i0] * (ncam - 1)) if ncam > 1 else i0.stack([])
+    if args.intr_dir:
+        from ..io.calio import discover_intrinsics, load_intrinsics_stack
+        ipaths = discover_intrinsics(args.intr_dir)
+        if len(ipaths) != ncam:
+            raise SystemExit(f"{len(ipaths)} .intr.json files for "
+                             f"{ncam} cameras")
+        intr = load_intrinsics_stack(ipaths)
+        if intr.width != cfg.width or intr.height != cfg.height:
+            raise SystemExit(
+                f"intrinsics are {intr.width}x{intr.height} but the pipeline "
+                f"is configured {cfg.width}x{cfg.height}")
+    else:
+        i0 = Intrinsics.d435_default(width=cfg.width, height=cfg.height)
+        intr = i0.stack([i0] * (ncam - 1)) if ncam > 1 else i0.stack([])
 
     pipe = StitchingPipeline(cfg, intr, ext)
     client = MulticameraClient(

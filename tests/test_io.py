@@ -36,6 +36,35 @@ def test_discover_and_stack(tmp_path):
     np.testing.assert_allclose(Ts[1], random_se3(seed=1), atol=1e-7)
 
 
+def test_intrinsics_roundtrip_and_stack(tmp_path):
+    """Per-camera .intr.json files: roundtrip, discovery order, and a mixed
+    distortion-model rig stacking to MIXED."""
+    from pointcloud_stitching_tpu import DistortionModel, Intrinsics
+    from pointcloud_stitching_tpu.io import (discover_intrinsics,
+                                             load_intrinsics,
+                                             load_intrinsics_stack,
+                                             save_intrinsics)
+
+    a = Intrinsics.create(fx=421.5, fy=421.1, ppx=423.2, ppy=238.9,
+                          width=848, height=480)
+    b = Intrinsics.create(fx=420.0, fy=419.8, ppx=424.0, ppy=240.1,
+                          coeffs=[0.1, -0.05, 0.001, -0.002, 0.01],
+                          width=848, height=480,
+                          model=DistortionModel.BROWN_CONRADY)
+    save_intrinsics(str(tmp_path / "cam0.intr.json"), a)
+    save_intrinsics(str(tmp_path / "cam1.intr.json"), b)
+    paths = discover_intrinsics(str(tmp_path))
+    assert [p.split("/")[-1] for p in paths] == ["cam0.intr.json",
+                                                 "cam1.intr.json"]
+    got = load_intrinsics(paths[1])
+    assert float(got.fx) == 420.0 and got.model == 1
+    np.testing.assert_allclose(np.asarray(got.coeffs),
+                               [0.1, -0.05, 0.001, -0.002, 0.01])
+    stack = load_intrinsics_stack(paths)
+    assert stack.model == int(DistortionModel.MIXED)
+    assert stack.fx.shape == (2,)
+
+
 @pytest.mark.parametrize("binary", [True, False])
 @pytest.mark.parametrize("with_rgb", [True, False])
 def test_ply_roundtrip(tmp_path, rng, binary, with_rgb):

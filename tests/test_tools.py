@@ -183,6 +183,46 @@ def test_pick_cli_to_register_cli_end_to_end(tmp_path, rng):
     np.testing.assert_allclose(T, T_true, atol=5e-3)
 
 
+def test_stitch_cli_with_intr_dir(tmp_path):
+    """Full CLI drive: fake servers + per-camera .intr.json intrinsics ->
+    stitched PLY snapshots (the real-rig bring-up path: intrinsics come from
+    files the camera daemon dumps, not hard-coded factory values)."""
+    from pointcloud_stitching_tpu import Intrinsics
+    from pointcloud_stitching_tpu.io import save_intrinsics
+
+    h, w = 60, 106
+    ncam = 2
+    servers = [FakeCameraServer(synthetic_frames(6, h, w, seed=s)).start()
+               for s in range(ncam)]
+    try:
+        idir = tmp_path / "intr"
+        os.makedirs(idir)
+        for i in range(ncam):
+            save_intrinsics(
+                str(idir / f"cam{i}.intr.json"),
+                Intrinsics.create(fx=53.0 + i, fy=53.0, ppx=w / 2,
+                                  ppy=h / 2, width=w, height=h))
+        out_dir = tmp_path / "out"
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+        cmd = [sys.executable, "-m",
+               "pointcloud_stitching_tpu.runtime.stitch_cli",
+               "--frames", "3", "--height", str(h), "--width", str(w),
+               "--no-icp", "--intr-dir", str(idir),
+               "--save-dir", str(out_dir), "--save-every", "1"]
+        for s in servers:
+            cmd += ["--camera", f"127.0.0.1:{s.port}"]
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                           timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        plys = [f for f in os.listdir(out_dir) if f.endswith(".ply")]
+        assert plys
+        xyz, _ = load_ply(os.path.join(out_dir, sorted(plys)[0]))
+        assert len(xyz) > 100
+    finally:
+        for s in servers:
+            s.stop()
+
+
 def test_record_and_replay(tmp_path):
     """Client records incoming frames; the recording replays byte-identically
     through a new fake server (SURVEY.md §5 record+replay)."""
