@@ -46,14 +46,32 @@ size_t pcs_snappy_compress(const uint8_t* in, size_t n, uint8_t* out);
 namespace {
 
 constexpr uint8_t kKindDepth16 = 0;
+constexpr uint8_t kKindDepth16Color = 2;
 constexpr uint8_t kCodecRaw = 0;
 constexpr uint8_t kCodecSnappy = 2;
 
 struct Frames {
   size_t t = 0, h = 0, w = 0;
   std::vector<uint16_t> data;
+  std::vector<uint8_t> rgb;  // empty, or [t, h, w, 3] depth-aligned color
   const uint16_t* frame(size_t i) const { return data.data() + (i % t) * h * w; }
+  const uint8_t* color(size_t i) const { return rgb.data() + (i % t) * h * w * 3; }
 };
+
+// Synthetic depth-aligned RGB, same formula as the Python fake server
+// (runtime/fake_server.py): hue from depth, stable per pixel.
+void make_colors(Frames* fr) {
+  fr->rgb.resize(fr->data.size() * 3);
+  for (size_t i = 0; i < fr->data.size(); ++i) {
+    const float d = static_cast<float>(fr->data[i]);
+    auto clip = [](float x) {
+      return static_cast<uint8_t>(x < 0.f ? 0.f : (x > 255.f ? 255.f : x));
+    };
+    fr->rgb[i * 3 + 0] = clip(d / 16.0f);
+    fr->rgb[i * 3 + 1] = clip(255.0f - d / 16.0f);
+    fr->rgb[i * 3 + 2] = 128;
+  }
+}
 
 // Minimal .npy (v1/v2) reader for little-endian uint16 C-order arrays.
 bool load_npy_u16(const std::string& path, Frames* out) {
@@ -134,9 +152,12 @@ bool send_all(int fd, const uint8_t* p, size_t n) {
 }
 
 void serve_client(int fd, const Frames& fr, uint8_t codec, double fps) {
-  std::vector<uint8_t> out;
-  const size_t raw_len = fr.h * fr.w * 2;
+  const bool with_color = !fr.rgb.empty();
+  std::vector<uint8_t> out, staging;
+  const size_t depth_len = fr.h * fr.w * 2;
+  const size_t raw_len = depth_len + (with_color ? fr.h * fr.w * 3 : 0);
   out.resize(16 + pcs_snappy_max_compressed_length(raw_len));
+  if (with_color) staging.resize(raw_len);
   uint32_t seq = 0;
   auto last = std::chrono::steady_clock::now();
   for (;;) {
@@ -149,8 +170,14 @@ void serve_client(int fd, const Frames& fr, uint8_t codec, double fps) {
       std::this_thread::sleep_until(next);
       last = std::chrono::steady_clock::now();
     }
-    const uint8_t* raw =
-        reinterpret_cast<const uint8_t*>(fr.frame(seq));
+    const uint8_t* raw = reinterpret_cast<const uint8_t*>(fr.frame(seq));
+    if (with_color) {
+      // DEPTH16_COLOR payload: depth block then RGB block (wire.py)
+      std::memcpy(staging.data(), raw, depth_len);
+      std::memcpy(staging.data() + depth_len, fr.color(seq),
+                  raw_len - depth_len);
+      raw = staging.data();
+    }
     size_t body;
     if (codec == kCodecSnappy) {
       body = pcs_snappy_compress(raw, raw_len, out.data() + 16);
@@ -162,7 +189,7 @@ void serve_client(int fd, const Frames& fr, uint8_t codec, double fps) {
     uint16_t rows = static_cast<uint16_t>(fr.h);
     uint16_t cols = static_cast<uint16_t>(fr.w);
     std::memcpy(out.data() + 0, &size32, 4);
-    out[4] = kKindDepth16;
+    out[4] = with_color ? kKindDepth16Color : kKindDepth16;
     out[5] = codec;
     out[6] = 0;
     out[7] = 0;
@@ -184,11 +211,13 @@ int main(int argc, char** argv) {
   unsigned seed = 0;
   uint8_t codec = kCodecSnappy;
   double fps = 0.0;
+  bool color = false;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() { return std::string(argv[++i]); };
     if (a == "--port") port = std::stoi(next());
     else if (a == "--file") file = next();
+    else if (a == "--color") color = true;
     else if (a == "--synthetic") synthetic = true;
     else if (a == "--n-frames") n_frames = std::stoul(next());
     else if (a == "--height") height = std::stoul(next());
@@ -201,7 +230,7 @@ int main(int argc, char** argv) {
       std::fprintf(stderr,
                    "usage: %s [--port P] (--file X.npy | --synthetic) "
                    "[--n-frames T --height H --width W --seed S] "
-                   "[--fps F] [--codec snappy|raw]\n", argv[0]);
+                   "[--fps F] [--codec snappy|raw] [--color]\n", argv[0]);
       return 2;
     }
   }
@@ -218,6 +247,7 @@ int main(int argc, char** argv) {
     std::fprintf(stderr, "need --file or --synthetic\n");
     return 2;
   }
+  if (color) make_colors(&fr);
 
   int srv = ::socket(AF_INET, SOCK_STREAM, 0);
   int one = 1;

@@ -52,6 +52,33 @@ def test_native_server_snappy_stream(server_bin):
         p.terminate()
 
 
+def test_native_server_color_stream(server_bin):
+    """--color serves DEPTH16_COLOR with the same synthetic RGB formula as
+    the Python fake server (hue from depth)."""
+    from pointcloud_stitching_tpu.runtime.wire import (Kind, recv_frame,
+                                                       send_pull)
+    p, port = _start([server_bin, "--port", "18922", "--synthetic",
+                      "--n-frames", "3", "--height", "48", "--width", "128",
+                      "--color"])
+    try:
+        s = socket.create_connection(("127.0.0.1", 18922), timeout=5)
+        for i in range(3):
+            send_pull(s)
+            kind, seq, payload = recv_frame(s)
+            assert kind == Kind.DEPTH16_COLOR and seq == i
+            depth, rgb = payload
+            assert depth.shape == (48, 128) and rgb.shape == (48, 128, 3)
+            d = depth.astype(np.float32)
+            np.testing.assert_array_equal(
+                rgb[..., 0], np.clip(d / 16.0, 0, 255).astype(np.uint8))
+            np.testing.assert_array_equal(
+                rgb[..., 1], np.clip(255 - d / 16.0, 0, 255).astype(np.uint8))
+            assert (rgb[..., 2] == 128).all()
+        s.close()
+    finally:
+        p.terminate()
+
+
 def test_native_server_npy_replay(server_bin, tmp_path):
     from pointcloud_stitching_tpu.runtime.wire import recv_frame, send_pull
     frames = (np.arange(3 * 16 * 32) % 2000).reshape(3, 16, 32).astype(
