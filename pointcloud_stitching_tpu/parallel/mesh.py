@@ -60,17 +60,42 @@ def make_sharded_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
     cam = NamedSharding(mesh, P(axis))
     cam3 = NamedSharding(mesh, P(axis, None, None))
 
-    def step(intr, extrinsics, depths):
-        return stitch_step(cfg, intr, extrinsics, depths)
+    def step(intr, extrinsics, depths, colors=None, cam_mask=None,
+             color_intr=None, color_ext=None):
+        return stitch_step(cfg, intr, extrinsics, depths, colors, cam_mask,
+                           color_intr, color_ext)
 
-    # `cam` as a pytree prefix shards every per-camera Intrinsics field on its
-    # leading (camera) axis; depths shard their camera rows the same way.
+    # `cam` as a pytree prefix shards every per-camera Intrinsics field on
+    # its leading (camera) axis; depths/colors shard their camera rows the
+    # same way. Optional args (colors, per-camera color calibration, the
+    # cam_mask — which is replicated: every chip needs every camera's
+    # liveness for the ring composition) keep working: None entries are
+    # empty pytrees, so their shardings are ignored.
+    rep = NamedSharding(mesh, P())
     in_shardings = (
         cam,                                    # intr (prefix → all fields)
         cam3,                                   # extrinsics [ncam, 4, 4]
         cam,                                    # depths [ncam, H, W]
+        cam,                                    # colors [ncam, H(c), W(c), 3]
+        rep,                                    # cam_mask [ncam]
+        cam,                                    # color_intr (prefix)
+        cam3,                                   # color_ext [ncam, 4, 4]
     )
-    return jax.jit(step, in_shardings=in_shardings)
+    jitted = jax.jit(step, in_shardings=in_shardings)
+
+    def call(intr, extrinsics, depths, colors=None, cam_mask=None,
+             color_intr=None, color_ext=None):
+        # always pass all positions: pjit requires in_shardings to match
+        # the call's positional arity (None = empty pytree, sharding unused)
+        return jitted(intr, extrinsics, depths, colors, cam_mask,
+                      color_intr, color_ext)
+
+    # keep jit introspection available (tests inspect the compiled HLO)
+    call.lower = lambda intr, extrinsics, depths, colors=None, \
+        cam_mask=None, color_intr=None, color_ext=None: jitted.lower(
+            intr, extrinsics, depths, colors, cam_mask, color_intr,
+            color_ext)
+    return call
 
 
 def replicate(mesh: Mesh, x):

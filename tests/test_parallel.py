@@ -111,6 +111,36 @@ def test_sharded_mixed_distortion_matches_single_device(path):
                                np.asarray(o_si.extrinsics), atol=1e-5)
 
 
+def test_sharded_colored_stream_matches_single_device():
+    """Colored (and texture-mapped) streams through the GSPMD path."""
+    ncam = len(jax.devices())
+    depths, intr, ext = _scene(ncam)
+    rng = np.random.default_rng(5)
+    hc, wc = 45, 80
+    colors = rng.integers(0, 256, (ncam, hc, wc, 3)).astype(np.uint8)
+    ci = Intrinsics.create(fx=40.0, fy=40.0, ppx=wc / 2, ppy=hc / 2,
+                           width=wc, height=hc)
+    cintr = ci.stack([ci] * (ncam - 1))
+    c_ext = np.tile(np.eye(4, dtype=np.float32), (ncam, 1, 1))
+    c_ext[:, 0, 3] = 0.015
+    cfg = _cfg(ncam, icp=False)
+    fn = make_sharded_stitch(cfg, make_mesh())
+    kw = dict(colors=jnp.asarray(colors), color_intr=cintr,
+              color_ext=jnp.asarray(c_ext))
+    out_sh = fn(intr, jnp.asarray(ext), jnp.asarray(depths), **kw)
+    out_si = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths),
+                         **kw)
+    assert out_sh.cloud.rgb is not None
+    m_sh, m_si = np.asarray(out_sh.cloud.mask), np.asarray(out_si.cloud.mask)
+    a = np.concatenate([np.asarray(out_sh.cloud.xyz)[m_sh],
+                        np.asarray(out_sh.cloud.rgb)[m_sh]], axis=1)
+    b = np.concatenate([np.asarray(out_si.cloud.xyz)[m_si],
+                        np.asarray(out_si.cloud.rgb)[m_si]], axis=1)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.sort(a, axis=0), np.sort(b, axis=0),
+                               atol=1e-4)
+
+
 def test_sharded_no_icp_matches():
     ncam = len(jax.devices())
     depths, intr, ext = _scene(ncam)
