@@ -71,9 +71,11 @@ class CameraIngest(threading.Thread):
         self._reconnect = reconnect
         self._backoff = reconnect_backoff
         # record+replay (SURVEY.md §5 checkpoint/record): keep the first K
-        # received depth frames for .npy export via Client.save_recording
+        # received depth (+color) frames for .npy export via
+        # Client.save_recording
         self.record_frames = record_frames
         self.recorded: list[np.ndarray] = []
+        self.recorded_color: list[np.ndarray] = []
 
     def run(self) -> None:
         """Pull loop with reconnection: a dead camera server marks its slot
@@ -139,6 +141,8 @@ class CameraIngest(threading.Thread):
                         f"(set StitchConfig height/width to match)")
                 if len(self.recorded) < self.record_frames:
                     self.recorded.append(payload.copy())
+                    if rgb is not None:
+                        self.recorded_color.append(rgb.copy())
                 with self.slot.lock:
                     self.slot.frame[...] = payload
                     if self.slot.rgb is not None and rgb is not None:
@@ -187,8 +191,9 @@ class MulticameraClient:
             for i, (addr, slot) in enumerate(zip(addresses, self._slots))]
 
     def save_recording(self, directory: str) -> list[str]:
-        """Dump recorded per-camera depth streams as replayable .npy files
-        (feed them back through fake_server --frames)."""
+        """Dump recorded per-camera depth (+color) streams as replayable
+        .npy files (feed them back through fake_server --frames
+        [--color-frames])."""
         import os
         os.makedirs(directory, exist_ok=True)
         paths = []
@@ -196,6 +201,10 @@ class MulticameraClient:
             if t.recorded:
                 p = os.path.join(directory, f"cam{t.index}.npy")
                 np.save(p, np.stack(t.recorded))
+                paths.append(p)
+            if t.recorded_color:
+                p = os.path.join(directory, f"cam{t.index}_color.npy")
+                np.save(p, np.stack(t.recorded_color))
                 paths.append(p)
         return paths
 

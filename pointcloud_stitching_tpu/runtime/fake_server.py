@@ -43,17 +43,25 @@ class FakeCameraServer:
                  points: bool = False,
                  color: bool = False,
                  color_shape: Optional[tuple] = None,
+                 color_frames: Optional[np.ndarray] = None,
                  intrinsics: tuple = (421.5, 421.1, None, None),
                  depth_scale: float = 0.001):
         """``color_shape=(Hc, Wc)`` serves color at its own resolution
         (DEPTH16_COLOR_NATIVE — an unaligned rs2 color stream); None keeps
-        depth-aligned color (DEPTH16_COLOR)."""
+        depth-aligned color (DEPTH16_COLOR). ``color_frames`` replays a
+        recorded [T, Hc, Wc, 3] u8 stream (what save_recording writes)
+        instead of synthesising color from depth."""
         if frames.ndim != 3 or frames.dtype != np.uint16:
             raise ValueError("frames must be [T, H, W] uint16")
         self.frames = frames
-        self.color = color
+        self.color = color or color_frames is not None
         self.colors: Optional[np.ndarray] = None
-        if color:
+        color = self.color
+        if color_frames is not None:
+            if color_frames.ndim != 4 or color_frames.shape[0] != len(frames):
+                raise ValueError("color_frames must be [T, Hc, Wc, 3]")
+            self.colors = np.ascontiguousarray(color_frames, np.uint8)
+        elif color:
             # synthetic depth-aligned RGB: hue from depth, stable per pixel
             d = frames.astype(np.float32)
             if color_shape is not None:
@@ -208,6 +216,9 @@ def main(argv=None):
     ap.add_argument("--color-size", default=None, metavar="HxW",
                     help="serve color at its own resolution (unaligned "
                          "stream, DEPTH16_COLOR_NATIVE), e.g. 720x1280")
+    ap.add_argument("--color-frames", default=None,
+                    help=".npy of recorded [T,Hc,Wc,3] u8 color (what "
+                         "--record-dir saves as camN_color.npy)")
     ap.add_argument("--stall-after", type=int, default=None)
     ap.add_argument("--die-after", type=int, default=None)
     args = ap.parse_args(argv)
@@ -223,12 +234,13 @@ def main(argv=None):
     if args.color_size:
         hc, wc = args.color_size.lower().split("x")
         cshape = (int(hc), int(wc))
+    cframes = np.load(args.color_frames) if args.color_frames else None
     srv = FakeCameraServer(frames, port=args.port, host=args.host,
                            fps=args.fps, codec=codec,
                            stall_after=args.stall_after,
                            die_after=args.die_after,
                            points=args.points, color=args.color,
-                           color_shape=cshape)
+                           color_shape=cshape, color_frames=cframes)
     srv.start()
     mode = "points" if args.points else "depth"
     print(f"fake camera server on {args.host}:{srv.port} "

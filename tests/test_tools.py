@@ -254,3 +254,54 @@ def test_record_and_replay(tmp_path):
         np.testing.assert_array_equal(rec, frames)
     finally:
         srv.stop()
+
+
+def test_record_and_replay_color(tmp_path):
+    """Color streams record alongside depth and replay byte-identically
+    through fake_server(color_frames=...)."""
+    from pointcloud_stitching_tpu import Intrinsics
+    from pointcloud_stitching_tpu.models import StitchingPipeline
+    from pointcloud_stitching_tpu.utils.config import StitchConfig
+
+    h, w = 60, 106
+    frames = synthetic_frames(3, h, w, seed=5)
+    srv = FakeCameraServer(frames, color=True).start()
+    try:
+        cfg = StitchConfig(num_cameras=1, height=h, width=w,
+                           out_voxel_leaf=0.05, out_capacity=4096,
+                           icp_enabled=False, with_color=True)
+        i0 = Intrinsics.create(fx=53.0, fy=53.0, ppx=w / 2, ppy=h / 2,
+                               width=w, height=h)
+        pipe = StitchingPipeline(cfg, i0.stack([]), np.eye(4)[None])
+        client = MulticameraClient([("127.0.0.1", srv.port)], pipe,
+                                   record_frames=3).start()
+        assert client.wait_for_first_frames(10)
+        deadline = time.time() + 10
+        while len(client._threads[0].recorded) < 3 and time.time() < deadline:
+            time.sleep(0.05)
+        client.stop()
+        paths = client.save_recording(str(tmp_path))
+        assert len(paths) == 2
+        rec_c = np.load(str(tmp_path / "cam0_color.npy"))
+        assert rec_c.shape == (3, h, w, 3)
+        np.testing.assert_array_equal(rec_c, srv.colors[:3])
+
+        # replay the recording through a fresh server, byte-identical
+        srv2 = FakeCameraServer(np.load(str(tmp_path / "cam0.npy")),
+                                color_frames=rec_c).start()
+        try:
+            import socket as sk
+            from pointcloud_stitching_tpu.runtime.wire import (Kind,
+                                                               recv_frame,
+                                                               send_pull)
+            s = sk.create_connection(("127.0.0.1", srv2.port), timeout=5)
+            send_pull(s)
+            kind, seq, (d, c) = recv_frame(s)
+            assert kind == Kind.DEPTH16_COLOR
+            np.testing.assert_array_equal(d, frames[0])
+            np.testing.assert_array_equal(c, rec_c[0])
+            s.close()
+        finally:
+            srv2.stop()
+    finally:
+        srv.stop()
