@@ -113,7 +113,10 @@ def _sorted_segments_packed(pc: PointCloud, leaf, ijk):
     oq = jnp.clip((frac * 1024.0).astype(jnp.int32), 0, 1023)
     off = (oq[..., 0] << 20) | (oq[..., 1] << 10) | oq[..., 2]
 
-    skey, soff = jax.lax.sort([key, off], num_keys=1)
+    # unstable: XLA's stable sort costs ~1.4x (9.2 vs 6.4 ms at 3.26M);
+    # within-voxel order is irrelevant here — the packed path sums exact
+    # integer channels, so the result is bit-identical either way
+    skey, soff = jax.lax.sort([key, off], num_keys=1, is_stable=False)
     valid = skey != _SENTINEL
 
     # unpack key -> per-axis voxel indices (relative to min_ijk)
@@ -159,7 +162,9 @@ def _sorted_segments(pc: PointCloud, leaf, capacity: int):
     has_rgb = pc.rgb is not None
     if has_rgb:
         operands += [pc.rgb[..., 0], pc.rgb[..., 1], pc.rgb[..., 2]]
-    sorted_ops = jax.lax.sort(operands, num_keys=2)
+    # unstable: within-voxel order only permutes the f32 centroid summation
+    # (ulp-level, same class as PCL's own input-order dependence)
+    sorted_ops = jax.lax.sort(operands, num_keys=2, is_stable=False)
     sk1, skz = sorted_ops[0], sorted_ops[1]
     sxyz = jnp.stack(sorted_ops[2:5], axis=-1)
     srgb = jnp.stack(sorted_ops[5:8], axis=-1) if has_rgb else None
