@@ -363,6 +363,10 @@ class MulticameraClient:
                     nxt = (out, t0, npix)
                 else:
                     t2, nxt = t1, None
+                    if pending is None:
+                        # nothing in flight and nothing to stitch: don't
+                        # busy-spin while every camera is down
+                        self._stop.wait(0.005)
                 # drain frame N while N+1 runs (its H2D is already enqueued)
                 if pending is not None:
                     p_out, p_t0, p_npix = pending
@@ -395,6 +399,8 @@ class MulticameraClient:
         try:
             while not self._stop.is_set():
                 out = self.step()
+                if out is None:
+                    self._stop.wait(0.005)  # all cameras down: no busy-spin
                 if out is not None and on_frame is not None:
                     on_frame(n, out)
                 n += 1
