@@ -70,7 +70,8 @@ def _stream_bench(ncam: int, h: int, w: int, frames: int = 40) -> dict:
         if not client.wait_for_first_frames(timeout=20):
             return {"error": "no frames from loopback servers"}
         client.step()  # compile outside the timed window
-        client.stages.stages.clear()   # don't report the compile stitch
+        client.stages.reset()   # don't report the compile stitch
+        client.metrics.reset()  # ...or its 60-100 s latency sample
         metrics = client.run(num_frames=frames, overlap=True)
         s = metrics.summary()
         return {

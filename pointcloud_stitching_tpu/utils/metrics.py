@@ -36,6 +36,15 @@ class FrameMetrics:
         self._last_frame = now
         self.total_frames += 1
 
+    def reset(self) -> None:
+        """Drop recorded samples (e.g. after a compile warmup frame) so
+        summaries reflect steady state only. Keeps the window size."""
+        self.latencies.clear()
+        self.points.clear()
+        self.frame_times.clear()
+        self._last_frame = None
+        self.total_frames = 0
+
     @property
     def fps(self) -> float:
         if not self.frame_times:
@@ -77,6 +86,9 @@ class StageTimer:
     def record(self, stage: str, seconds: float) -> None:
         self.stages.setdefault(stage, collections.deque(maxlen=120)).append(
             seconds)
+
+    def reset(self) -> None:
+        self.stages.clear()
 
     def summary(self) -> dict:
         return {k: round(float(np.mean(v)) * 1e3, 2)
