@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import socket
+import struct
 import threading
 import time
 from typing import Optional
@@ -96,6 +97,13 @@ class FakeCameraServer:
         self.codec = codec
         self.stall_after = stall_after
         self.die_after = die_after
+        # encoded-frame cache: the stream is a fixed cycle and the compressed
+        # body is seq-independent (seq lives in the header), so each frame
+        # compresses once and later pulls just patch the header's seq field.
+        # A real camera node pays compression on its own core; without the
+        # cache a many-server loopback rig serialises every compression on
+        # this host and the harness, not the system under test, dominates.
+        self._enc_cache: dict[int, bytes] = {}
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
@@ -117,6 +125,25 @@ class FakeCameraServer:
             pass
         if self._thread:
             self._thread.join(timeout=2)
+
+    def _frame_bytes(self, seq: int) -> bytes:
+        """Encoded frame for ``seq``, compressing each cycle frame only once
+        (the header's u32 seq at byte offset 8 is patched per send)."""
+        t = seq % len(self.frames)
+        enc = self._enc_cache.get(t)
+        if enc is None:
+            if self.points_payloads is not None:
+                enc = encode_frame(
+                    self.points_payloads[t], Kind.POINTS_I16MM, self.codec, 0,
+                    flags=FLAG_HAS_RGB if self.points_have_rgb else 0)
+            else:
+                c = self.colors[t] if self.color else None
+                enc = encode_depth_frame(self.frames[t], 0, self.codec,
+                                         color=c)
+            self._enc_cache[t] = enc
+        buf = bytearray(enc)
+        struct.pack_into("<I", buf, 8, seq & 0xFFFFFFFF)
+        return bytes(buf)
 
     def _serve(self) -> None:
         self._seq = 0
@@ -155,16 +182,7 @@ class FakeCameraServer:
                     if wait > 0:
                         time.sleep(wait)
                     last = time.time()
-                if self.points_payloads is not None:
-                    payload = self.points_payloads[seq % len(self.frames)]
-                    conn.sendall(encode_frame(
-                        payload, Kind.POINTS_I16MM, self.codec, seq,
-                        flags=FLAG_HAS_RGB if self.points_have_rgb else 0))
-                else:
-                    t = seq % len(self.frames)
-                    c = self.colors[t] if self.color else None
-                    conn.sendall(encode_depth_frame(self.frames[t], seq,
-                                                    self.codec, color=c))
+                conn.sendall(self._frame_bytes(seq))
                 self._seq = seq + 1
         except (ConnectionError, OSError):
             pass
