@@ -333,7 +333,7 @@ class MulticameraClient:
 
     def run(self, num_frames: Optional[int] = None,
             on_frame: Optional[Callable[[int, StitchOutput], None]] = None,
-            overlap: bool = True) -> FrameMetrics:
+            overlap: bool = True, sync_every: int = 1) -> FrameMetrics:
         """Streaming loop. With overlap=True (default) the loop is software-
         pipelined one frame deep: while frame N's program executes on the
         device, the host already snapshots and enqueues frame N+1's
@@ -341,9 +341,18 @@ class MulticameraClient:
         serialising with it (VERDICT r1 weak #3). Frame N is only synced
         *after* N+1's transfer is in flight. on_frame(n, out) still sees
         every completed frame in order.
+
+        sync_every: host-sync (and record a latency sample) only every K-th
+        frame, letting the device pipeline run deeper. With K=1 (default)
+        every frame is synced — true per-frame latency. K>1 measures
+        sustainable throughput when the consumer doesn't need a host-side
+        result each frame (JAX arrays handed to on_frame are async anyway);
+        essential where a sync round-trip is expensive (the axon tunnel
+        costs ~30 ms per scalar pull — more than the 4-camera stitch).
         """
         if not overlap:
             return self._run_serial(num_frames, on_frame)
+        sync_every = max(int(sync_every), 1)
         n = 0
         pending: Optional[tuple[StitchOutput, float, int]] = None
         try:
@@ -370,11 +379,17 @@ class MulticameraClient:
                 # drain frame N while N+1 runs (its H2D is already enqueued)
                 if pending is not None:
                     p_out, p_t0, p_npix = pending
-                    t_wait = time.time()
-                    self._sync(p_out)
-                    t3 = time.time()
-                    self.stages.record("sync_wait", t3 - t_wait)
-                    self.metrics.record(t3 - p_t0, points=p_npix)
+                    last = num_frames is not None and n + 1 >= num_frames
+                    if n % sync_every == 0 or last:
+                        t_wait = time.time()
+                        self._sync(p_out)
+                        t3 = time.time()
+                        self.stages.record("sync_wait", t3 - t_wait)
+                        self.metrics.record(t3 - p_t0, points=p_npix)
+                    else:
+                        # unsynced frame: count it (throughput) without a
+                        # latency sample — the dispatch time isn't one
+                        self.metrics.record_unsynced(points=p_npix)
                     if on_frame is not None:
                         on_frame(n, p_out)
                     n += 1

@@ -36,6 +36,18 @@ class FrameMetrics:
         self._last_frame = now
         self.total_frames += 1
 
+    def record_unsynced(self, points: int = 0) -> None:
+        """Count a frame that was dispatched but not host-synced (see
+        MulticameraClient.run(sync_every=...)): contributes to frame pacing
+        and throughput, but adds no latency sample (its completion time is
+        unknown host-side)."""
+        now = time.time()
+        self.points.append(points)
+        if self._last_frame is not None:
+            self.frame_times.append(now - self._last_frame)
+        self._last_frame = now
+        self.total_frames += 1
+
     def reset(self) -> None:
         """Drop recorded samples (e.g. after a compile warmup frame) so
         summaries reflect steady state only. Keeps the window size."""

@@ -178,6 +178,30 @@ def test_overlap_pipeline_matches_serial():
             s.stop()
 
 
+def test_run_sync_every_counts_all_frames():
+    """sync_every=K syncs (and records a latency sample) only every K-th
+    frame but still counts and delivers every frame in order; the final
+    pending frame is always drained before run() returns."""
+    ncam, h, w = 2, 60, 106
+    servers = [FakeCameraServer(synthetic_frames(8, h, w, seed=s)).start()
+               for s in range(ncam)]
+    try:
+        outs = []
+        client = MulticameraClient([("127.0.0.1", s.port) for s in servers],
+                                   _make_pipeline(ncam, h, w)).start()
+        assert client.wait_for_first_frames(timeout=10)
+        m = client.run(num_frames=9, overlap=True, sync_every=4,
+                       on_frame=lambda i, o: outs.append(i))
+        assert m.total_frames == 9 and outs == list(range(9))
+        # latency samples only on synced frames: indices 0, 4, 8 (the last
+        # frame syncs via the index rule here)
+        assert len(m.latencies) == 3
+        assert len(m.points) == 9  # throughput counts every frame
+    finally:
+        for s in servers:
+            s.stop()
+
+
 def test_dead_camera_is_dropped_not_fatal():
     """A server that dies mid-stream must not stall the client (the
     reference client blocks forever on a dead socket — SURVEY.md §5)."""
