@@ -23,7 +23,7 @@ Tie behaviour matches numpy/XLA argmin: the smallest reference index wins
 
 For large voxel-sorted clouds, ``nearest_neighbors_pruned`` adds exact
 key-range pruning (coarse-pass distance bound + block bounding boxes →
-contiguous block ranges per query tile): 118 → 26 ms per 131k x 131k ICP
+contiguous block ranges per query tile): 121 → 25 ms per 131k x 131k ICP
 iteration with bit-identical results. See docs/KERNELS.md.
 
 Replaces: pcl::KdTreeFLANN::nearestKSearch(k=1) inside
@@ -418,7 +418,7 @@ def nearest_neighbors_pruned(query: jax.Array, ref: jax.Array,
                              ref_mask: jax.Array | None = None,
                              query_mask: jax.Array | None = None,
                              coarse_stride: int = 16,
-                             query_tile: int = 1024, ref_block: int = 1024,
+                             query_tile: int = 1024, ref_block: int = 2048,
                              interpret: bool = False,
                              precision: str = "highest",
                              method: str = "vpu"):

@@ -58,12 +58,15 @@ def nearest_neighbors(query: jax.Array, ref: jax.Array,
         from ..kernels.nn_pallas import nearest_neighbors_pallas
         # compiled mode needs 1024-wide 1-D output tiles, and the
         # [query_tile x ref_block] distance intermediate must stay well
-        # under the 16 MB VMEM budget (1024x2048 f32 = 8 MB; 2048 ref blocks
-        # measured 7.75 -> 6.09 ms on the 5-iter 8-pair drift stage — fewer
-        # DMA waits and min-pass launches per sweep); interpret mode (CPU
-        # tests) honours the caller's tiles
+        # under the 16 MB VMEM budget (1024x2048 f32 = 8 MB). Ref block
+        # width is sweep-length dependent (measured on v5e): short sweeps
+        # want 2048 (fewer DMA waits/min passes: drift stage 7.75 ->
+        # 6.09 ms) but long sweeps want 1024 (121 vs 169 ms at 131k —
+        # the 8 MB intermediate stalls the double buffering); interpret
+        # mode (CPU tests) honours the caller's tiles
         qt = query_tile if interpret else 1024
-        rb = ref_tile if interpret else 2048
+        rb = ref_tile if interpret else (2048 if ref.shape[0] <= 8192
+                                         else 1024)
         return nearest_neighbors_pallas(query, ref, ref_mask,
                                         query_tile=qt, ref_block=rb,
                                         interpret=interpret)
