@@ -24,13 +24,11 @@ import time
 import numpy as np
 
 
-def _stream_bench(ncam: int, h: int, w: int, frames: int = 40) -> dict:
-    """Steady-state loopback streaming: fake servers + pipelined client.
-
-    Measures the full feed path (TCP recv -> decompress -> snapshot ->
-    overlapped H2D -> stitch -> scalar sync) the device-resident numbers
-    hide. Returns the client's metrics summary plus per-stage means.
-    """
+def _make_stream_rig(ncam: int, h: int, w: int):
+    """Shared loopback-rig setup for the two streaming benches: flagship
+    StitchConfig, intrinsics/extrinsics, fake servers (snappy when the
+    native codec builds), and a started client. Returns
+    (client, servers, codec)."""
     from pointcloud_stitching_tpu import Intrinsics
     from pointcloud_stitching_tpu.models import StitchingPipeline
     from pointcloud_stitching_tpu.runtime import (Codec, FakeCameraServer,
@@ -63,10 +61,21 @@ def _stream_bench(ncam: int, h: int, w: int, frames: int = 40) -> dict:
     servers = [FakeCameraServer(synthetic_frames(8, h, w, seed=s),
                                 codec=codec).start()
                for s in range(ncam)]
+    client = MulticameraClient(
+        [("127.0.0.1", s.port) for s in servers],
+        StitchingPipeline(cfg, intr, ext)).start()
+    return client, servers, codec
+
+
+def _stream_bench(ncam: int, h: int, w: int, frames: int = 40) -> dict:
+    """Steady-state loopback streaming: fake servers + pipelined client.
+
+    Measures the full feed path (TCP recv -> decompress -> snapshot ->
+    overlapped H2D -> stitch -> scalar sync) the device-resident numbers
+    hide. Returns the client's metrics summary plus per-stage means.
+    """
+    client, servers, codec = _make_stream_rig(ncam, h, w)
     try:
-        pipe = StitchingPipeline(cfg, intr, ext)
-        client = MulticameraClient(
-            [("127.0.0.1", s.port) for s in servers], pipe).start()
         if not client.wait_for_first_frames(timeout=20):
             return {"error": "no frames from loopback servers"}
         client.step()  # compile outside the timed window
@@ -95,43 +104,13 @@ def _stream_bench_throughput(ncam: int, h: int, w: int,
     doesn't. This pass measures the feed path's sustainable FPS with the
     device pipeline running deep, timed wall-clock start -> final sync.
     """
-    from pointcloud_stitching_tpu import Intrinsics
-    from pointcloud_stitching_tpu.models import StitchingPipeline
-    from pointcloud_stitching_tpu.runtime import (Codec, FakeCameraServer,
-                                                  MulticameraClient,
-                                                  synthetic_frames)
-    from pointcloud_stitching_tpu.utils.config import StitchConfig
-
-    codec = Codec.RAW
+    client, servers, codec = _make_stream_rig(ncam, h, w)
     try:
-        from pointcloud_stitching_tpu.native import snappy as _sn
-        _sn.compress(b"probe")
-        codec = Codec.SNAPPY
-    except Exception:
-        pass
-    cfg = StitchConfig(num_cameras=ncam, height=h, width=w,
-                       cam_voxel_leaf=0.01, cam_capacity=131072,
-                       out_voxel_leaf=0.01, out_capacity=262144,
-                       icp_enabled=True, icp_stride=6, icp_voxel_leaf=0.05,
-                       icp_capacity=4096, icp_iterations=5,
-                       icp_max_corr_dist=0.1,
-                       icp_query_tile=1024, icp_ref_tile=4096)
-    i0 = Intrinsics.create(fx=421.5, fy=421.1, ppx=w / 2.0, ppy=h / 2.0,
-                           width=w, height=h)
-    intr = i0.stack([i0] * (ncam - 1))
-    ext = np.tile(np.eye(4, dtype=np.float32), (ncam, 1, 1))
-    servers = [FakeCameraServer(synthetic_frames(8, h, w, seed=s),
-                                codec=codec).start()
-               for s in range(ncam)]
-    try:
-        client = MulticameraClient(
-            [("127.0.0.1", s.port) for s in servers],
-            StitchingPipeline(cfg, intr, ext)).start()
         if not client.wait_for_first_frames(timeout=20):
             return {"error": "no frames from loopback servers"}
         client.step()  # compile
         t0 = time.time()
-        m = client.run(num_frames=frames, overlap=True, sync_every=8)
+        client.run(num_frames=frames, overlap=True, sync_every=8)
         dt = time.time() - t0  # run() drains the last frame before returning
         return {"fps_e2e_pipelined": round(frames / dt, 2),
                 "codec": codec.name.lower()}

@@ -144,6 +144,18 @@ def project(xyz: jax.Array, intr: Intrinsics) -> tuple[jax.Array, jax.Array]:
     elif intr.model == int(DistortionModel.INVERSE_BROWN_CONRADY):
         coeffs = jnp.asarray(intr.coeffs, jnp.float32)[..., None, :]
         x, y = _undistort_brown_conrady_iterative(x, y, coeffs)
+    elif intr.model == int(DistortionModel.MIXED):
+        # per-camera select by traced model id, mirroring deproject's MIXED
+        # branch (without this, a mixed color rig would silently project
+        # every camera undistorted)
+        coeffs = jnp.asarray(intr.coeffs, jnp.float32)[..., None, :]
+        x_bc, y_bc = _distort_inverse_brown_conrady(x, y, coeffs)
+        x_ibc, y_ibc = _undistort_brown_conrady_iterative(x, y, coeffs)
+        mid = jnp.asarray(intr.model_ids, jnp.int32)[..., None]
+        is_bc = mid == int(DistortionModel.BROWN_CONRADY)
+        is_ibc = mid == int(DistortionModel.INVERSE_BROWN_CONRADY)
+        x = jnp.where(is_bc, x_bc, jnp.where(is_ibc, x_ibc, x))
+        y = jnp.where(is_bc, y_bc, jnp.where(is_ibc, y_ibc, y))
 
     def expand(p):  # [...] -> [..., 1] for broadcasting over N
         return jnp.asarray(p, jnp.float32)[..., None]

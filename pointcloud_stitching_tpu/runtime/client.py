@@ -357,25 +357,35 @@ class MulticameraClient:
         pending: Optional[tuple[StitchOutput, float, int]] = None
         try:
             while not self._stop.is_set():
-                t0 = time.time()
-                data, mask = self._snapshot()
-                live = int(mask.sum())
-                self.metrics.dropped_cameras = \
-                    self.pipeline.cfg.num_cameras - live
-                t1 = time.time()
-                if live > 0:
-                    dev, d_mask, npix = self._transfer(data, mask)
-                    t2 = time.time()
-                    out = self._dispatch(dev, d_mask)
-                    # latency is measured snapshot-start -> sync (true
-                    # end-to-end frame latency, spans the overlap)
-                    nxt = (out, t0, npix)
+                # don't dispatch past num_frames: with one frame in flight
+                # and n delivered, dispatching here would start an (N+1)-th
+                # frame that is discarded at the break below — a full wasted
+                # H2D + stitch per bounded run
+                in_flight = 1 if pending is not None else 0
+                if num_frames is not None and n + in_flight >= num_frames:
+                    nxt = None
                 else:
-                    t2, nxt = t1, None
-                    if pending is None:
-                        # nothing in flight and nothing to stitch: don't
-                        # busy-spin while every camera is down
-                        self._stop.wait(0.005)
+                    t0 = time.time()
+                    data, mask = self._snapshot()
+                    live = int(mask.sum())
+                    self.metrics.dropped_cameras = \
+                        self.pipeline.cfg.num_cameras - live
+                    t1 = time.time()
+                    if live > 0:
+                        dev, d_mask, npix = self._transfer(data, mask)
+                        t2 = time.time()
+                        out = self._dispatch(dev, d_mask)
+                        # latency is measured snapshot-start -> sync (true
+                        # end-to-end frame latency, spans the overlap)
+                        nxt = (out, t0, npix)
+                    else:
+                        t2, nxt = t1, None
+                        if pending is None:
+                            # nothing in flight and nothing to stitch: don't
+                            # busy-spin while every camera is down
+                            self._stop.wait(0.005)
+                    self.stages.record("snapshot", t1 - t0)
+                    self.stages.record("h2d", t2 - t1)
                 # drain frame N while N+1 runs (its H2D is already enqueued)
                 if pending is not None:
                     p_out, p_t0, p_npix = pending
@@ -396,8 +406,6 @@ class MulticameraClient:
                     if num_frames is not None and n >= num_frames:
                         break
                 pending = nxt
-                self.stages.record("snapshot", t1 - t0)
-                self.stages.record("h2d", t2 - t1)
             if pending is not None and not self._stop.is_set() and \
                     (num_frames is None or n < num_frames):
                 p_out, p_t0, p_npix = pending

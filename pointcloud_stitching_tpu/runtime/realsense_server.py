@@ -50,16 +50,17 @@ def _open_pipeline(width: int, height: int, fps: int):
 
 def dump_intrinsics(meta: dict, width: int, height: int, path: str) -> None:
     """Write the device's depth intrinsics as a stitch_cli-loadable
-    .intr.json (io.calio.load_intrinsics). The rs2 model string maps to the
-    DistortionModel enum values deprojection understands."""
-    import json
+    .intr.json via io.calio.save_intrinsics (single owner of the on-disk
+    schema). The rs2 model string maps to the DistortionModel enum values
+    deprojection understands."""
+    from ..io.calio import save_intrinsics
+    from ..utils.types import Intrinsics
     m = str(meta.get("model", "")).lower()
     model = 2 if "inverse" in m else (1 if "brown" in m else 0)
-    with open(path, "w") as f:
-        json.dump({"fx": meta["fx"], "fy": meta["fy"],
-                   "ppx": meta["ppx"], "ppy": meta["ppy"],
-                   "coeffs": list(meta["coeffs"]), "model": model,
-                   "width": width, "height": height}, f, indent=2)
+    intr = Intrinsics.create(fx=meta["fx"], fy=meta["fy"], ppx=meta["ppx"],
+                             ppy=meta["ppy"], coeffs=list(meta["coeffs"]),
+                             model=model, width=width, height=height)
+    save_intrinsics(path, intr)
     print(f"wrote intrinsics to {path}", flush=True)
 
 

@@ -6,8 +6,9 @@ src/pcs-multicamera-client.cpp, SURVEY.md §1 L4). `CloudPublisher` pushes
 every fused cloud over TCP (POINTS_I16MM); this tool connects, renders each
 frame as a depth-buffered orthographic projection and shows it live:
 
-  * in a cv2 window when a GUI is available (`--window`; falls back cleanly
-    when cv2/imshow is absent or headless),
+  * in a cv2 window when a GUI is available (the default; falls back
+    cleanly when cv2/imshow is absent or headless — `--no-window` forces
+    the fallback),
   * otherwise as a rolling image sequence on disk (`--out-dir`, PNG via cv2
     or zero-dependency PPM) — `frame_%05d` plus a continuously-overwritten
     `latest`, so `watch`/a browser tab/an http.server on the directory acts
@@ -58,11 +59,8 @@ class StreamViewer:
         self.frames_rendered = 0
 
     def _update_bounds(self, xyz: np.ndarray) -> tuple[np.ndarray, float]:
-        ax = {"x": 0, "y": 1, "z": 2}[self.axis]
-        keep = [i for i in range(3) if i != ax]
-        uv = xyz[:, keep]
-        lo, hi = uv.min(axis=0), uv.max(axis=0)
-        span = float(np.maximum(hi - lo, 1e-6).max())
+        from ..io.picker import projection_bounds
+        lo, span = projection_bounds(xyz, axis=self.axis)
         if self._lo is None:
             self._lo, self._span = lo, span
         else:
@@ -169,12 +167,18 @@ def main(argv=None) -> int:
     ap.add_argument("--out-dir", default="viewer_out")
     ap.add_argument("--keep", type=int, default=300,
                     help="rolling image-sequence length (0 = keep all)")
-    ap.add_argument("--window", action="store_true",
-                    help="prefer a cv2 GUI window over the image sequence")
+    ap.add_argument("--window", dest="window", action="store_true",
+                    default=None,
+                    help="force a cv2 GUI window (default: try one, fall "
+                         "back to the image sequence when headless)")
+    ap.add_argument("--no-window", dest="window", action="store_false",
+                    help="always write the image sequence")
     args = ap.parse_args(argv)
 
     host, port = args.connect.rsplit(":", 1)
-    sink = _window_sink() if args.window else None
+    # default (no flag): try a window, fall back — matches the README's
+    # "cv2 window when a GUI exists; otherwise a rolling image sequence"
+    sink = _window_sink() if args.window is not False else None
     if sink is None:
         if args.window:
             print("viewer: no GUI available, writing image sequence",

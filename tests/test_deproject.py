@@ -81,6 +81,40 @@ def test_deproject_mixed_models_matches_oracle():
         np.testing.assert_allclose(np.asarray(pc.xyz)[i], xyz_ref, atol=1e-4)
 
 
+def test_project_mixed_models_matches_single_model():
+    """project() on a MIXED stack must apply each camera's own forward
+    distortion (regression: the MIXED branch existed only in deproject, so
+    mixed color rigs projected every camera undistorted)."""
+    from pointcloud_stitching_tpu.ops.deproject import project
+
+    rng = np.random.default_rng(11)
+    xyz = rng.uniform(-0.5, 0.5, (3, 500, 3)).astype(np.float32)
+    xyz[..., 2] += 1.5                               # in front of the camera
+    coeffs = [[0.0] * 5,
+              [0.1, -0.05, 0.001, -0.002, 0.01],
+              [0.12, -0.04, 0.002, -0.001, 0.005]]
+    models = [DistortionModel.NONE, DistortionModel.BROWN_CONRADY,
+              DistortionModel.INVERSE_BROWN_CONRADY]
+    cams = [Intrinsics.create(**INTR, coeffs=c, model=m)
+            for c, m in zip(coeffs, models)]
+    stacked = cams[0].stack(cams[1:])
+    assert stacked.model == int(DistortionModel.MIXED)
+
+    uv_mixed, inf_mixed = project(jnp.asarray(xyz), stacked)
+    for i in range(3):
+        uv_i, inf_i = project(jnp.asarray(xyz[i]), cams[i])
+        np.testing.assert_array_equal(np.asarray(inf_mixed)[i],
+                                      np.asarray(inf_i))
+        np.testing.assert_allclose(np.asarray(uv_mixed)[i],
+                                   np.asarray(uv_i), atol=1e-4)
+    # the distorted cameras' projections must actually differ from an
+    # undistorted projection of the same points (guards against a MIXED
+    # branch that silently applies no distortion)
+    uv_none, _ = project(jnp.asarray(xyz[1]), cams[0])
+    assert not np.allclose(np.asarray(uv_mixed)[1], np.asarray(uv_none),
+                           atol=0.5)
+
+
 def test_stack_uniform_model_stays_static():
     cams = [Intrinsics.create(**INTR) for _ in range(3)]
     intr = cams[0].stack(cams[1:])

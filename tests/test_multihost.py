@@ -26,7 +26,8 @@ def _free_port() -> int:
 
 def test_two_process_dcn_allgather():
     port = _free_port()
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
     # the coordinator (proc 0) must be up before proc 1 dials in; both block
     # in init until the rig is complete, so just launch both and wait
     procs = [subprocess.Popen([sys.executable, CHILD, str(i), str(port)],

@@ -178,6 +178,35 @@ def test_overlap_pipeline_matches_serial():
             s.stop()
 
 
+def test_bounded_overlap_run_dispatches_exactly_n():
+    """run(num_frames=N, overlap=True) must dispatch exactly N stitches —
+    the pipelined loop used to start an (N+1)-th frame (full H2D + stitch)
+    that was then discarded at the break."""
+    ncam, h, w = 2, 60, 106
+    servers = [FakeCameraServer(synthetic_frames(8, h, w, seed=s)).start()
+               for s in range(ncam)]
+    try:
+        pipe = _make_pipeline(ncam, h, w)
+        calls = {"n": 0}
+        client = MulticameraClient([("127.0.0.1", s.port) for s in servers],
+                                   pipe).start()
+        real_dispatch = client._dispatch
+
+        def counted_dispatch(dev, d_mask):
+            calls["n"] += 1
+            return real_dispatch(dev, d_mask)
+
+        client._dispatch = counted_dispatch
+        calls["n"] = 0
+        assert client.wait_for_first_frames(timeout=10)
+        m = client.run(num_frames=5, overlap=True)
+        assert m.total_frames == 5
+        assert calls["n"] == 5, calls["n"]
+    finally:
+        for s in servers:
+            s.stop()
+
+
 def test_run_sync_every_counts_all_frames():
     """sync_every=K syncs (and records a latency sample) only every K-th
     frame but still counts and delivers every frame in order; the final

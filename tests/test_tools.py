@@ -25,7 +25,8 @@ def test_register_cli_end_to_end(tmp_path, rng):
     picks = tmp_path / "picks.txt"
     picks.write_text("\n".join(f"{i} {i}" for i in [5, 300, 999, 1500]))
     out = tmp_path / "pair.cal"
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "registration/register_cli.py"),
          str(src_p), str(dst_p), str(out), "--picks", str(picks),
@@ -159,7 +160,8 @@ def test_pick_cli_to_register_cli_end_to_end(tmp_path, rng):
                      for (su, sv), (tu, tv) in zip(src_px, dst_px))
 
     picks = tmp_path / "picks.txt"
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "registration/pick_cli.py"),
          str(src_p), str(dst_p), str(picks), "--size", str(size),
@@ -203,7 +205,8 @@ def test_stitch_cli_with_intr_dir(tmp_path):
                 Intrinsics.create(fx=53.0 + i, fy=53.0, ppx=w / 2,
                                   ppy=h / 2, width=w, height=h))
         out_dir = tmp_path / "out"
-        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
         cmd = [sys.executable, "-m",
                "pointcloud_stitching_tpu.runtime.stitch_cli",
                "--frames", "3", "--height", str(h), "--width", str(w),
