@@ -28,7 +28,7 @@ from ..ops.deproject import deproject, deproject_with_color, map_color
 from ..ops.fuse import fuse_batched
 from ..ops.icp import icp_batched, icp_point_to_plane_batched
 from ..ops.normals import grid_normals
-from ..ops.se3 import se3_apply, se3_power
+from ..ops.se3 import mm, se3_apply, se3_power
 from ..ops.voxel import decimate_depth, voxel_downsample
 from ..utils.config import StitchConfig
 from ..utils.types import Intrinsics, PointCloud
@@ -71,14 +71,14 @@ def _compose_ring_corrections(deltas: jax.Array, closure: bool
     Returns (corrections [ncam, 4, 4], loop_error scalar = |r - I|_F^2).
     """
     eye = jnp.eye(4, dtype=jnp.float32)
-    prefix = jax.lax.associative_scan(jnp.matmul, deltas.at[0].set(eye))
+    prefix = jax.lax.associative_scan(mm, deltas.at[0].set(eye))
     if not closure:
         return prefix, jnp.float32(0.0)
     ncam = deltas.shape[0]
-    residual = prefix[-1] @ deltas[0]
+    residual = mm(prefix[-1], deltas[0])
     loop_err = jnp.sum((residual - eye) ** 2)
     alphas = -jnp.arange(ncam, dtype=jnp.float32) / ncam
-    return se3_power(residual, alphas) @ prefix, loop_err
+    return mm(se3_power(residual, alphas), prefix), loop_err
 
 
 def _ring_drift_correction(cfg: StitchConfig, clouds: PointCloud,
@@ -145,7 +145,7 @@ def _ring_drift_correction(cfg: StitchConfig, clouds: PointCloud,
         deltas = jnp.concatenate([eye, res.T], axis=0)
         err, inl = res.mean_error, res.num_inliers
     corrections, loop_err = _compose_ring_corrections(deltas, closure)
-    refined = corrections @ extrinsics
+    refined = mm(corrections, extrinsics)
     return refined, err, inl, loop_err
 
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..utils.types import PointCloud
 from .kabsch import kabsch
 from .nn import nearest_neighbors
-from .se3 import se3_apply
+from .se3 import mm, se3_apply
 
 
 class ICPResult(NamedTuple):
@@ -112,7 +112,7 @@ def icp_batched(src: PointCloud, dst: PointCloud,
         dT = jax.vmap(_kabsch)(p, matched, w)
         n_in = jnp.sum(w, axis=-1)
         err = jnp.sum(w * d2, axis=-1) / jnp.maximum(n_in, 1.0)
-        return (dT @ T, err, n_in)
+        return (mm(dT, T), err, n_in)
 
     T, err, n_in = jax.lax.fori_loop(
         0, iterations, body,
@@ -194,7 +194,7 @@ def icp_point_to_plane_batched(src: PointCloud, dst: PointCloud,
         x = jnp.where((n_in > 5.0)[:, None], x, 0.0)     # identity if starved
         dT = _exp_se3(x)
         err = jnp.sum(w * r0 * r0, axis=-1) / jnp.maximum(n_in, 1.0)
-        return (dT @ T, err, n_in)
+        return (mm(dT, T), err, n_in)
 
     T, err, n_in = jax.lax.fori_loop(
         0, iterations, body,
@@ -225,7 +225,7 @@ def _icp_step(T, src_xyz, src_mask, dst_xyz, dst_mask, max_dist2,
     dT = kabsch(p, matched, w)
     n_in = jnp.sum(w)
     err = jnp.sum(w * d2) / jnp.maximum(n_in, 1.0)
-    return dT @ T, err, n_in
+    return mm(dT, T), err, n_in
 
 
 @partial(jax.jit, static_argnames=("iterations", "query_tile", "ref_tile",
@@ -292,7 +292,10 @@ def icp_converge(src: PointCloud, dst: PointCloud,
                                   max_d2, query_tile, ref_tile, nn_impl,
                                   trim_fraction, prune)
         from .se3 import se3_inverse
-        dT = T2 @ se3_inverse(T)  # rigid inverse: transpose + negate, exact
+        # rigid inverse: transpose + negate, exact. mm (HIGHEST), not `@`:
+        # a default bf16 product rounds dT's entries at ~4e-3, so delta
+        # floors near 1e-5 and epsilon termination never fires on TPU
+        dT = mm(T2, se3_inverse(T))
         delta = jnp.sum((dT - eye) ** 2)
         return (T2, err, n_in, it + 1, delta)
 

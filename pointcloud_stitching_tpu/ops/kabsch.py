@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .se3 import se3_from_rt
+from .se3 import mm, se3_from_rt
 
 
 def kabsch(src: jax.Array, dst: jax.Array, weights: jax.Array) -> jax.Array:
@@ -33,9 +33,9 @@ def kabsch(src: jax.Array, dst: jax.Array, weights: jax.Array) -> jax.Array:
     # H = sum_i w_i s_i d_i^T  (3x3) — one [3,N]x[N,3] matmul on the MXU
     H = jnp.einsum("ni,nj->ij", w[:, None] * s, d, precision="highest")
     U, _, Vt = jnp.linalg.svd(H)
-    det = jnp.linalg.det(Vt.T @ U.T)
+    det = jnp.linalg.det(mm(Vt.T, U.T))
     S = jnp.diag(jnp.array([1.0, 1.0, 1.0], jnp.float32)).at[2, 2].set(det)
-    R = Vt.T @ S @ U.T
-    t = cd - R @ cs
+    R = mm(mm(Vt.T, S), U.T)
+    t = cd - mm(R, cs[:, None])[:, 0]
     T = se3_from_rt(R, t)
     return jnp.where(safe, T, jnp.eye(4, dtype=jnp.float32))

@@ -34,7 +34,7 @@ from ..models.stitcher import (StitchMetrics, StitchOutput,
 from ..ops.deproject import deproject
 from ..ops.icp import icp_batched, icp_point_to_plane_batched
 from ..ops.normals import grid_normals
-from ..ops.se3 import se3_apply
+from ..ops.se3 import mm, se3_apply
 from ..ops.voxel import voxel_downsample
 from ..utils.config import StitchConfig
 from ..utils.types import Intrinsics, PointCloud
@@ -138,8 +138,9 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
         # since its dst is fully masked and kabsch then returns identity)
         deltas = jax.lax.all_gather(res.T, axis).reshape(cfg.num_cameras, 4, 4)
         corrections, loop_err = _compose_ring_corrections(deltas, closure)
-        refined_full = corrections @ jax.lax.all_gather(ext_l, axis).reshape(
-            cfg.num_cameras, 4, 4)
+        refined_full = mm(
+            corrections,
+            jax.lax.all_gather(ext_l, axis).reshape(cfg.num_cameras, 4, 4))
         refined_l = jax.lax.dynamic_slice_in_dim(refined_full, my * ncl, ncl)
 
         err = jax.lax.all_gather(res.mean_error, axis).reshape(-1)[1:]

