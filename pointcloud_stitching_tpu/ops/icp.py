@@ -90,13 +90,16 @@ def icp_batched(src: PointCloud, dst: PointCloud,
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
-        # the reference cloud is loop-invariant: pad/transpose it once
+        # the reference cloud is loop-invariant: pad/transpose it once.
+        # Ref-block width mirrors ops/nn.py's measured size switch: short
+        # sweeps want 2048 (drift stage 7.75 -> 6.09 ms) but long sweeps
+        # want 1024 (the 8 MB distance intermediate stalls double buffering:
+        # 121 vs 169 ms at 131k refs)
         from ..kernels.nn_pallas import (nn_batched_prepared,
                                          prepare_ref_batched)
-        # 2048-wide ref blocks (8 MB distance intermediate at the fixed
-        # 1024 query tile): 7.75 -> 6.09 ms on the 8-pair 5-iter drift stage
-        rT, rsq = prepare_ref_batched(dst.xyz, dst.mask, ref_block=2048)
-        nn = lambda p: nn_batched_prepared(p, rT, rsq, ref_block=2048,
+        rb = 2048 if dst.xyz.shape[1] <= 8192 else 1024
+        rT, rsq = prepare_ref_batched(dst.xyz, dst.mask, ref_block=rb)
+        nn = lambda p: nn_batched_prepared(p, rT, rsq, ref_block=rb,
                                            num_ref=dst.xyz.shape[1])
     else:
         nn = lambda p: _nn_batched_xla(p, dst.xyz, dst.mask,
@@ -163,10 +166,10 @@ def icp_point_to_plane_batched(src: PointCloud, dst: PointCloud,
     if impl == "pallas":
         from ..kernels.nn_pallas import (nn_batched_prepared,
                                          prepare_ref_batched)
-        # 2048-wide ref blocks (8 MB distance intermediate at the fixed
-        # 1024 query tile): 7.75 -> 6.09 ms on the 8-pair 5-iter drift stage
-        rT, rsq = prepare_ref_batched(dst.xyz, dst.mask, ref_block=2048)
-        nn = lambda p: nn_batched_prepared(p, rT, rsq, ref_block=2048,
+        # size-dependent ref-block width — see icp_batched above
+        rb = 2048 if dst.xyz.shape[1] <= 8192 else 1024
+        rT, rsq = prepare_ref_batched(dst.xyz, dst.mask, ref_block=rb)
+        nn = lambda p: nn_batched_prepared(p, rT, rsq, ref_block=rb,
                                            num_ref=dst.xyz.shape[1])
     else:
         nn = lambda p: _nn_batched_xla(p, dst.xyz, dst.mask,

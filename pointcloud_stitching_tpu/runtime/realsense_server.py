@@ -9,8 +9,10 @@ reference, by design:
     deprojection moved on-device (BASELINE: "the host keeps only camera
     capture and socket ingest"); the legacy POINTS_I16MM payload is
     available via --points for reference-client compatibility,
-  * intrinsics are served to the client on request (the reference bakes
-    them into the camera-side deprojection).
+  * intrinsics travel out-of-band: --dump-intrinsics writes the device's
+    factory calibration as an .intr.json the stitcher loads via
+    --intr-dir (the reference instead bakes intrinsics into the
+    camera-side deprojection and never ships them).
 
 Requires pyrealsense2 (not bundled in this environment); the import is
 gated so the module is load-safe everywhere and the fake server is the

@@ -53,6 +53,17 @@ def main(argv=None):
                     help="wire payload kind (points = reference legacy mode)")
     ap.add_argument("--color", action="store_true",
                     help="ingest depth-aligned RGB and stitch colored clouds")
+    ap.add_argument("--color-intr-dir",
+                    help="directory of per-camera color-stream .intr.json "
+                         "files (sorted by name = camera order). Required "
+                         "when the config sets color_height/color_width "
+                         "(non-aligned color, DEPTH16_COLOR_NATIVE): color "
+                         "then attaches by projecting points into the color "
+                         "camera instead of assuming aligned streams")
+    ap.add_argument("--color-cal-dir",
+                    help="directory of per-camera depth→color extrinsic "
+                         ".cal files (4x4, sorted by name = camera order); "
+                         "identity per camera when omitted")
     ap.add_argument("--trace-dir",
                     help="capture a jax.profiler device trace to this dir")
     ap.add_argument("--record-dir",
@@ -60,6 +71,18 @@ def main(argv=None):
     ap.add_argument("--record-frames", type=int, default=300)
     ap.add_argument("--publish-port", type=int, default=None,
                     help="serve the stitched cloud stream on this TCP port")
+    ap.add_argument("--view", action="store_true",
+                    help="render the stitched cloud in-process (the "
+                         "reference client's -v visualize flag): a cv2 "
+                         "window when a GUI exists, else a rolling image "
+                         "sequence in --view-dir. For a decoupled viewer "
+                         "use --publish-port + pcs-view instead")
+    ap.add_argument("--view-dir", default="viewer_out")
+    ap.add_argument("--view-axis", default="z", choices=("x", "y", "z"))
+    ap.add_argument("--view-size", type=int, default=800)
+    ap.add_argument("--view-every", type=int, default=1,
+                    help="render every K-th stitched frame (rendering costs "
+                         "host time; raise K if it paces the loop)")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -114,7 +137,32 @@ def main(argv=None):
         i0 = Intrinsics.d435_default(width=cfg.width, height=cfg.height)
         intr = i0.stack([i0] * (ncam - 1)) if ncam > 1 else i0.stack([])
 
-    pipe = StitchingPipeline(cfg, intr, ext)
+    # non-aligned color (cfg.color_height set) needs the color stream's own
+    # calibration; reject up front with the fix spelled out (ADVICE r2: this
+    # used to crash inside StitchingPipeline with no actionable message)
+    color_intr = color_ext = None
+    if args.color_intr_dir:
+        from ..io.calio import discover_intrinsics, load_intrinsics_stack
+        cpaths = discover_intrinsics(args.color_intr_dir)
+        if len(cpaths) != ncam:
+            raise SystemExit(f"{len(cpaths)} color .intr.json files for "
+                             f"{ncam} cameras")
+        color_intr = load_intrinsics_stack(cpaths)
+        if args.color_cal_dir:
+            ccals = discover_cals(args.color_cal_dir)
+            if len(ccals) != ncam:
+                raise SystemExit(f"{len(ccals)} depth→color .cal files for "
+                                 f"{ncam} cameras")
+            color_ext = load_cals(ccals)
+    elif cfg.color_height is not None:
+        raise SystemExit(
+            "config sets color_height/color_width (non-aligned color) but "
+            "no --color-intr-dir was given; pass the color stream's "
+            "per-camera intrinsics (and optionally --color-cal-dir for "
+            "depth→color extrinsics)")
+
+    pipe = StitchingPipeline(cfg, intr, ext,
+                             color_intr=color_intr, color_ext=color_ext)
     client = MulticameraClient(
         addresses, pipe, payload=args.payload,
         record_frames=args.record_frames if args.record_dir else 0).start()
@@ -133,9 +181,21 @@ def main(argv=None):
         publisher = CloudPublisher(port=args.publish_port).start()
         print(f"publishing stitched clouds on :{publisher.port}", flush=True)
 
+    view = view_sink = None
+    if args.view:
+        from .view_cli import CloudView, _directory_sink, _window_sink
+        view = CloudView(axis=args.view_axis, size=args.view_size)
+        view_sink = _window_sink()
+        if view_sink is None:
+            print(f"view: no GUI, writing image sequence to {args.view_dir}",
+                  flush=True)
+            view_sink = _directory_sink(args.view_dir, keep=300)
+
     def on_frame(i, out):
         if publisher is not None and publisher.num_subscribers:
             publisher.publish_cloud(out.cloud)
+        if view is not None and i % max(args.view_every, 1) == 0:
+            view.apply_command(view_sink(i, view.render_cloud(out.cloud)))
         if args.print_every and i > 0 and i % args.print_every == 0:
             line = str(client.metrics)
             if args.timing:
