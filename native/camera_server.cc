@@ -7,14 +7,19 @@
 // ingest stay native on the host while all geometry runs on the TPU, so the
 // wire carries raw u16 depth (DEPTH16 frames of runtime/wire.py).
 //
-// Frame sources:
+// Frame sources (all implement the FrameSource interface below):
 //   --file scene.npy   replay a [T, H, W] uint16 .npy recording (the format
 //                      MulticameraClient.save_recording writes)
 //   --synthetic        procedural multi-octave scene (matches the Python
 //                      generator's character, not its exact values)
-// A librealsense capture source slots in where FrameSource does — this
-// daemon is the deployment shell for it (librealsense is not available in
-// this build environment).
+//   --rs2              live librealsense D400 capture (the reference's
+//                      rs2::pipeline loop — SURVEY.md §3.1). Compiled in
+//                      only with -DPCS_WITH_RS2 (librealsense2 is not
+//                      installable in this build environment, so CI
+//                      compile-checks the source against the stub headers
+//                      in native/rs2_stub/ — see make native-server-rs2check
+//                      — and a rig operator builds `make native-server-rs2`
+//                      against the real SDK).
 //
 // Build: make native-server  (or scripts in native/)
 //
@@ -34,9 +39,15 @@
 #include <cstdio>
 #include <cstring>
 #include <fstream>
+#include <memory>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
+
+#ifdef PCS_WITH_RS2
+#include <librealsense2/rs.hpp>
+#endif
 
 extern "C" {
 size_t pcs_snappy_max_compressed_length(size_t n);
@@ -151,43 +162,149 @@ bool send_all(int fd, const uint8_t* p, size_t n) {
   return true;
 }
 
-void serve_client(int fd, const Frames& fr, uint8_t codec, double fps) {
-  const bool with_color = !fr.rgb.empty();
-  std::vector<uint8_t> out, staging;
-  const size_t depth_len = fr.h * fr.w * 2;
-  const size_t raw_len = depth_len + (with_color ? fr.h * fr.w * 3 : 0);
-  out.resize(16 + pcs_snappy_max_compressed_length(raw_len));
-  if (with_color) staging.resize(raw_len);
+// Polymorphic capture seam: the serve loop below is source-agnostic, so a
+// deployment swaps replay for live capture by constructing a different
+// FrameSource (the reference's equivalent is the rs2 calls hard-wired into
+// its serve loop — src/pcs-camera-server.cpp, SURVEY.md §3.1).
+class FrameSource {
+ public:
+  virtual ~FrameSource() = default;
+  virtual size_t height() const = 0;
+  virtual size_t width() const = 0;
+  virtual bool has_color() const = 0;
+  // Copy the next frame into depth [h*w] (and rgb [h*w*3] when has_color
+  // and rgb != nullptr). Blocks until a frame is available (this is where
+  // capture paces the stream); false = permanent source failure.
+  virtual bool next(uint16_t* depth, uint8_t* rgb) = 0;
+};
+
+// Replay/synthetic source over a preloaded Frames block. Per-instance
+// cursor: each client connection streams its own cycle from frame 0,
+// matching the Python fake server's semantics.
+class ReplaySource : public FrameSource {
+ public:
+  ReplaySource(const Frames& fr, double fps) : fr_(fr), fps_(fps) {}
+  size_t height() const override { return fr_.h; }
+  size_t width() const override { return fr_.w; }
+  bool has_color() const override { return !fr_.rgb.empty(); }
+  bool next(uint16_t* depth, uint8_t* rgb) override {
+    if (fps_ > 0.0) {
+      auto next_t = last_ + std::chrono::duration_cast<
+          std::chrono::steady_clock::duration>(
+              std::chrono::duration<double>(1.0 / fps_));
+      std::this_thread::sleep_until(next_t);
+      last_ = std::chrono::steady_clock::now();
+    }
+    std::memcpy(depth, fr_.frame(seq_), fr_.h * fr_.w * 2);
+    if (rgb && has_color())
+      std::memcpy(rgb, fr_.color(seq_), fr_.h * fr_.w * 3);
+    ++seq_;
+    return true;
+  }
+
+ private:
+  const Frames& fr_;
+  double fps_;
+  size_t seq_ = 0;
+  std::chrono::steady_clock::time_point last_ =
+      std::chrono::steady_clock::now();
+};
+
+#ifdef PCS_WITH_RS2
+// Live RealSense D400 capture: the reference camera server's rs2::pipeline
+// loop (SURVEY.md §3.1) minus camera-side deprojection — the wire carries
+// raw u16 depth and deprojection runs on the TPU. Color (when enabled) is
+// aligned onto the depth grid with rs2::align so the payload stays
+// DEPTH16_COLOR. Thread-safe: one pipeline shared by every client
+// connection (frames are consumed jointly — a live camera has one "now").
+class Rs2Source : public FrameSource {
+ public:
+  Rs2Source(size_t width, size_t height, int fps, bool color)
+      : w_(width), h_(height), color_(color), align_(RS2_STREAM_DEPTH) {
+    rs2::config cfg;
+    cfg.enable_stream(RS2_STREAM_DEPTH, static_cast<int>(width),
+                      static_cast<int>(height), RS2_FORMAT_Z16, fps);
+    if (color)
+      cfg.enable_stream(RS2_STREAM_COLOR, static_cast<int>(width),
+                        static_cast<int>(height), RS2_FORMAT_RGB8, fps);
+    profile_ = pipe_.start(cfg);
+    print_intrinsics();
+  }
+  size_t height() const override { return h_; }
+  size_t width() const override { return w_; }
+  bool has_color() const override { return color_; }
+  bool next(uint16_t* depth, uint8_t* rgb) override {
+    std::lock_guard<std::mutex> lock(mu_);
+    try {
+      rs2::frameset fs = pipe_.wait_for_frames();
+      if (color_) fs = align_.process(fs);
+      rs2::depth_frame d = fs.get_depth_frame();
+      if (!d) return false;
+      std::memcpy(depth, d.get_data(), h_ * w_ * 2);
+      if (color_ && rgb) {
+        rs2::video_frame c = fs.get_color_frame();
+        if (c) std::memcpy(rgb, c.get_data(), h_ * w_ * 3);
+      }
+    } catch (const rs2::error& e) {
+      std::fprintf(stderr, "rs2 capture failed: %s\n", e.what());
+      return false;
+    }
+    return true;
+  }
+
+ private:
+  // Emit the factory depth intrinsics in the .intr.json schema
+  // (io/calio.py) so a rig operator can redirect stdout into the file the
+  // stitcher loads via --intr-dir — the same out-of-band channel as the
+  // Python daemon's --dump-intrinsics.
+  void print_intrinsics() {
+    rs2::video_stream_profile vs =
+        profile_.get_stream(RS2_STREAM_DEPTH)
+            .as<rs2::video_stream_profile>();
+    rs2_intrinsics in = vs.get_intrinsics();
+    std::printf(
+        "{\"width\": %d, \"height\": %d, \"fx\": %.6f, \"fy\": %.6f, "
+        "\"ppx\": %.6f, \"ppy\": %.6f, \"model\": %d, "
+        "\"coeffs\": [%.6f, %.6f, %.6f, %.6f, %.6f]}\n",
+        in.width, in.height, in.fx, in.fy, in.ppx, in.ppy,
+        static_cast<int>(in.model), in.coeffs[0], in.coeffs[1],
+        in.coeffs[2], in.coeffs[3], in.coeffs[4]);
+    std::fflush(stdout);
+  }
+  size_t w_, h_;
+  bool color_;
+  rs2::pipeline pipe_;
+  rs2::pipeline_profile profile_;
+  rs2::align align_;
+  std::mutex mu_;
+};
+#endif  // PCS_WITH_RS2
+
+void serve_client(int fd, FrameSource& src, uint8_t codec) {
+  const bool with_color = src.has_color();
+  const size_t h = src.height(), w = src.width();
+  const size_t depth_len = h * w * 2;
+  const size_t raw_len = depth_len + (with_color ? h * w * 3 : 0);
+  // staging layout IS the DEPTH16[_COLOR] payload: depth block, RGB block
+  std::vector<uint8_t> staging(raw_len);
+  std::vector<uint8_t> out(16 + pcs_snappy_max_compressed_length(raw_len));
   uint32_t seq = 0;
-  auto last = std::chrono::steady_clock::now();
   for (;;) {
     uint8_t pull;
     if (::recv(fd, &pull, 1, MSG_WAITALL) != 1) return;
-    if (fps > 0.0) {
-      auto next = last + std::chrono::duration_cast<
-          std::chrono::steady_clock::duration>(
-              std::chrono::duration<double>(1.0 / fps));
-      std::this_thread::sleep_until(next);
-      last = std::chrono::steady_clock::now();
-    }
-    const uint8_t* raw = reinterpret_cast<const uint8_t*>(fr.frame(seq));
-    if (with_color) {
-      // DEPTH16_COLOR payload: depth block then RGB block (wire.py)
-      std::memcpy(staging.data(), raw, depth_len);
-      std::memcpy(staging.data() + depth_len, fr.color(seq),
-                  raw_len - depth_len);
-      raw = staging.data();
-    }
+    if (!src.next(reinterpret_cast<uint16_t*>(staging.data()),
+                  with_color ? staging.data() + depth_len : nullptr))
+      return;
     size_t body;
     if (codec == kCodecSnappy) {
-      body = pcs_snappy_compress(raw, raw_len, out.data() + 16);
+      body = pcs_snappy_compress(staging.data(), raw_len, out.data() + 16);
     } else {
-      std::memcpy(out.data() + 16, raw, raw_len);
+      std::memcpy(out.data() + 16, staging.data(), raw_len);
       body = raw_len;
     }
     uint32_t size32 = static_cast<uint32_t>(body);
-    uint16_t rows = static_cast<uint16_t>(fr.h);
-    uint16_t cols = static_cast<uint16_t>(fr.w);
+    uint16_t rows = static_cast<uint16_t>(h);
+    uint16_t cols = static_cast<uint16_t>(w);
     std::memcpy(out.data() + 0, &size32, 4);
     out[4] = with_color ? kKindDepth16Color : kKindDepth16;
     out[5] = codec;
@@ -206,7 +323,7 @@ void serve_client(int fd, const Frames& fr, uint8_t codec, double fps) {
 int main(int argc, char** argv) {
   int port = 8000;
   std::string file;
-  bool synthetic = false;
+  bool synthetic = false, rs2_mode = false;
   size_t n_frames = 64, height = 480, width = 848;
   unsigned seed = 0;
   uint8_t codec = kCodecSnappy;
@@ -219,6 +336,7 @@ int main(int argc, char** argv) {
     else if (a == "--file") file = next();
     else if (a == "--color") color = true;
     else if (a == "--synthetic") synthetic = true;
+    else if (a == "--rs2") rs2_mode = true;
     else if (a == "--n-frames") n_frames = std::stoul(next());
     else if (a == "--height") height = std::stoul(next());
     else if (a == "--width") width = std::stoul(next());
@@ -228,15 +346,33 @@ int main(int argc, char** argv) {
                                                      : kCodecSnappy;
     else {
       std::fprintf(stderr,
-                   "usage: %s [--port P] (--file X.npy | --synthetic) "
-                   "[--n-frames T --height H --width W --seed S] "
+                   "usage: %s [--port P] (--file X.npy | --synthetic | "
+                   "--rs2) [--n-frames T --height H --width W --seed S] "
                    "[--fps F] [--codec snappy|raw] [--color]\n", argv[0]);
       return 2;
     }
   }
 
   Frames fr;
-  if (!file.empty()) {
+  std::unique_ptr<FrameSource> live;
+  if (rs2_mode) {
+#ifdef PCS_WITH_RS2
+    try {
+      live = std::make_unique<Rs2Source>(width, height,
+                                         fps > 0.0 ? static_cast<int>(fps)
+                                                   : 30,
+                                         color);
+    } catch (const rs2::error& e) {
+      std::fprintf(stderr, "rs2 pipeline start failed: %s\n", e.what());
+      return 1;
+    }
+#else
+    std::fprintf(stderr,
+                 "--rs2 requires a build with librealsense2: "
+                 "make native-server-rs2\n");
+    return 2;
+#endif
+  } else if (!file.empty()) {
     if (!load_npy_u16(file, &fr)) {
       std::fprintf(stderr, "failed to load %s\n", file.c_str());
       return 1;
@@ -244,10 +380,10 @@ int main(int argc, char** argv) {
   } else if (synthetic) {
     fr = synthetic_frames(n_frames, height, width, seed);
   } else {
-    std::fprintf(stderr, "need --file or --synthetic\n");
+    std::fprintf(stderr, "need --file, --synthetic, or --rs2\n");
     return 2;
   }
-  if (color) make_colors(&fr);
+  if (color && !rs2_mode) make_colors(&fr);
 
   int srv = ::socket(AF_INET, SOCK_STREAM, 0);
   int one = 1;
@@ -261,13 +397,30 @@ int main(int argc, char** argv) {
     std::perror("bind/listen");
     return 1;
   }
-  std::printf("native camera server on 0.0.0.0:%d (%zu frames %zux%zu)\n",
-              port, fr.t, fr.h, fr.w);
+  if (live)
+    std::printf("native camera server on 0.0.0.0:%d (rs2 live %zux%zu)\n",
+                port, live->width(), live->height());
+  else
+    std::printf("native camera server on 0.0.0.0:%d (%zu frames %zux%zu)\n",
+                port, fr.t, fr.h, fr.w);
   std::fflush(stdout);
   for (;;) {
     int fd = ::accept(srv, nullptr, nullptr);
     if (fd < 0) continue;
     ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
-    std::thread(serve_client, fd, std::cref(fr), codec, fps).detach();
+    if (live) {
+      // live capture: all clients share the one pipeline (Rs2Source locks)
+      std::thread([fd, &live, codec]() {
+        serve_client(fd, *live, codec);
+        ::close(fd);
+      }).detach();
+    } else {
+      // replay: each client gets its own cursor from frame 0
+      std::thread([fd, &fr, codec, fps]() {
+        ReplaySource src(fr, fps);
+        serve_client(fd, src, codec);
+        ::close(fd);
+      }).detach();
+    }
   }
 }

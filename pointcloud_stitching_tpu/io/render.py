@@ -51,6 +51,62 @@ def render_orthographic(xyz: np.ndarray, rgb: np.ndarray | None = None,
     return img
 
 
+def view_rotation(azimuth: float, elevation: float) -> np.ndarray:
+    """Orbit-view basis as a 3x3 matrix with rows [right, up, forward].
+
+    Degrees. azimuth orbits around the sensor-vertical (y) axis, elevation
+    tilts above/below the horizon; (0, 0) looks along +z — exactly the
+    ``axis="z"`` orthographic view — (90, 0) along +x, (0, 90) along +y.
+    """
+    az = np.deg2rad(azimuth)
+    el = np.deg2rad(elevation)
+    f = np.array([np.cos(el) * np.sin(az), np.sin(el),
+                  np.cos(el) * np.cos(az)], np.float32)
+    r = np.array([np.cos(az), 0.0, -np.sin(az)], np.float32)
+    u = np.cross(f, r)
+    return np.stack([r, u, f]).astype(np.float32)
+
+
+def render_view(xyz: np.ndarray, rgb: np.ndarray | None = None,
+                azimuth: float = 0.0, elevation: float = 0.0,
+                size: int = 800, background: int = 0,
+                bounds: tuple | None = None) -> np.ndarray:
+    """Orbit-viewpoint orthographic render (the interactive counterpart of
+    ``render_orthographic``'s fixed axes).
+
+    The operator-facing equivalent of PCLVisualizer's mouse orbit (reference:
+    ``viewer.spinOnce()`` loop — SURVEY.md §3.2): rotate the cloud into the
+    (azimuth, elevation) basis, then depth-buffer-splat along the view
+    forward. (0, 0) reproduces ``render_orthographic(axis="z")`` exactly.
+    ``bounds`` as in render_orthographic, in the *rotated* frame.
+    """
+    xyz = np.asarray(xyz, np.float32).reshape(-1, 3)
+    if len(xyz) == 0:
+        return np.full((size, size, 3), background, np.uint8)
+    p = xyz @ view_rotation(azimuth, elevation).T
+    uv, d = p[:, :2], p[:, 2]
+
+    if bounds is not None:
+        lo, span = np.asarray(bounds[0], np.float32), float(bounds[1])
+        span = max(span, 1e-6)
+    else:
+        lo, hi = uv.min(axis=0), uv.max(axis=0)
+        span = np.maximum(hi - lo, 1e-6).max()
+    px = ((uv - lo) / span * (size - 1)).astype(np.int32)
+    px = np.clip(px, 0, size - 1)
+
+    order = np.argsort(-d)
+    img = np.full((size, size, 3), background, np.uint8)
+    if rgb is not None:
+        colors = np.clip(np.asarray(rgb), 0, 255).astype(np.uint8)[order]
+    else:
+        dn = (d - d.min()) / max(d.max() - d.min(), 1e-6)
+        t = (dn[order] * 255).astype(np.uint8)
+        colors = np.stack([t, 255 - t, np.full_like(t, 128)], axis=-1)
+    img[px[order, 1], px[order, 0]] = colors
+    return img
+
+
 def save_image(path: str, img: np.ndarray) -> None:
     """Write an image; cv2 if present (png/jpg), else PPM."""
     try:
