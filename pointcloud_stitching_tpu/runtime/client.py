@@ -53,6 +53,11 @@ class _CameraSlot:
         self.lock = threading.Lock()
         self.alive = True
         self.error: Optional[str] = None
+        # pull gate for on-demand mode: set when the consumer has read this
+        # slot (pull the next frame), cleared right after each pull.
+        # Starts set so the first frame fetches immediately.
+        self.consumed = threading.Event()
+        self.consumed.set()
 
 
 class CameraIngest(threading.Thread):
@@ -61,7 +66,8 @@ class CameraIngest(threading.Thread):
     def __init__(self, index: int, address: tuple[str, int], slot: _CameraSlot,
                  stop: threading.Event, connect_timeout: float = 5.0,
                  record_frames: int = 0, reconnect: bool = True,
-                 reconnect_backoff: float = 0.5):
+                 reconnect_backoff: float = 0.5,
+                 pull_mode: str = "on_demand"):
         super().__init__(daemon=True, name=f"ingest-cam{index}")
         self.index = index
         self.address = address
@@ -70,6 +76,7 @@ class CameraIngest(threading.Thread):
         self._connect_timeout = connect_timeout
         self._reconnect = reconnect
         self._backoff = reconnect_backoff
+        self._on_demand = pull_mode == "on_demand"
         # record+replay (SURVEY.md §5 checkpoint/record): keep the first K
         # received depth (+color) frames for .npy export via
         # Client.save_recording
@@ -107,6 +114,17 @@ class CameraIngest(threading.Thread):
         self.slot.error = None
         try:
             while not self._stop.is_set():
+                if self._on_demand:
+                    # pull only after the consumer read the previous frame:
+                    # a slower-than-camera stitch loop then never pays for
+                    # frames it would discard, and the decompress work stops
+                    # competing with dispatch for the CPU (on a 1-core host
+                    # continuous pulls starve the main loop). The timeout
+                    # keeps a trickle of pulls flowing when the consumer
+                    # stalls, so freshness probing and death detection via
+                    # recv errors both keep working.
+                    self.slot.consumed.wait(timeout=0.25)
+                    self.slot.consumed.clear()
                 send_pull(sock)
                 kind, seq, payload = recv_frame(sock)
                 if self.slot.points:
@@ -167,12 +185,22 @@ class MulticameraClient:
                  stale_timeout: float = 0.5,
                  payload: str = "depth",
                  record_frames: int = 0,
-                 reconnect: bool = True):
+                 reconnect: bool = True,
+                 pull_mode: str = "on_demand"):
+        """pull_mode: 'on_demand' (default) pulls a camera only after the
+        previous frame was consumed by a snapshot — when the stitch loop is
+        at least as fast as the cameras this is identical to continuous
+        pulling, and when it is slower it stops fetching/decompressing
+        frames nobody will use. 'continuous' pulls flat-out for the
+        freshest-possible frame at any snapshot instant (worth up to one
+        camera period of staleness; costs a core per few cameras)."""
         cfg = pipeline.cfg
         if len(addresses) != cfg.num_cameras:
             raise ValueError("address count != cfg.num_cameras")
         if payload not in ("depth", "points"):
             raise ValueError("payload must be 'depth' or 'points'")
+        if pull_mode not in ("on_demand", "continuous"):
+            raise ValueError("pull_mode must be 'on_demand' or 'continuous'")
         self.pipeline = pipeline
         self.payload = payload
         self.stale_timeout = stale_timeout
@@ -187,7 +215,8 @@ class MulticameraClient:
                        for _ in addresses]
         self._threads = [
             CameraIngest(i, addr, slot, self._stop,
-                         record_frames=record_frames, reconnect=reconnect)
+                         record_frames=record_frames, reconnect=reconnect,
+                         pull_mode=pull_mode)
             for i, (addr, slot) in enumerate(zip(addresses, self._slots))]
 
     def save_recording(self, directory: str) -> list[str]:
@@ -254,6 +283,7 @@ class MulticameraClient:
                     fresh = s.alive and s.seq >= 0 and \
                         (now - s.stamp) <= self.stale_timeout
                 mask[i] = fresh
+                s.consumed.set()  # on-demand ingest may pull the next frame
             return (xyz, pmask, rgb), mask
         depths = np.empty((cfg.num_cameras, cfg.height, cfg.width), np.uint16)
         ch = cfg.color_height or cfg.height
@@ -268,6 +298,7 @@ class MulticameraClient:
                 fresh = s.alive and s.seq >= 0 and \
                     (now - s.stamp) <= self.stale_timeout
             mask[i] = fresh
+            s.consumed.set()  # on-demand ingest may pull the next frame
         return (depths, colors), mask
 
     def _transfer(self, data, mask):
