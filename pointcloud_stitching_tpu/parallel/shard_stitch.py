@@ -137,7 +137,8 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
         # (deltas[0] is the ring-closing pair — identity when closure is off,
         # since its dst is fully masked and kabsch then returns identity)
         deltas = jax.lax.all_gather(res.T, axis).reshape(cfg.num_cameras, 4, 4)
-        corrections, loop_err = _compose_ring_corrections(deltas, closure)
+        corrections, loop_err = _compose_ring_corrections(
+            deltas, closure, gate=cfg.icp_closure_gate)
         refined_full = mm(
             corrections,
             jax.lax.all_gather(ext_l, axis).reshape(cfg.num_cameras, 4, 4))

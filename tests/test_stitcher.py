@@ -375,3 +375,27 @@ def test_ring_closure_noop_when_consistent():
     err1 = np.abs(refined[1] - np.eye(4)).max()
     assert err1 < 0.02, err1
     assert float(out.metrics.loop_error) < 1e-3
+
+
+def test_closure_gate_rejects_implausible_residual():
+    """A closing-pair 'measurement' with a large false translation (no true
+    overlap / ICP slid on a low-texture surface) must NOT be distributed:
+    gated closure returns exactly the chain-only corrections, while the
+    loop_error still reports the residual for observability."""
+    from pointcloud_stitching_tpu.models.stitcher import (
+        _compose_ring_corrections)
+    ncam = 8
+    deltas = np.stack([np.eye(4, dtype=np.float32)] * ncam)
+    deltas[0, :3, 3] = [0.5, 0.1, 0.0]   # false 0.51 m closing residual
+    d = jnp.asarray(deltas)
+    chain, _ = _compose_ring_corrections(d, False)
+    gated, le = _compose_ring_corrections(d, True, gate=0.25)
+    np.testing.assert_allclose(np.asarray(gated), np.asarray(chain),
+                               atol=1e-6)
+    assert float(le) > 0.2  # residual observable even when not applied
+    # a plausible residual still distributes
+    deltas[0, :3, 3] = [0.02, 0.01, 0.0]
+    applied, _ = _compose_ring_corrections(jnp.asarray(deltas), True,
+                                           gate=0.25)
+    assert np.abs(np.asarray(applied)[-1] - np.asarray(chain)[-1]).max() \
+        > 1e-3
