@@ -47,8 +47,8 @@ def _make_stream_rig(ncam: int, h: int, w: int):
     cfg = StitchConfig(num_cameras=ncam, height=h, width=w,
                        cam_voxel_leaf=0.01, cam_capacity=131072,
                        out_voxel_leaf=0.01, out_capacity=262144,
-                       icp_enabled=True, icp_stride=6, icp_voxel_leaf=0.05,
-                       icp_capacity=4096, icp_iterations=5,
+                       icp_enabled=True, icp_stride=6, icp_voxel_leaf=0.07,
+                       icp_capacity=2048, icp_iterations=5,
                        icp_max_corr_dist=0.1,
                        icp_query_tile=1024, icp_ref_tile=4096)
     i0 = Intrinsics.create(fx=421.5, fy=421.1, ppx=w / 2.0, ppy=h / 2.0,

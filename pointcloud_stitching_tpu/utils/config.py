@@ -47,10 +47,16 @@ class StitchConfig:
     # per-frame ICP drift correction (config 4/5); BASELINE: >=5 iters/frame
     icp_enabled: bool = True
     icp_stride: int = 6        # grid-stride subsample feeding the ICP clouds
-    icp_voxel_leaf: float = 0.05
-    icp_capacity: int = 4096   # NN cost scales with capacity^2; ~4k voxels
-                               # at 5cm leaves align as well as 8k (measured
-                               # drift residuals within 10%)
+    # ICP-cloud density knobs. NN cost scales with icp_capacity^2 and the
+    # drift stage was ~40% of the 8-cam frame at 4096, so 2048 is the
+    # default (8-cam frame 15.7 -> 12.2 ms). IMPORTANT: pick leaf so the
+    # expected per-camera voxel count FITS capacity — overflow drops the
+    # sorted tail, i.e. a spatially biased amputation of the ICP cloud
+    # (measured on the rendered partial-overlap rig: cap 2048 @ 5 cm leaf
+    # overflows and leaves 38.8% of injected drift; @ 7 cm it fits and
+    # leaves 4.1%, matching cap 4096 @ 5 cm at 3.3%).
+    icp_voxel_leaf: float = 0.07
+    icp_capacity: int = 2048
     icp_iterations: int = 5
     icp_max_corr_dist: float = 0.1
     # trimmed ICP: additionally drop this fraction of the worst accepted

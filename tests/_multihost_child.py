@@ -81,7 +81,7 @@ def main() -> None:
                        out_voxel_leaf=0.03, out_capacity=65536,
                        icp_enabled=True, icp_voxel_leaf=0.06,
                        icp_capacity=512, icp_iterations=2,
-                       icp_max_corr_dist=0.3,
+                       icp_max_corr_dist=0.3, icp_trim_fraction=0.0,
                        icp_query_tile=256, icp_ref_tile=256,
                        kernel_impl="xla")
     i0 = Intrinsics.create(fx=53.0, fy=53.0, ppx=w / 2.0, ppy=h / 2.0,

@@ -15,12 +15,17 @@ pytestmark = pytest.mark.skipif(
 
 
 def _cfg(ncam, icp=True):
+    # icp_trim_fraction pinned to 0: these are sharded-vs-single parity
+    # tests, and the trim quantile is a discrete cut — a 1-ulp NN-distance
+    # difference between backends can flip a correspondence at the
+    # threshold and push extrinsics past the 1e-4 parity tolerance.
+    # Trimming itself is covered by test_nn_icp / the measured rig.
     return StitchConfig(num_cameras=ncam, height=60, width=106,
                         cam_voxel_leaf=0.03, cam_capacity=4096,
                         out_voxel_leaf=0.03, out_capacity=8192,
                         icp_enabled=icp, icp_voxel_leaf=0.06,
                         icp_capacity=1024, icp_iterations=2,
-                        icp_max_corr_dist=0.3,
+                        icp_max_corr_dist=0.3, icp_trim_fraction=0.0,
                         icp_query_tile=256, icp_ref_tile=256)
 
 
