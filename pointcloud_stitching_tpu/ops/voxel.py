@@ -71,8 +71,8 @@ def voxel_indices(xyz: jax.Array, mask: jax.Array, leaf: jax.Array):
 # so the packed path additionally requires leaf <= _PACK_MAX_LEAF (15 um
 # worst case). Both conditions are traced values; `voxel_downsample` selects
 # the branch with lax.cond, so big scenes / coarse leaves silently keep the
-# exact five-operand path. RGB clouds always use the exact path (offsets
-# have no spare bits; the colour path is not the frame bottleneck).
+# exact path. RGB rides as a third packed operand (24 bits of an i32, mean
+# exact), so a colored cloud sorts 3 operands instead of the exact path's 8.
 
 _PACK_MAX_LEAF = 0.03
 _PACK_MAX_CELLS = float(2 ** 30)
@@ -86,18 +86,23 @@ def _extents(ijk):
 
 
 def _sorted_segments_packed(pc: PointCloud, leaf, ijk):
-    """Two-operand sort: linearised key + quantised offsets.
+    """Packed-operand sort: linearised key + quantised offsets (+ RGB).
 
-    Returns (flags, vals [..., N, 7], min_ijk). The 7 channels are all
-    small integers — [ix·flag, iy·flag, iz·flag, q0, q1, q2, 1] — so the
-    segment reduction runs with exact two-limb bf16 products (bf16x2: one
-    third cheaper than the general bf16x3 path; see
+    Returns (flags, vals [..., N, 7 or 10], min_ijk). The channels are all
+    small integers — [ix·flag, iy·flag, iz·flag, q0, q1, q2, 1] plus
+    [r, g, b] for colored clouds — so the segment reduction runs with
+    exact two-limb bf16 products (bf16x2: one third cheaper than the
+    general bf16x3 path; see
     kernels.segment_reduce._accumulate_onehot_dot). The per-axis voxel
     index lands only on each segment's first row (flag-masked: exactly one
     contribution per segment survives the sum), the offsets sum over the
     whole segment, and the centroid reconstructs in _finalize_packed as
     (base + (Σq/n + ½)/1024)·leaf — algebraically the same mean the exact
-    path computes, quantised at leaf/2048.
+    path computes, quantised at leaf/2048. RGB rides as a third packed
+    operand (24 bits of an i32): a colored cloud sorts 3 operands instead
+    of the exact path's 8 (sort cost scales with operand count — 8-op is
+    ~3x the 2-op cost at 3.26M rows), and its per-voxel mean is exact
+    (8-bit integers, single bf16 limb).
     """
     xyz, mask = pc.xyz, pc.mask
     inv = 1.0 / jnp.asarray(leaf, jnp.float32)
@@ -113,10 +118,17 @@ def _sorted_segments_packed(pc: PointCloud, leaf, ijk):
     oq = jnp.clip((frac * 1024.0).astype(jnp.int32), 0, 1023)
     off = (oq[..., 0] << 20) | (oq[..., 1] << 10) | oq[..., 2]
 
+    has_rgb = pc.rgb is not None
+    operands = [key, off]
+    if has_rgb:
+        rq = jnp.clip(pc.rgb.astype(jnp.int32), 0, 255)
+        operands.append((rq[..., 0] << 16) | (rq[..., 1] << 8) | rq[..., 2])
+
     # unstable: XLA's stable sort costs ~1.4x (9.2 vs 6.4 ms at 3.26M);
     # within-voxel order is irrelevant here — the packed path sums exact
     # integer channels, so the result is bit-identical either way
-    skey, soff = jax.lax.sort([key, off], num_keys=1, is_stable=False)
+    sorted_ops = jax.lax.sort(operands, num_keys=1, is_stable=False)
+    skey, soff = sorted_ops[0], sorted_ops[1]
     valid = skey != _SENTINEL
 
     # unpack key -> per-axis voxel indices (relative to min_ijk)
@@ -136,10 +148,15 @@ def _sorted_segments_packed(pc: PointCloud, leaf, ijk):
     f = flags.astype(jnp.float32)
     q = jnp.stack([(soff >> 20) & 1023, (soff >> 10) & 1023, soff & 1023],
                   axis=-1).astype(jnp.float32)
-    vals = jnp.concatenate([
+    chans = [
         jnp.stack([ix, iy, iz], axis=-1).astype(jnp.float32) * f[..., None],
         q,
-        jnp.ones((*f.shape, 1), jnp.float32)], axis=-1)
+        jnp.ones((*f.shape, 1), jnp.float32)]
+    if has_rgb:
+        srgb = sorted_ops[2]
+        chans.append(jnp.stack([(srgb >> 16) & 255, (srgb >> 8) & 255,
+                                srgb & 255], axis=-1).astype(jnp.float32))
+    vals = jnp.concatenate(chans, axis=-1)
     vals = jnp.where(valid[..., None], vals, 0.0)
     return flags, vals, min_ijk
 
@@ -200,10 +217,11 @@ def _finalize(sums: jax.Array, has_rgb: bool) -> PointCloud:
     return PointCloud(xyz=out_xyz, mask=out_mask, rgb=out_rgb)
 
 
-def _finalize_packed(sums: jax.Array, min_ijk: jax.Array, leaf) -> PointCloud:
-    """Centroids from integer-channel sums [ix, iy, iz, Σq0, Σq1, Σq2, n]:
-    (base + (Σq/n + ½)/1024)·leaf — the same mean the exact path computes,
-    quantised at leaf/2048."""
+def _finalize_packed(sums: jax.Array, min_ijk: jax.Array, leaf,
+                     has_rgb: bool = False) -> PointCloud:
+    """Centroids from integer-channel sums [ix, iy, iz, Σq0, Σq1, Σq2, n
+    (+ Σr, Σg, Σb)]: (base + (Σq/n + ½)/1024)·leaf — the same mean the
+    exact path computes, quantised at leaf/2048; RGB mean is exact."""
     counts = sums[..., 6]
     out_mask = counts > 0.0
     denom = jnp.maximum(counts, 1.0)[..., None]
@@ -211,8 +229,11 @@ def _finalize_packed(sums: jax.Array, min_ijk: jax.Array, leaf) -> PointCloud:
     mean_q = sums[..., 3:6] / denom
     lf = jnp.asarray(leaf, jnp.float32)
     xyz = (base + (mean_q + 0.5) * (1.0 / 1024.0)) * lf
+    rgb = None
+    if has_rgb:
+        rgb = jnp.where(out_mask[..., None], sums[..., 7:10] / denom, 0.0)
     return PointCloud(xyz=jnp.where(out_mask[..., None], xyz, 0.0),
-                      mask=out_mask)
+                      mask=out_mask, rgb=rgb)
 
 
 def _reduce_xla(flags, vals, capacity: int):
@@ -225,9 +246,9 @@ def _reduce_pallas(flags, vals, capacity: int, interpret: bool,
                    precision: str = "bf16x3"):
     from ..kernels.segment_reduce import segment_sum_from_flags
     ch = vals.shape[-1]
-    if ch < 8:  # pad channels to a full sublane tile
+    if ch % 8:  # pad channels to a full sublane tile
         vals = jnp.concatenate(
-            [vals, jnp.zeros((*vals.shape[:-1], 8 - ch), jnp.float32)],
+            [vals, jnp.zeros((*vals.shape[:-1], 8 - ch % 8), jnp.float32)],
             axis=-1)
     # flags variant: segment ids derive in-kernel (SMEM carry), removing the
     # full-stream cumsum. Limb decomposition keeps products exact below
@@ -254,14 +275,15 @@ def _reduce_pallas_batched(flags, vals, capacity: int, interpret: bool,
     ch = vals.shape[-1]
     chunk = 1024
     total_cap = b * (capacity + 1)
-    if (total_cap + 2 * chunk) * max(ch, 8) * 4 > 12 * 2 ** 20:
+    ch_pad = ch + (8 - ch % 8) % 8
+    if (total_cap + 2 * chunk) * max(ch_pad, 8) * 4 > 12 * 2 ** 20:
         red = lambda s, v: _reduce_pallas(s, v, capacity, interpret,
                                           precision)
         return jax.lax.map(lambda sv: red(*sv), (flags, vals))
 
-    if ch < 8:
+    if ch % 8:
         vals = jnp.concatenate(
-            [vals, jnp.zeros((b, n, 8 - ch), jnp.float32)], axis=-1)
+            [vals, jnp.zeros((b, n, 8 - ch % 8), jnp.float32)], axis=-1)
     seg = _flags_to_seg(flags, capacity)                  # [B, N] in [0,cap]
     npad = -(-n // chunk) * chunk
     if npad != n:
@@ -294,10 +316,10 @@ def voxel_downsample(pc: PointCloud, leaf, capacity: int,
       impl: 'auto' | 'pallas' | 'xla' segment-reduction backend.
       interpret: run the pallas kernel in interpreter mode (CPU testing).
       packed: 'auto' | 'never' — 'auto' switches (at runtime, via lax.cond)
-        to the two-operand packed sort when the scene extents fit 2^30 voxel
-        cells AND leaf <= 0.03 m (reconstruction error <= leaf/2048, far
-        inside the oracle tolerance); RGB clouds always take the exact path.
-        'never' forces the exact five-operand sort unconditionally.
+        to the packed sort (2 operands, 3 with RGB) when the scene extents
+        fit 2^30 voxel cells AND leaf <= 0.03 m (xyz reconstruction error
+        <= leaf/2048, far inside the oracle tolerance; RGB means exact).
+        'never' forces the exact 5/8-operand sort unconditionally.
     """
     impl = _resolve_impl(impl)
     batched = pc.xyz.ndim == 3
@@ -314,7 +336,7 @@ def voxel_downsample(pc: PointCloud, leaf, capacity: int,
         return _reduce_pallas(flags, vals, capacity, interpret, precision)
 
     has_rgb = pc.rgb is not None
-    if has_rgb or packed == "never":
+    if packed == "never":
         flags, vals, has_rgb = _sorted_segments(pc, leaf, capacity)
         return _finalize(reduce_fn(flags, vals), has_rgb)
 
@@ -326,20 +348,30 @@ def voxel_downsample(pc: PointCloud, leaf, capacity: int,
     fits = (jnp.all(cells <= _PACK_MAX_CELLS)
             & jnp.all(ext <= 65536)
             & (jnp.asarray(leaf, jnp.float32) <= _PACK_MAX_LEAF))
+    if has_rgb:
+        # the RGB operand packs 8-bit integers; wire colors are exactly
+        # that, but the public API accepts arbitrary floats — only pack
+        # when packing is lossless (traced, like the other conditions)
+        fits = fits & jnp.all(pc.rgb == jnp.round(pc.rgb)) \
+            & jnp.all((pc.rgb >= 0) & (pc.rgb <= 255))
 
     def fast(_):
         flags, vals, min_ijk = _sorted_segments_packed(pc, leaf, ijk)
         sums = reduce_fn(flags, vals, precision="bf16x2")
-        out = _finalize_packed(sums, min_ijk, leaf)
-        return out.xyz, out.mask
+        out = _finalize_packed(sums, min_ijk, leaf, has_rgb)
+        return (out.xyz, out.mask, out.rgb) if has_rgb \
+            else (out.xyz, out.mask)
 
     def slow(_):
         flags, vals, _hr = _sorted_segments(pc, leaf, capacity)
-        out = _finalize(reduce_fn(flags, vals), False)
-        return out.xyz, out.mask
+        out = _finalize(reduce_fn(flags, vals), has_rgb)
+        return (out.xyz, out.mask, out.rgb) if has_rgb \
+            else (out.xyz, out.mask)
 
-    xyz, mask = jax.lax.cond(fits, fast, slow, None)
-    return PointCloud(xyz=xyz, mask=mask)
+    parts = jax.lax.cond(fits, fast, slow, None)
+    if has_rgb:
+        return PointCloud(xyz=parts[0], mask=parts[1], rgb=parts[2])
+    return PointCloud(xyz=parts[0], mask=parts[1])
 
 
 def decimate_depth(depth: jax.Array, stride: int) -> jax.Array:

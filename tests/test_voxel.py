@@ -97,3 +97,61 @@ def test_fuse_then_voxel(rng):
     allpts = np.concatenate([_valid(a), _valid(b)])
     ref, _ = voxel_downsample_np(allpts, 0.2)
     np.testing.assert_allclose(_valid(out), ref, atol=1e-4)
+
+
+def test_voxel_rgb_packed_matches_exact(rng):
+    """Colored packed path (3-operand sort, RGB as a packed i32): at a
+    fine leaf the fits-condition selects it, and the result must match the
+    forced exact (8-operand) path within the offset quantisation bound."""
+    pts = rng.uniform(-1, 1, size=(4000, 3)).astype(np.float32)
+    rgb = rng.integers(0, 256, size=(4000, 3)).astype(np.float32)
+    pc = PointCloud.from_points(pts, rgb=rgb)
+    leaf = 0.02
+    fast = voxel_downsample(pc, leaf, capacity=8192, impl="xla")
+    slow = voxel_downsample(pc, leaf, capacity=8192, impl="xla",
+                            packed="never")
+    mf, ms = np.asarray(fast.mask), np.asarray(slow.mask)
+    assert mf.sum() == ms.sum() > 100
+    np.testing.assert_allclose(np.asarray(fast.xyz)[mf],
+                               np.asarray(slow.xyz)[ms],
+                               atol=leaf / 1024)
+    # integer-valued colors: per-voxel means are exact on both paths
+    np.testing.assert_allclose(np.asarray(fast.rgb)[mf],
+                               np.asarray(slow.rgb)[ms], atol=1e-4)
+
+
+def test_voxel_rgb_nonint_takes_exact_path(rng):
+    """Non-integer RGB cannot pack losslessly: the traced fits-condition
+    must route to the exact path even at a packed-eligible leaf."""
+    pts = rng.uniform(-1, 1, size=(3000, 3)).astype(np.float32)
+    rgb = rng.uniform(0, 255, size=(3000, 3)).astype(np.float32)
+    pc = PointCloud.from_points(pts, rgb=rgb)
+    out = voxel_downsample(pc, 0.02, capacity=8192, impl="xla")
+    ref_xyz, ref_rgb = voxel_downsample_np(np.asarray(pts), 0.02,
+                                           rgb=np.asarray(rgb))
+    m = np.asarray(out.mask)
+    assert m.sum() == len(ref_xyz)
+    # exact-path accuracy (1e-5-class), NOT the packed leaf/1024 bound:
+    # fractional colors survive untruncated
+    np.testing.assert_allclose(np.asarray(out.rgb)[m], ref_rgb, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.xyz)[m], ref_xyz, atol=1e-5)
+
+
+def test_voxel_rgb_packed_batched(rng):
+    """Camera-batched colored packed path (the fused colored stream)."""
+    pts = rng.uniform(-1, 1, size=(2, 3000, 3)).astype(np.float32)
+    rgb = rng.integers(0, 256, size=(2, 3000, 3)).astype(np.float32)
+    mask = np.ones((2, 3000), bool)
+    pc = PointCloud(xyz=jnp.asarray(pts), mask=jnp.asarray(mask),
+                    rgb=jnp.asarray(rgb))
+    fast = voxel_downsample(pc, 0.02, capacity=8192, impl="xla")
+    slow = voxel_downsample(pc, 0.02, capacity=8192, impl="xla",
+                            packed="never")
+    for b in range(2):
+        mf, ms = np.asarray(fast.mask[b]), np.asarray(slow.mask[b])
+        assert mf.sum() == ms.sum() > 100
+        np.testing.assert_allclose(np.asarray(fast.xyz[b])[mf],
+                                   np.asarray(slow.xyz[b])[ms],
+                                   atol=0.02 / 1024)
+        np.testing.assert_allclose(np.asarray(fast.rgb[b])[mf],
+                                   np.asarray(slow.rgb[b])[ms], atol=1e-4)
