@@ -256,7 +256,14 @@ def main():
             "p50_latency_ms_4cam_raw": round(p50_raw, 2),
             "sync_rtt_ms": round(sync_rtt * 1e3, 2),
             "compile_s": round(compile_s, 1),
+            # the max-entropy synthetic scene (uniform random depths)
+            # occupies more voxels than out_capacity by construction, so
+            # the fused output sits exactly at capacity here — the honest
+            # worst case for the sort/reduce (most rows, most segments).
+            # Structured scenes land below capacity (see dryrun/multihost
+            # artifacts, which assert non-saturation).
             "fused_voxels": voxels,
+            "fused_voxels_at_capacity": voxels >= 262144,
             "streaming_4cam": stream,
         },
     }))
