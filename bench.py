@@ -207,17 +207,50 @@ def main():
     pps = pts_per_frame / dt
     design_point = 8 * 848 * 480 * 30  # reference's implied realtime target
 
-    # p50 latency at 4 cameras (BASELINE metric)
+    # scaling + colored variants (claims live in the artifact, not just
+    # the README): 16 cameras on the same chip, and the colored 8-cam
+    # frame (RGB through the packed voxel sort)
+    import dataclasses
+    cfg16, intr16, ext16, depths16 = _flagship(16, h, w)
+    fn16 = jax.jit(partial(stitch_step, cfg16))
+    sync(fn16(intr16, ext16, depths16))
+    t0 = time.time()
+    for _ in range(15):
+        out16 = fn16(intr16, ext16, depths16)
+    sync(out16)
+    dt16 = (time.time() - t0 - sync_rtt) / 15
+
+    cfg8c = dataclasses.replace(cfg, with_color=True)
+    rng = np.random.default_rng(1)
+    colors8 = rng.integers(0, 256, (ncam, h, w, 3), dtype=np.uint8)
+    import jax.numpy as _jnp
+    colors8 = _jnp.asarray(colors8)
+    fn8c = jax.jit(partial(stitch_step, cfg8c))
+    sync(fn8c(intr, ext_cur, depths, colors8))
+    t0 = time.time()
+    for _ in range(15):
+        out8c = fn8c(intr, ext_cur, depths, colors8)
+    sync(out8c)
+    dt8c = (time.time() - t0 - sync_rtt) / 15
+
+    # p50 latency at 4 cameras (BASELINE metric). The tunnel's scalar-sync
+    # RTT drifts over a bench run (measured 24-50 ms within one run), so
+    # re-measure it HERE, interleaved with the latency loop — a stale
+    # start-of-run estimate once inflated the "device" p50 by ~28 ms.
     cfg4, intr4, ext4, depths4 = _flagship(4, h, w)
     fn4 = jax.jit(partial(stitch_step, cfg4))
     sync(fn4(intr4, ext4, depths4))
-    lats = []
+    lats, rtts_now = [], []
     for _ in range(10):
         t = time.time()
         sync(fn4(intr4, ext4, depths4))
         lats.append(time.time() - t)
+        t = time.time()
+        float(z + 1.0)
+        rtts_now.append(time.time() - t)
     p50_raw = float(np.median(lats) * 1e3)
-    p50_device = max(p50_raw - sync_rtt * 1e3, 0.0)
+    rtt_now = float(np.median(rtts_now))
+    p50_device = max(p50_raw - rtt_now * 1e3, 0.0)
 
     # end-to-end streaming benchmark (VERDICT r1 weak #3): loopback fake
     # servers -> TCP ingest -> software-pipelined H2D/compute overlap ->
@@ -255,6 +288,7 @@ def main():
             "p50_latency_ms_4cam_device": round(p50_device, 2),
             "p50_latency_ms_4cam_raw": round(p50_raw, 2),
             "sync_rtt_ms": round(sync_rtt * 1e3, 2),
+            "sync_rtt_ms_at_p50_stage": round(rtt_now * 1e3, 2),
             "compile_s": round(compile_s, 1),
             # the max-entropy synthetic scene (uniform random depths)
             # occupies more voxels than out_capacity by construction, so
@@ -264,6 +298,11 @@ def main():
             # artifacts, which assert non-saturation).
             "fused_voxels": voxels,
             "fused_voxels_at_capacity": voxels >= 262144,
+            "frame_time_ms_16cam": round(dt16 * 1e3, 2),
+            "fps_16cam": round(1.0 / dt16, 2),
+            "pps_16cam": round(16 * h * w / dt16, 0),
+            "frame_time_ms_8cam_colored": round(dt8c * 1e3, 2),
+            "fps_8cam_colored": round(1.0 / dt8c, 2),
             "streaming_4cam": stream,
         },
     }))

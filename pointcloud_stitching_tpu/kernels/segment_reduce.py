@@ -173,10 +173,11 @@ def _segsum_flags_kernel(flags_ref, valsT_ref, out_ref, carry_ref, *,
 
 
 @partial(jax.jit, static_argnames=("capacity", "chunk", "interpret",
-                                   "precision"))
+                                   "precision", "group", "sub"))
 def segment_sum_from_flags(vals: jax.Array, flags: jax.Array, capacity: int,
                            chunk: int = 1024, interpret: bool = False,
-                           precision: str = "bf16x3") -> jax.Array:
+                           precision: str = "bf16x3", group: int = 4,
+                           sub: int | None = None) -> jax.Array:
     """Segment sum where ids come from boundary flags (sorted-run starts).
 
     Args:
@@ -184,17 +185,26 @@ def segment_sum_from_flags(vals: jax.Array, flags: jax.Array, capacity: int,
       flags: [N] int32/bool — 1 where a new (valid) segment starts. The
         implied ids are cumsum(flags)-1; rows before the first flag get id
         -1 and are dropped; ids >= capacity are dropped.
+      group: chunks per grid step (amortises step overhead).
+      sub: one-hot row-block height (defaults to min(256, chunk); the
+        window span is chunk + sub, so smaller sub = narrower dots).
+        Must be a multiple of 128 (the out-ref window slides at `sub`
+        granularity and Mosaic requires lane-dim offsets provably
+        128-aligned) and must divide chunk.
     Returns [capacity, ch] float32 sums.
     """
     n, ch = vals.shape
     flags = flags.astype(jnp.int32)
-    group = 4
     step = group * chunk
     npad = -(-n // step) * step
     if npad != n:
         vals = jnp.pad(vals, ((0, npad - n), (0, 0)))
         flags = jnp.pad(flags, (0, npad - n))
-    sub = min(256, chunk)
+    if sub is None:
+        sub = min(256, chunk)
+    if sub % 128 != 0 or chunk % sub != 0:
+        raise ValueError(f"sub must be a multiple of 128 dividing chunk, "
+                         f"got sub={sub} chunk={chunk}")
     span = chunk + sub
     nsteps = npad // step
     valsT = vals.T
