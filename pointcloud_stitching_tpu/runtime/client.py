@@ -245,6 +245,14 @@ class MulticameraClient:
     def stop(self) -> None:
         self._stop.set()
 
+    def __enter__(self) -> "MulticameraClient":
+        if all(t.ident is None for t in self._threads):  # never started
+            self.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
     def wait_for_first_frames(self, timeout: float = 10.0) -> bool:
         """Wait until every camera has either delivered a frame or is down
         (with at least one frame somewhere). `alive` flaps during reconnect
@@ -388,6 +396,11 @@ class MulticameraClient:
         forever) bounds how long the loop waits with zero live cameras and
         nothing in flight before returning early; any stitched frame resets
         the clock.
+
+        The client stays started when run() returns, so bounded runs can be
+        issued repeatedly on one client (e.g. alternating sync_every modes
+        against the same rig); call stop() — or use the client as a context
+        manager — to tear down the ingest threads.
         """
         if num_frames is not None and num_frames <= 0:
             return self.metrics
@@ -462,8 +475,11 @@ class MulticameraClient:
                 self.metrics.record(time.time() - p_t0, points=p_npix)
                 if on_frame is not None:
                     on_frame(n, p_out)
-        finally:
+        except BaseException:
+            # an exception escaping the loop (including KeyboardInterrupt)
+            # tears the client down — the in-flight frame is unowned
             self.stop()
+            raise
         return self.metrics
 
     def _run_serial(self, num_frames, on_frame,
@@ -489,6 +505,7 @@ class MulticameraClient:
                 n += 1
                 if num_frames is not None and n >= num_frames:
                     break
-        finally:
+        except BaseException:
             self.stop()
+            raise
         return self.metrics

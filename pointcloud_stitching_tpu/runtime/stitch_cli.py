@@ -214,8 +214,11 @@ def main(argv=None):
         else:
             metrics = client.run(num_frames=args.frames, on_frame=on_frame)
     except KeyboardInterrupt:
-        client.stop()
         metrics = client.metrics
+    finally:
+        # run() leaves the client started (so callers can issue repeated
+        # bounded runs); the CLI is done with it either way
+        client.stop()
     if publisher is not None:
         publisher.stop()
     if args.record_dir:

@@ -82,6 +82,7 @@ def test_loopback_stream_end_to_end():
         s = metrics.summary()
         assert s["fps"] > 0
     finally:
+        client.stop()
         for s in servers:
             s.stop()
 
@@ -159,6 +160,9 @@ def test_overlap_pipeline_matches_serial():
         assert [i for i, _ in outs] == list(range(6))
         assert "sync_wait" in client.stages.stages
         assert all(int(o.metrics.points_out) > 100 for _, o in outs)
+        # release the servers (they serve one connection at a time) before
+        # the serial rig connects — run() no longer stops the client itself
+        client.stop()
 
         outs_serial = []
         client2 = MulticameraClient(addrs, _make_pipeline(ncam, h, w)).start()
@@ -174,6 +178,9 @@ def test_overlap_pipeline_matches_serial():
         c2 = {int(o.metrics.points_out) for o in outs_serial}
         assert c1 and c2
     finally:
+        client.stop()
+        if "client2" in locals():
+            client2.stop()
         for s in servers:
             s.stop()
 
@@ -203,6 +210,7 @@ def test_bounded_overlap_run_dispatches_exactly_n():
         assert m.total_frames == 5
         assert calls["n"] == 5, calls["n"]
     finally:
+        client.stop()
         for s in servers:
             s.stop()
 
@@ -227,6 +235,7 @@ def test_run_sync_every_counts_all_frames():
         assert len(m.latencies) == 3
         assert len(m.points) == 9  # throughput counts every frame
     finally:
+        client.stop()
         for s in servers:
             s.stop()
 
@@ -512,6 +521,7 @@ def test_bounded_run_terminates_when_all_cameras_die():
         assert time.time() - t0 < 10.0
         assert metrics.total_frames < 100  # outage: fewer frames, honest count
     finally:
+        client.stop()
         srv.stop()
 
 
@@ -531,7 +541,31 @@ def test_serial_run_counts_only_stitched_frames():
         assert len(outs) == 4
         assert metrics.total_frames == 4
     finally:
+        client.stop()
         srv.stop()
+
+
+def test_repeated_bounded_runs_on_one_client():
+    """run() must leave the client started so bounded runs can be issued
+    repeatedly on one rig (the interleaved benchmark alternates sync_every
+    modes this way; run() used to stop() in a finally, so every window
+    after the first returned instantly with zero frames)."""
+    ncam, h, w = 2, 60, 106
+    servers = [FakeCameraServer(synthetic_frames(8, h, w, seed=s)).start()
+               for s in range(ncam)]
+    try:
+        pipe = _make_pipeline(ncam, h, w)
+        with MulticameraClient([("127.0.0.1", s.port) for s in servers],
+                               pipe) as client:
+            assert client.wait_for_first_frames(timeout=10)
+            for sync_every in (1, 4, 1):
+                client.metrics.reset()
+                m = client.run(num_frames=3, overlap=True,
+                               sync_every=sync_every)
+                assert m.total_frames == 3, sync_every
+    finally:
+        for s in servers:
+            s.stop()
 
 
 def test_run_zero_frames_returns_immediately():

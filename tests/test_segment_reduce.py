@@ -140,6 +140,41 @@ def test_flags_kernel_unaligned_capacity_with_overflow(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+@pytest.mark.parametrize("group,sub", [(1, 128), (2, 256), (8, 128)])
+def test_flags_kernel_group_sub_knobs(rng, group, sub):
+    """The grid-step batching (group) and one-hot row-block (sub) tuning
+    knobs must not change results — only scheduling."""
+    from pointcloud_stitching_tpu.kernels.segment_reduce import (
+        segment_sum_from_flags)
+    n, capacity = 4096, 700
+    flags = (rng.random(n) < 0.25).astype(np.int32)
+    flags[0] = 1
+    seg = np.cumsum(flags) - 1
+    vals = rng.normal(size=(n, 8)).astype(np.float32)
+    got = segment_sum_from_flags(jnp.asarray(vals), jnp.asarray(flags),
+                                 capacity, chunk=256, interpret=True,
+                                 group=group, sub=sub)
+    keep = seg < capacity
+    want = jax.ops.segment_sum(
+        jnp.asarray(vals * keep[:, None]),
+        jnp.asarray(np.minimum(seg, capacity)),
+        num_segments=capacity + 1)[:capacity]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_flags_kernel_rejects_unaligned_sub(rng):
+    """sub must be a 128-multiple dividing chunk (Mosaic lane-tile rule on
+    the sliding out-ref window) — rejected with ValueError, not a Mosaic
+    compile crash."""
+    from pointcloud_stitching_tpu.kernels.segment_reduce import (
+        segment_sum_from_flags)
+    vals = jnp.zeros((1024, 8), jnp.float32)
+    flags = jnp.zeros((1024,), jnp.int32).at[0].set(1)
+    for bad in [dict(sub=64), dict(sub=192), dict(chunk=256, sub=512)]:
+        with pytest.raises(ValueError, match="multiple of 128"):
+            segment_sum_from_flags(vals, flags, 128, interpret=True, **bad)
+
+
 def test_sorted_kernel_unaligned_capacity(rng):
     """segment_sum_sorted twin of the clamp fix: arbitrary (chunk-unaligned)
     capacity with a discard tail must stay exact."""
