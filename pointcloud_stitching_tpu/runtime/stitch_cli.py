@@ -83,6 +83,20 @@ def main(argv=None):
     ap.add_argument("--view-every", type=int, default=1,
                     help="render every K-th stitched frame (rendering costs "
                          "host time; raise K if it paces the loop)")
+    ap.add_argument("--map-leaf", type=float, default=None,
+                    help="accumulate stitched frames into a persistent "
+                         "temporal voxel map at this leaf size (meters); "
+                         "the denoised map saves to --map-out on exit")
+    ap.add_argument("--map-capacity", type=int, default=1 << 20,
+                    help="voxel-map slot capacity (occupied-voxel bound)")
+    ap.add_argument("--map-decay", type=float, default=1.0,
+                    help="per-frame map weight decay (1.0 = never forget; "
+                         "0.98 at 30 FPS forgets in ~1.7 s)")
+    ap.add_argument("--map-min-weight", type=float, default=0.05,
+                    help="evict map voxels whose decayed weight falls below "
+                         "this")
+    ap.add_argument("--map-out", default="map.ply",
+                    help="PLY path for the accumulated map on exit")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -191,7 +205,19 @@ def main(argv=None):
                   flush=True)
             view_sink = _directory_sink(args.view_dir, keep=300)
 
+    acc = None
+
     def on_frame(i, out):
+        nonlocal acc
+        if args.map_leaf is not None:
+            if acc is None:
+                # lazy: RGB presence must match the stitched output's
+                from ..models.voxel_map import TemporalAccumulator
+                acc = TemporalAccumulator(
+                    capacity=args.map_capacity, leaf=args.map_leaf,
+                    decay=args.map_decay, min_weight=args.map_min_weight,
+                    with_rgb=out.cloud.rgb is not None)
+            acc.update(out.cloud)
         if publisher is not None and publisher.num_subscribers:
             publisher.publish_cloud(out.cloud)
         if view is not None and i % max(args.view_every, 1) == 0:
@@ -224,6 +250,10 @@ def main(argv=None):
     if args.record_dir:
         paths = client.save_recording(args.record_dir)
         print(f"recorded {len(paths)} camera streams to {args.record_dir}")
+    if acc is not None:
+        save_cloud(args.map_out, acc.cloud())
+        print(f"saved accumulated map ({int(acc.state.count())} voxels) "
+              f"to {args.map_out}")
     print(metrics)
     return metrics
 

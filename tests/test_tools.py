@@ -466,3 +466,31 @@ def test_stitch_cli_in_process_view(tmp_path):
         assert any(n.startswith("latest.") for n in names)
     finally:
         srv.stop()
+
+
+def test_stitch_cli_temporal_map(tmp_path):
+    """--map-leaf accumulates stitched frames into a persistent voxel map
+    and saves the denoised scene as PLY on exit."""
+    from pointcloud_stitching_tpu.runtime import stitch_cli
+    from pointcloud_stitching_tpu.utils.config import StitchConfig
+
+    h, w = 60, 106
+    cfg = StitchConfig(num_cameras=1, height=h, width=w,
+                       cam_voxel_leaf=0.03, cam_capacity=4096,
+                       out_voxel_leaf=0.03, out_capacity=8192,
+                       icp_enabled=False)
+    cfgp = tmp_path / "cfg.json"
+    cfg.save(str(cfgp))
+    map_out = tmp_path / "scene.ply"
+    srv = FakeCameraServer(synthetic_frames(4, h, w, seed=3)).start()
+    try:
+        metrics = stitch_cli.main(
+            ["--camera", f"127.0.0.1:{srv.port}", "--config", str(cfgp),
+             "--frames", "4", "--print-every", "0",
+             "--map-leaf", "0.03", "--map-capacity", "16384",
+             "--map-out", str(map_out)])
+        assert metrics.total_frames == 4
+        xyz, _rgb = load_ply(str(map_out))
+        assert len(xyz) > 100  # a real accumulated scene landed on disk
+    finally:
+        srv.stop()

@@ -1,0 +1,207 @@
+"""Temporal voxel-map accumulator vs a numpy dict-based oracle.
+
+The oracle is the contract for the map semantics: absolute biased voxel
+keys, exponential weight decay with min-weight eviction, weight-averaged
+centroids, ascending-key capacity truncation, max-weight rescaling.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pointcloud_stitching_tpu.models.voxel_map import (
+    TemporalAccumulator, VoxelMap, localize, voxel_map_update)
+from pointcloud_stitching_tpu.utils.types import PointCloud
+
+from oracle import random_se3, transform_np
+
+BIAS = np.array([16384, 32768, 32768])
+BOUND = np.array([32766, 65534, 65534])
+
+
+def oracle_update(state: dict, xyz, leaf, rgb=None, decay=1.0,
+                  min_weight=0.05, max_weight=np.inf, capacity=1 << 20):
+    """state: {(ix,iy,iz): [sx,sy,sz,w] or [sx,sy,sz,w,r,g,b]}."""
+    out = {}
+    for k, v in state.items():
+        v = np.asarray(v, np.float64) * decay
+        if v[3] >= min_weight:
+            out[k] = v
+    nch = 7 if rgb is not None else 4
+    for i, p in enumerate(np.asarray(xyz, np.float64)):
+        ijk = np.floor(p / leaf).astype(np.int64) + BIAS
+        if np.any(ijk < 0) or np.any(ijk > BOUND):
+            continue
+        row = out.setdefault(tuple(ijk), np.zeros(nch))
+        row[:3] += p
+        row[3] += 1.0
+        if rgb is not None:
+            row[4:7] += np.asarray(rgb[i], np.float64)
+    # capacity truncation in ascending key order, then max-weight rescale
+    keys = sorted(out.keys())[:capacity]
+    final = {}
+    for k in keys:
+        v = out[k]
+        if v[3] > max_weight:
+            v = v * (max_weight / v[3])
+        final[k] = v
+    return final
+
+
+def map_to_dict(vm: VoxelMap) -> dict:
+    ijk = np.asarray(vm.ijk)
+    sums = np.asarray(vm.sums)
+    w = np.asarray(vm.weight)
+    occ = ijk[:, 0] != np.iinfo(np.int32).max
+    d = {}
+    for i in np.nonzero(occ)[0]:
+        row = list(sums[i]) + [w[i]]
+        if vm.rgb_sums is not None:
+            row += list(np.asarray(vm.rgb_sums)[i])
+        d[tuple(ijk[i])] = np.array(row)
+    return d
+
+
+def assert_maps_match(vm: VoxelMap, oracle: dict, atol=2e-4):
+    got = map_to_dict(vm)
+    assert set(got.keys()) == set(oracle.keys())
+    for k in oracle:
+        np.testing.assert_allclose(got[k], oracle[k], atol=atol, rtol=1e-5)
+
+
+def cloud(xyz, rgb=None, capacity=None):
+    return PointCloud.from_points(np.asarray(xyz, np.float32),
+                                  rgb=None if rgb is None else
+                                  np.asarray(rgb, np.float32),
+                                  capacity=capacity)
+
+
+def random_frames(rng, n_frames=4, n=600, scale=1.5, with_rgb=False):
+    frames = []
+    for _ in range(n_frames):
+        xyz = rng.uniform(-scale, scale, size=(n, 3))
+        rgb = rng.integers(0, 256, size=(n, 3)).astype(np.float32) \
+            if with_rgb else None
+        frames.append((xyz, rgb))
+    return frames
+
+
+@pytest.mark.parametrize("impl,interp", [("xla", False), ("pallas", True)])
+def test_single_update_matches_oracle(rng, impl, interp):
+    xyz = rng.uniform(-2, 2, size=(800, 3))
+    vm = VoxelMap.create(4096, leaf=0.25)
+    vm = voxel_map_update(vm, cloud(xyz, capacity=1024), impl=impl,
+                          interpret=interp)
+    assert_maps_match(vm, oracle_update({}, xyz, 0.25))
+
+
+def test_accumulation_decay_eviction(rng):
+    leaf, decay, min_w = 0.2, 0.6, 0.05
+    vm = VoxelMap.create(4096, leaf=leaf)
+    state = {}
+    frames = random_frames(rng, n_frames=3, n=500)
+    for xyz, _ in frames:
+        vm = voxel_map_update(vm, cloud(xyz, capacity=640), decay=decay,
+                              min_weight=min_w)
+        state = oracle_update(state, xyz, leaf, decay=decay,
+                              min_weight=min_w)
+    assert_maps_match(vm, state)
+    # stop feeding: weights decay until every voxel evicts
+    empty = cloud(np.zeros((0, 3)), capacity=640)
+    for _ in range(12):
+        vm = voxel_map_update(vm, empty, decay=decay, min_weight=min_w)
+        state = oracle_update(state, np.zeros((0, 3)), leaf, decay=decay,
+                              min_weight=min_w)
+    assert_maps_match(vm, state)
+    assert int(vm.count()) == 0 and len(state) == 0
+
+
+def test_rgb_and_max_weight(rng):
+    leaf, max_w = 0.3, 2.5
+    vm = VoxelMap.create(2048, leaf=leaf, with_rgb=True)
+    state = {}
+    for xyz, rgb in random_frames(rng, n_frames=5, n=400, with_rgb=True):
+        vm = voxel_map_update(vm, cloud(xyz, rgb=rgb, capacity=512),
+                              max_weight=max_w)
+        state = oracle_update(state, xyz, leaf, rgb=rgb, max_weight=max_w)
+    assert_maps_match(vm, state)
+    assert float(jnp.max(vm.weight)) <= max_w + 1e-5
+    # clamped weights preserve the running mean: as_cloud centroids match
+    # the oracle's sum/weight
+    pc = vm.as_cloud()
+    got = map_to_dict(vm)
+    for k, v in state.items():
+        np.testing.assert_allclose(got[k][:3] / got[k][3], v[:3] / v[3],
+                                   atol=2e-4)
+
+
+def test_capacity_truncation(rng):
+    xyz = rng.uniform(-2, 2, size=(600, 3))
+    cap = 32
+    vm = VoxelMap.create(cap, leaf=0.1)
+    vm = voxel_map_update(vm, cloud(xyz, capacity=640))
+    assert_maps_match(vm, oracle_update({}, xyz, 0.1, capacity=cap))
+    assert int(vm.count()) == cap
+
+
+def test_out_of_bounds_points_dropped():
+    xyz = np.array([[0.0, 0.0, 0.0], [1e5, 0.0, 0.0], [0.0, -1e5, 0.0]])
+    vm = VoxelMap.create(64, leaf=0.1)
+    vm = voxel_map_update(vm, cloud(xyz))
+    assert int(vm.count()) == 1  # only the in-bounds point lands
+
+
+def test_as_cloud_min_weight(rng):
+    vm = VoxelMap.create(1024, leaf=0.25)
+    a = rng.uniform(-1, 1, size=(300, 3))
+    vm = voxel_map_update(vm, cloud(a, capacity=384))
+    vm = voxel_map_update(vm, cloud(a, capacity=384))  # every voxel w=2
+    b = rng.uniform(-1, 1, size=(50, 3)) + 10.0       # one glimpse, w=1
+    vm = voxel_map_update(vm, cloud(b, capacity=384))
+    full = vm.as_cloud()
+    strong = vm.as_cloud(min_weight=1.5)
+    assert int(jnp.sum(strong.mask)) < int(jnp.sum(full.mask))
+    # the masked-out voxels are exactly the single-observation ones
+    assert int(jnp.sum(full.mask)) - int(jnp.sum(strong.mask)) \
+        == int(jnp.sum((vm.weight > 0) & (vm.weight < 1.5)))
+
+
+def test_leaf_rides_in_state(rng):
+    # two maps with different leaves produce different voxelizations from
+    # the same update call — leaf is state, not an update argument
+    xyz = rng.uniform(-1, 1, size=(200, 3))
+    fine = voxel_map_update(VoxelMap.create(2048, leaf=0.05), cloud(xyz))
+    coarse = voxel_map_update(VoxelMap.create(2048, leaf=0.5), cloud(xyz))
+    assert int(fine.count()) > int(coarse.count())
+
+
+def test_localize_recovers_transform(rng):
+    # build a map from a structured scene, shift a frame, localize it back
+    n = 1500
+    xyz = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                    np.sin(rng.uniform(-3, 3, n))], axis=-1)
+    vm = VoxelMap.create(8192, leaf=0.03)
+    vm = voxel_map_update(vm, cloud(xyz, capacity=2048))
+    T = random_se3(seed=7, max_angle=0.05, max_trans=0.03)
+    moved = cloud(transform_np(np.linalg.inv(T), xyz), capacity=2048)
+    res = localize(vm, moved, iterations=15, max_corr_dist=0.2)
+    np.testing.assert_allclose(np.asarray(res.T), T, atol=0.02)
+
+
+def test_temporal_accumulator_wrapper(rng):
+    acc = TemporalAccumulator(capacity=2048, leaf=0.2, decay=0.9,
+                              min_weight=0.05)
+    state = {}
+    for xyz, _ in random_frames(rng, n_frames=4, n=300):
+        acc.update(cloud(xyz, capacity=384))
+        state = oracle_update(state, xyz, 0.2, decay=0.9)
+    assert_maps_match(acc.state, state)
+    pc = acc.cloud()
+    assert int(jnp.sum(pc.mask)) == len(state)
+
+
+def test_rgb_presence_mismatch_raises(rng):
+    vm = VoxelMap.create(64, leaf=0.1)
+    xyz = rng.uniform(-1, 1, size=(10, 3))
+    with pytest.raises(ValueError):
+        voxel_map_update(vm, cloud(xyz, rgb=np.zeros((10, 3))))
