@@ -205,3 +205,37 @@ def test_rgb_presence_mismatch_raises(rng):
     xyz = rng.uniform(-1, 1, size=(10, 3))
     with pytest.raises(ValueError):
         voxel_map_update(vm, cloud(xyz, rgb=np.zeros((10, 3))))
+
+
+def test_accumulation_denoises(rng):
+    """The README's denoising claim, quantified: K accumulated noisy
+    observations cut centroid RMS error ~sqrt(K)x vs a single frame."""
+    leaf = 0.25
+    # ground-truth points at voxel centers so sensor noise never hops voxels
+    grid = np.stack(np.meshgrid(*[np.arange(6)] * 3), -1).reshape(-1, 3)
+    truth = (grid + 0.5) * leaf
+    K, sigma = 16, 0.02
+
+    def noisy():
+        return truth + rng.normal(0, sigma, truth.shape)
+
+    vm = VoxelMap.create(1024, leaf=leaf)
+    first = None
+    for k in range(K):
+        vm = voxel_map_update(vm, cloud(noisy(), capacity=256))
+        if k == 0:
+            first = map_to_dict(vm)
+    acc = map_to_dict(vm)
+    assert set(acc.keys()) == set(first.keys())
+
+    def rms(d):
+        errs = []
+        for k, v in d.items():
+            c = v[:3] / v[3]
+            t = (np.array(k) - BIAS + 0.5) * leaf
+            errs.append(np.sum((c - t) ** 2))
+        return np.sqrt(np.mean(errs))
+
+    e1, eK = rms(first), rms(acc)
+    # sqrt(16) = 4x ideal; demand >2.5x to leave room for sampling noise
+    assert eK < e1 / 2.5, (e1, eK)
