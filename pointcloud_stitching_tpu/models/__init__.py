@@ -2,13 +2,14 @@ from .stitcher import (StitchingPipeline, StitchMetrics, StitchOutput,
                        stitch_points_step, stitch_step)
 from .registration import (RegistrationResult, register_from_correspondences,
                            register_pair, write_cal)
-from .voxel_map import (TemporalAccumulator, VoxelMap, localize,
-                        voxel_map_update)
+from .voxel_map import (TemporalAccumulator, VoxelMap, load_map, localize,
+                        save_map, voxel_map_update)
 
 __all__ = [
     "StitchingPipeline", "StitchMetrics", "StitchOutput", "stitch_step",
     "stitch_points_step",
     "RegistrationResult", "register_from_correspondences", "register_pair",
     "write_cal",
-    "TemporalAccumulator", "VoxelMap", "localize", "voxel_map_update",
+    "TemporalAccumulator", "VoxelMap", "load_map", "localize",
+    "save_map", "voxel_map_update",
 ]

@@ -250,6 +250,59 @@ def _update_jit(vmap: VoxelMap, cloud: PointCloud, decay: jax.Array,
                     weight=out_w * scale, leaf=vmap.leaf, rgb_sums=new_rgb)
 
 
+def save_map(path: str, vmap: VoxelMap) -> None:
+    """Persist the full map state (resumable checkpoint, ``.npz``).
+
+    Unlike the ``.ply`` snapshot (centroids only), this keeps the raw
+    accumulation state — voxel indices, weighted sums, evidence weights —
+    so a later session can ``load_map`` and keep accumulating exactly where
+    this one stopped (the reference's only persistent artifact is a manual
+    ``.ply`` snapshot; SURVEY.md §5 checkpoint row).
+    """
+    arrs = dict(ijk=np.asarray(vmap.ijk), sums=np.asarray(vmap.sums),
+                weight=np.asarray(vmap.weight),
+                leaf=np.asarray(vmap.leaf), version=np.int32(1))
+    if vmap.rgb_sums is not None:
+        arrs["rgb_sums"] = np.asarray(vmap.rgb_sums)
+    np.savez_compressed(path, **arrs)
+
+
+def load_map(path: str, capacity: int | None = None) -> VoxelMap:
+    """Load a ``save_map`` checkpoint.
+
+    ``capacity`` resizes on load: padding with empty slots when larger than
+    the saved map, keeping the highest-weight voxels when smaller (the same
+    evidence-ordered policy eviction uses). Default keeps the saved size.
+    """
+    with np.load(path) as z:
+        if int(z["version"]) != 1:
+            raise ValueError(f"unknown map checkpoint version {z['version']}")
+        ijk = z["ijk"].astype(np.int32)
+        sums = z["sums"].astype(np.float32)
+        weight = z["weight"].astype(np.float32)
+        leaf = float(z["leaf"])
+        rgb = z["rgb_sums"].astype(np.float32) if "rgb_sums" in z else None
+    cap0 = ijk.shape[0]
+    if capacity is not None and capacity != cap0:
+        if capacity > cap0:
+            pad = capacity - cap0
+            ijk = np.concatenate(
+                [ijk, np.full((pad, 3), _SENTINEL, np.int32)])
+            sums = np.concatenate([sums, np.zeros((pad, 3), np.float32)])
+            weight = np.concatenate([weight, np.zeros((pad,), np.float32)])
+            if rgb is not None:
+                rgb = np.concatenate([rgb, np.zeros((pad, 3), np.float32)])
+        else:
+            keep = np.argsort(-weight, kind="stable")[:capacity]
+            ijk, sums, weight = ijk[keep], sums[keep], weight[keep]
+            if rgb is not None:
+                rgb = rgb[keep]
+    return VoxelMap(ijk=jnp.asarray(ijk), sums=jnp.asarray(sums),
+                    weight=jnp.asarray(weight),
+                    leaf=jnp.asarray(leaf, jnp.float32),
+                    rgb_sums=None if rgb is None else jnp.asarray(rgb))
+
+
 def localize(vmap: VoxelMap, cloud: PointCloud,
              init_T: jax.Array | None = None, iterations: int = 10,
              max_corr_dist: float | jax.Array = 0.1,
@@ -300,3 +353,24 @@ class TemporalAccumulator:
 
     def localize(self, cloud: PointCloud, **kw) -> ICPResult:
         return localize(self.state, cloud, **kw)
+
+    def save(self, path: str) -> None:
+        """Checkpoint the accumulation state (resumable; see save_map)."""
+        save_map(path, self.state)
+
+    @classmethod
+    def load(cls, path: str, capacity: int | None = None,
+             decay: float = 1.0, min_weight: float = 0.05,
+             max_weight: float = jnp.inf, impl: str = "auto",
+             interpret: bool = False) -> "TemporalAccumulator":
+        """Resume from a ``save`` checkpoint. ``leaf``/``with_rgb`` come
+        from the file (a map can't change grids mid-life); the update
+        policy knobs are per-session and passed fresh."""
+        acc = cls.__new__(cls)
+        acc.state = load_map(path, capacity=capacity)
+        acc._decay = decay
+        acc._min_weight = min_weight
+        acc._max_weight = max_weight
+        acc._update = partial(voxel_map_update, impl=impl,
+                              interpret=interpret)
+        return acc

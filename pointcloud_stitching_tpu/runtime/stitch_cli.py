@@ -96,7 +96,13 @@ def main(argv=None):
                     help="evict map voxels whose decayed weight falls below "
                          "this")
     ap.add_argument("--map-out", default="map.ply",
-                    help="PLY path for the accumulated map on exit")
+                    help="map path written on exit: .ply saves the denoised "
+                         "centroid cloud, .npz saves the full resumable "
+                         "accumulation state (see --map-in)")
+    ap.add_argument("--map-in", default=None,
+                    help="resume accumulation from a .npz map checkpoint "
+                         "(leaf/color come from the file; --map-leaf may "
+                         "be omitted)")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -209,14 +215,26 @@ def main(argv=None):
 
     def on_frame(i, out):
         nonlocal acc
-        if args.map_leaf is not None:
+        if args.map_leaf is not None or args.map_in is not None:
             if acc is None:
                 # lazy: RGB presence must match the stitched output's
                 from ..models.voxel_map import TemporalAccumulator
-                acc = TemporalAccumulator(
-                    capacity=args.map_capacity, leaf=args.map_leaf,
-                    decay=args.map_decay, min_weight=args.map_min_weight,
-                    with_rgb=out.cloud.rgb is not None)
+                if args.map_in is not None:
+                    acc = TemporalAccumulator.load(
+                        args.map_in, decay=args.map_decay,
+                        min_weight=args.map_min_weight)
+                    has_rgb = acc.state.rgb_sums is not None
+                    if has_rgb != (out.cloud.rgb is not None):
+                        raise ValueError(
+                            f"--map-in {args.map_in} was built "
+                            f"{'with' if has_rgb else 'without'} color but "
+                            f"this rig streams the opposite — resume with a "
+                            f"matching config or start a fresh map")
+                else:
+                    acc = TemporalAccumulator(
+                        capacity=args.map_capacity, leaf=args.map_leaf,
+                        decay=args.map_decay, min_weight=args.map_min_weight,
+                        with_rgb=out.cloud.rgb is not None)
             acc.update(out.cloud)
         if publisher is not None and publisher.num_subscribers:
             publisher.publish_cloud(out.cloud)
@@ -251,7 +269,10 @@ def main(argv=None):
         paths = client.save_recording(args.record_dir)
         print(f"recorded {len(paths)} camera streams to {args.record_dir}")
     if acc is not None:
-        save_cloud(args.map_out, acc.cloud())
+        if args.map_out.endswith(".npz"):
+            acc.save(args.map_out)   # full resumable state
+        else:
+            save_cloud(args.map_out, acc.cloud())
         print(f"saved accumulated map ({int(acc.state.count())} voxels) "
               f"to {args.map_out}")
     print(metrics)

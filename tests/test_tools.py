@@ -494,3 +494,43 @@ def test_stitch_cli_temporal_map(tmp_path):
         assert len(xyz) > 100  # a real accumulated scene landed on disk
     finally:
         srv.stop()
+
+
+def test_stitch_cli_map_checkpoint_resume(tmp_path):
+    """--map-out foo.npz checkpoints the full accumulation state and a
+    second run resumes it via --map-in (leaf comes from the file, no
+    --map-leaf needed)."""
+    import pytest
+
+    from pointcloud_stitching_tpu.models.voxel_map import load_map
+    from pointcloud_stitching_tpu.runtime import stitch_cli
+    from pointcloud_stitching_tpu.utils.config import StitchConfig
+
+    h, w = 60, 106
+    cfg = StitchConfig(num_cameras=1, height=h, width=w,
+                       cam_voxel_leaf=0.03, cam_capacity=4096,
+                       out_voxel_leaf=0.03, out_capacity=8192,
+                       icp_enabled=False)
+    cfgp = tmp_path / "cfg.json"
+    cfg.save(str(cfgp))
+    ckpt = tmp_path / "scene.npz"
+    final = tmp_path / "scene.ply"
+    srv = FakeCameraServer(synthetic_frames(4, h, w, seed=3)).start()
+    try:
+        stitch_cli.main(
+            ["--camera", f"127.0.0.1:{srv.port}", "--config", str(cfgp),
+             "--frames", "2", "--print-every", "0",
+             "--map-leaf", "0.03", "--map-capacity", "16384",
+             "--map-out", str(ckpt)])
+        vm = load_map(str(ckpt))
+        n_ckpt = int(vm.count())
+        assert n_ckpt > 100 and float(vm.leaf) == pytest.approx(0.03)
+        # resume: accumulated evidence carries over (total weight grows)
+        stitch_cli.main(
+            ["--camera", f"127.0.0.1:{srv.port}", "--config", str(cfgp),
+             "--frames", "2", "--print-every", "0",
+             "--map-in", str(ckpt), "--map-out", str(final)])
+        xyz, _rgb = load_ply(str(final))
+        assert len(xyz) >= n_ckpt  # resumed map contains the checkpoint
+    finally:
+        srv.stop()

@@ -239,3 +239,66 @@ def test_accumulation_denoises(rng):
     e1, eK = rms(first), rms(acc)
     # sqrt(16) = 4x ideal; demand >2.5x to leave room for sampling noise
     assert eK < e1 / 2.5, (e1, eK)
+
+
+def test_save_load_roundtrip_and_resume(rng, tmp_path):
+    """A checkpoint resumed mid-stream accumulates identically to an
+    uninterrupted run (the resumable-state contract of save_map/load_map)."""
+    from pointcloud_stitching_tpu.models.voxel_map import load_map, save_map
+
+    frames = [rng.uniform(-1, 1, size=(300, 3)) for _ in range(4)]
+    kw = dict(decay=0.9, min_weight=0.05)
+
+    vm_full = VoxelMap.create(2048, leaf=0.1)
+    for f in frames:
+        vm_full = voxel_map_update(vm_full, cloud(f, capacity=512), **kw)
+
+    vm_a = VoxelMap.create(2048, leaf=0.1)
+    for f in frames[:2]:
+        vm_a = voxel_map_update(vm_a, cloud(f, capacity=512), **kw)
+    path = str(tmp_path / "ckpt.npz")
+    save_map(path, vm_a)
+    vm_b = load_map(path)
+    assert float(vm_b.leaf) == pytest.approx(0.1)
+    for f in frames[2:]:
+        vm_b = voxel_map_update(vm_b, cloud(f, capacity=512), **kw)
+    assert_maps_match(vm_b, map_to_dict(vm_full))
+
+
+def test_load_map_resize(rng, tmp_path):
+    """capacity= on load pads with empty slots (grow) or keeps the
+    highest-weight voxels (shrink)."""
+    from pointcloud_stitching_tpu.models.voxel_map import load_map, save_map
+
+    vm = VoxelMap.create(512, leaf=0.1)
+    # two updates of the same first 100 points -> those voxels have weight 2
+    base = rng.uniform(-1, 1, size=(200, 3))
+    vm = voxel_map_update(vm, cloud(base, capacity=256))
+    vm = voxel_map_update(vm, cloud(base[:100], capacity=256))
+    path = str(tmp_path / "m.npz")
+    save_map(path, vm)
+
+    big = load_map(path, capacity=1024)
+    assert big.capacity == 1024
+    assert_maps_match(big, map_to_dict(vm))
+
+    heavy = {k for k, v in map_to_dict(vm).items() if v[3] > 1.5}
+    small = load_map(path, capacity=len(heavy))
+    got = set(map_to_dict(small).keys())
+    assert got == heavy  # shrink keeps the most-evidenced voxels
+
+
+def test_accumulator_save_load_rgb(rng, tmp_path):
+    """TemporalAccumulator.save/load round-trips color state and the loaded
+    accumulator keeps updating."""
+    acc = TemporalAccumulator(capacity=1024, leaf=0.1, with_rgb=True)
+    xyz = rng.uniform(-1, 1, size=(200, 3))
+    rgb = rng.uniform(0, 255, size=(200, 3))
+    acc.update(cloud(xyz, rgb=rgb, capacity=256))
+    path = str(tmp_path / "acc.npz")
+    acc.save(path)
+    acc2 = TemporalAccumulator.load(path)
+    assert acc2.state.rgb_sums is not None
+    assert_maps_match(acc2.state, map_to_dict(acc.state))
+    acc2.update(cloud(xyz, rgb=rgb, capacity=256))  # resumes cleanly
+    assert int(acc2.state.count()) == int(acc.state.count())
