@@ -130,16 +130,20 @@ def _stream_bench_interleaved(ncam: int, h: int, w: int, rounds: int = 3,
         client.step()  # compile outside the timed windows
         int(consume(jax.device_put(frame)))  # compile the probe
         fps_sync, fps_pipe, p50s, rtts, h2ds = [], [], [], [], []
+        stages_sync = stages_pipe = None
         for _ in range(rounds):
             client.stages.reset()
             client.metrics.reset()
             s = client.run(num_frames=frames, overlap=True).summary()
             fps_sync.append(s["fps"])
             p50s.append(s["p50_latency_ms"])
+            stages_sync = client.stages.summary()  # this window only
+            client.stages.reset()  # don't blend the two modes' samples
             t0 = time.time()
             client.run(num_frames=frames, overlap=True, sync_every=8)
             dt = time.time() - t0  # run() drains the last frame
             fps_pipe.append(round(frames / dt, 2))
+            stages_pipe = client.stages.summary()
             rtt, h2d = _probe_env(frame, consume)
             rtts.append(rtt)
             h2ds.append(h2d)
@@ -155,7 +159,8 @@ def _stream_bench_interleaved(ncam: int, h: int, w: int, rounds: int = 3,
             "fps_e2e_pipelined_windows": fps_pipe,
             "p50_latency_ms_e2e": float(np.median(p50s)),
             "codec": codec.name.lower(),
-            "stages_ms": client.stages.summary(),  # last sync window
+            "stages_ms": stages_sync,            # last per-frame-sync window
+            "stages_ms_pipelined": stages_pipe,  # last sync_every=8 window
             "env_bounds": {
                 "bytes_per_frame": int(frame.nbytes),
                 "h2d_ms_per_frame": round(h2d * 1e3, 2),
@@ -187,15 +192,24 @@ def main():
     def sync(out):
         return int(out.metrics.points_out)
 
-    # measure the host<->device scalar sync RTT to de-bias latency numbers
+    # measure the host<->device scalar sync RTT to de-bias latency numbers.
+    # It drifts 24-50 ms within one run and the start-of-process estimate is
+    # the most inflated (tunnel warm-up), so every timed loop re-measures it
+    # with rtt_here() right as its window closes — subtracting a stale value
+    # once biased the 4-cam p50 by ~28 ms, and an inflated subtraction
+    # flatters the frame times
     z = jnp.zeros(())
     float(z + 1.0)
-    rtts = []
-    for _ in range(10):
-        t = time.time()
-        float(z + 1.0)
-        rtts.append(time.time() - t)
-    sync_rtt = float(np.median(rtts))
+
+    def rtt_here(reps: int = 6) -> float:
+        vals = []
+        for _ in range(reps):
+            t = time.time()
+            float(z + 1.0)
+            vals.append(time.time() - t)
+        return float(np.median(vals))
+
+    sync_rtt = rtt_here(reps=10)
 
     ncam, h, w = 8, 480, 848
     cfg, intr, ext, depths = _flagship(ncam, h, w)
@@ -220,7 +234,7 @@ def main():
         out = fn(intr, ext_cur, depths)
         ext_cur = out.extrinsics
     voxels = sync(out)
-    dt = (time.time() - t0 - sync_rtt) / frames
+    dt = (time.time() - t0 - rtt_here()) / frames
 
     pts_per_frame = ncam * h * w
     pps = pts_per_frame / dt
@@ -237,7 +251,7 @@ def main():
     for _ in range(15):
         out16 = fn16(intr16, ext16, depths16)
     sync(out16)
-    dt16 = (time.time() - t0 - sync_rtt) / 15
+    dt16 = (time.time() - t0 - rtt_here()) / 15
 
     cfg8c = dataclasses.replace(cfg, with_color=True)
     rng = np.random.default_rng(1)
@@ -250,7 +264,7 @@ def main():
     for _ in range(15):
         out8c = fn8c(intr, ext_cur, depths, colors8)
     sync(out8c)
-    dt8c = (time.time() - t0 - sync_rtt) / 15
+    dt8c = (time.time() - t0 - rtt_here()) / 15
 
     # p50 latency at 4 cameras (BASELINE metric). The tunnel's scalar-sync
     # RTT drifts over a bench run (measured 24-50 ms within one run), so

@@ -397,13 +397,18 @@ int main(int argc, char** argv) {
     std::perror("bind/listen");
     return 1;
   }
+  // banner goes to stderr: stdout is reserved for machine-readable output
+  // (the --rs2 intrinsics JSON that operators redirect into an .intr.json
+  // file — a banner on the same stream would corrupt the json.load)
   if (live)
-    std::printf("native camera server on 0.0.0.0:%d (rs2 live %zux%zu)\n",
-                port, live->width(), live->height());
+    std::fprintf(stderr,
+                 "native camera server on 0.0.0.0:%d (rs2 live %zux%zu)\n",
+                 port, live->width(), live->height());
   else
-    std::printf("native camera server on 0.0.0.0:%d (%zu frames %zux%zu)\n",
-                port, fr.t, fr.h, fr.w);
-  std::fflush(stdout);
+    std::fprintf(stderr,
+                 "native camera server on 0.0.0.0:%d (%zu frames %zux%zu)\n",
+                 port, fr.t, fr.h, fr.w);
+  std::fflush(stderr);
   for (;;) {
     int fd = ::accept(srv, nullptr, nullptr);
     if (fd < 0) continue;

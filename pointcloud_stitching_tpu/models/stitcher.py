@@ -54,7 +54,8 @@ class StitchOutput(NamedTuple):
 
 
 def _compose_ring_corrections(deltas: jax.Array, closure: bool,
-                              gate: jax.Array | float = jnp.inf
+                              gate: jax.Array | float = jnp.inf,
+                              gate_rot: jax.Array | float = jnp.inf
                               ) -> tuple[jax.Array, jax.Array]:
     """Chain-compose per-pair ICP corrections, optionally closing the ring.
 
@@ -76,9 +77,11 @@ def _compose_ring_corrections(deltas: jax.Array, closure: bool,
     has no true overlap (a physically open ring, e.g. a camera line) or
     ICP slid along a low-texture surface to a false alignment; distributing
     such a residual corrupts every camera (measured: a 0.52 m false
-    residual turned a 0.032 m injected drift into 16x that). Gated frames
-    keep the chain-only corrections; loop_error still reports the residual
-    for observability.
+    residual turned a 0.032 m injected drift into 16x that). gate_rot
+    (radians) is the rotation arm of the same test — a rotation-dominated
+    false closure has small translation but a large angle and is equally
+    implausible as per-frame drift. Gated frames keep the chain-only
+    corrections; loop_error still reports the residual for observability.
     Returns (corrections [ncam, 4, 4], loop_error scalar = |r - I|_F^2).
     """
     eye = jnp.eye(4, dtype=jnp.float32)
@@ -88,7 +91,18 @@ def _compose_ring_corrections(deltas: jax.Array, closure: bool,
     ncam = deltas.shape[0]
     residual = mm(prefix[-1], deltas[0])
     loop_err = jnp.sum((residual - eye) ** 2)
-    ok = jnp.sum(residual[:3, 3] ** 2) <= jnp.asarray(gate, jnp.float32) ** 2
+    # both arms must pass: a rotation-dominated false closure (ICP slid
+    # around a rotationally ambiguous surface) has small translation but a
+    # large angle — trace(R) = 1 + 2 cos(theta)
+    cos_theta = (jnp.trace(residual[:3, :3]) - 1.0) * 0.5
+    g_rot = jnp.asarray(gate_rot, jnp.float32)
+    # gate_rot >= pi admits any rotation (cos(inf) would be nan and
+    # spuriously gate everything; -2 is below any cos_theta incl. float
+    # error past -1)
+    rot_thresh = jnp.where(g_rot >= jnp.pi, -2.0, jnp.cos(g_rot))
+    ok = (jnp.sum(residual[:3, 3] ** 2)
+          <= jnp.asarray(gate, jnp.float32) ** 2) \
+        & (cos_theta >= rot_thresh)
     alphas = (-jnp.arange(ncam, dtype=jnp.float32) / ncam
               * ok.astype(jnp.float32))  # alpha 0 == identity correction
     return mm(se3_power(residual, alphas), prefix), loop_err
@@ -158,7 +172,8 @@ def _ring_drift_correction(cfg: StitchConfig, clouds: PointCloud,
         deltas = jnp.concatenate([eye, res.T], axis=0)
         err, inl = res.mean_error, res.num_inliers
     corrections, loop_err = _compose_ring_corrections(
-        deltas, closure, gate=cfg.icp_closure_gate)
+        deltas, closure, gate=cfg.icp_closure_gate,
+        gate_rot=cfg.icp_closure_gate_rot)
     refined = mm(corrections, extrinsics)
     return refined, err, inl, loop_err
 

@@ -264,6 +264,10 @@ def save_map(path: str, vmap: VoxelMap) -> None:
                 leaf=np.asarray(vmap.leaf), version=np.int32(1))
     if vmap.rgb_sums is not None:
         arrs["rgb_sums"] = np.asarray(vmap.rgb_sums)
+    # np.savez silently appends .npz to an extensionless path, which would
+    # desynchronize save("ckpt") from load("ckpt"); normalize on both sides
+    if not path.endswith(".npz"):
+        path += ".npz"
     np.savez_compressed(path, **arrs)
 
 
@@ -274,6 +278,8 @@ def load_map(path: str, capacity: int | None = None) -> VoxelMap:
     the saved map, keeping the highest-weight voxels when smaller (the same
     evidence-ordered policy eviction uses). Default keeps the saved size.
     """
+    if not path.endswith(".npz"):
+        path += ".npz"
     with np.load(path) as z:
         if int(z["version"]) != 1:
             raise ValueError(f"unknown map checkpoint version {z['version']}")

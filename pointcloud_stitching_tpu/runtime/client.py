@@ -67,7 +67,8 @@ class CameraIngest(threading.Thread):
                  stop: threading.Event, connect_timeout: float = 5.0,
                  record_frames: int = 0, reconnect: bool = True,
                  reconnect_backoff: float = 0.5,
-                 pull_mode: str = "on_demand"):
+                 pull_mode: str = "on_demand",
+                 trickle: float = 0.25):
         super().__init__(daemon=True, name=f"ingest-cam{index}")
         self.index = index
         self.address = address
@@ -77,6 +78,7 @@ class CameraIngest(threading.Thread):
         self._reconnect = reconnect
         self._backoff = reconnect_backoff
         self._on_demand = pull_mode == "on_demand"
+        self._trickle = trickle
         # record+replay (SURVEY.md §5 checkpoint/record): keep the first K
         # received depth (+color) frames for .npy export via
         # Client.save_recording
@@ -122,8 +124,11 @@ class CameraIngest(threading.Thread):
                     # continuous pulls starve the main loop). The timeout
                     # keeps a trickle of pulls flowing when the consumer
                     # stalls, so freshness probing and death detection via
-                    # recv errors both keep working.
-                    self.slot.consumed.wait(timeout=0.25)
+                    # recv errors both keep working. The trickle period must
+                    # sit well under the client's stale_timeout (the caller
+                    # derives it), or a healthy camera's frame age would
+                    # oscillate past the staleness test between consumptions.
+                    self.slot.consumed.wait(timeout=self._trickle)
                     self.slot.consumed.clear()
                 send_pull(sock)
                 kind, seq, payload = recv_frame(sock)
@@ -216,7 +221,11 @@ class MulticameraClient:
         self._threads = [
             CameraIngest(i, addr, slot, self._stop,
                          record_frames=record_frames, reconnect=reconnect,
-                         pull_mode=pull_mode)
+                         pull_mode=pull_mode,
+                         # keep the stall-trickle period well under the
+                         # staleness test or a healthy camera flaps stale
+                         # whenever the stitch tick outpaces consumption
+                         trickle=min(0.25, stale_timeout / 4.0))
             for i, (addr, slot) in enumerate(zip(addresses, self._slots))]
 
     def save_recording(self, directory: str) -> list[str]:
@@ -393,9 +402,12 @@ class MulticameraClient:
         num_frames counts *stitched* frames (ticks where every camera was
         dead deliver nothing and don't count). So that a bounded run can't
         spin forever during a total outage, dead_timeout (seconds, None =
-        forever) bounds how long the loop waits with zero live cameras and
-        nothing in flight before returning early; any stitched frame resets
-        the clock.
+        forever) bounds how long a *bounded* run waits with zero live
+        cameras and nothing in flight before returning early; any stitched
+        frame resets the clock. Unbounded runs (num_frames=None — a
+        long-lived streaming service) ignore it and keep waiting: the
+        ingest threads' reconnect machinery exists exactly to ride out
+        outages longer than any fixed timeout.
 
         The client stays started when run() returns, so bounded runs can be
         issued repeatedly on one client (e.g. alternating sync_every modes
@@ -441,7 +453,8 @@ class MulticameraClient:
                             # up entirely once the outage outlasts
                             # dead_timeout (ADVICE r2: a bounded run must
                             # terminate even if every ingest thread died)
-                            if dead_timeout is not None and \
+                            if num_frames is not None and \
+                                    dead_timeout is not None and \
                                     time.time() - last_alive > dead_timeout:
                                 break
                             self._stop.wait(0.005)
@@ -494,8 +507,8 @@ class MulticameraClient:
             while not self._stop.is_set():
                 out = self.step()
                 if out is None:
-                    if dead_timeout is not None and \
-                            time.time() - last_alive > dead_timeout:
+                    if num_frames is not None and dead_timeout is not None \
+                            and time.time() - last_alive > dead_timeout:
                         break
                     self._stop.wait(0.005)  # all cameras down: no busy-spin
                     continue

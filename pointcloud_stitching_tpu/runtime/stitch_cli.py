@@ -87,8 +87,11 @@ def main(argv=None):
                     help="accumulate stitched frames into a persistent "
                          "temporal voxel map at this leaf size (meters); "
                          "the denoised map saves to --map-out on exit")
-    ap.add_argument("--map-capacity", type=int, default=1 << 20,
-                    help="voxel-map slot capacity (occupied-voxel bound)")
+    ap.add_argument("--map-capacity", type=int, default=None,
+                    help="voxel-map slot capacity (occupied-voxel bound; "
+                         "default 2^20). With --map-in this resizes the "
+                         "loaded checkpoint (grow pads, shrink keeps the "
+                         "highest-evidence voxels)")
     ap.add_argument("--map-decay", type=float, default=1.0,
                     help="per-frame map weight decay (1.0 = never forget; "
                          "0.98 at 30 FPS forgets in ~1.7 s)")
@@ -213,6 +216,15 @@ def main(argv=None):
 
     acc = None
 
+    def close_view():
+        nonlocal view
+        view = None
+        try:
+            import cv2
+            cv2.destroyAllWindows()
+        except Exception:
+            pass
+
     def on_frame(i, out):
         nonlocal acc
         if args.map_leaf is not None or args.map_in is not None:
@@ -221,7 +233,8 @@ def main(argv=None):
                 from ..models.voxel_map import TemporalAccumulator
                 if args.map_in is not None:
                     acc = TemporalAccumulator.load(
-                        args.map_in, decay=args.map_decay,
+                        args.map_in, capacity=args.map_capacity,
+                        decay=args.map_decay,
                         min_weight=args.map_min_weight)
                     has_rgb = acc.state.rgb_sums is not None
                     if has_rgb != (out.cloud.rgb is not None):
@@ -232,14 +245,23 @@ def main(argv=None):
                             f"matching config or start a fresh map")
                 else:
                     acc = TemporalAccumulator(
-                        capacity=args.map_capacity, leaf=args.map_leaf,
+                        capacity=args.map_capacity or (1 << 20),
+                        leaf=args.map_leaf,
                         decay=args.map_decay, min_weight=args.map_min_weight,
                         with_rgb=out.cloud.rgb is not None)
             acc.update(out.cloud)
         if publisher is not None and publisher.num_subscribers:
             publisher.publish_cloud(out.cloud)
         if view is not None and i % max(args.view_every, 1) == 0:
-            view.apply_command(view_sink(i, view.render_cloud(out.cloud)))
+            cmd = view_sink(i, view.render_cloud(out.cloud))
+            if cmd == "quit":
+                # the window's documented q key: close the in-process
+                # viewer (stitching continues — mirrors closing the
+                # reference's PCLVisualizer window, which doesn't stop
+                # the client loop)
+                close_view()
+            else:
+                view.apply_command(cmd)
         if args.print_every and i > 0 and i % args.print_every == 0:
             line = str(client.metrics)
             if args.timing:

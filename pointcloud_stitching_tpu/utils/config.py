@@ -77,6 +77,13 @@ class StitchConfig:
     # true overlap (open ring) or ICP slid to a false alignment, and
     # distributing it corrupts every camera. loop_error still reports it.
     icp_closure_gate: float = 0.25
+    # rotation arm of the same gate (radians): a closing residual rotating
+    # more than this is just as implausible as a large translation — a
+    # rotation-dominated false closure (ICP slid around a rotationally
+    # ambiguous surface) would otherwise pass a translation-only gate and
+    # corrupt every camera. ~0.26 rad = 15 degrees; per-frame drift is
+    # sub-degree.
+    icp_closure_gate_rot: float = 0.26
     # 'point_to_plane' (default: grid normals, converges in ~half the
     # iterations, no smooth-surface sliding) or 'point_to_point' (the
     # reference's PCL default). Measured on the 8-cam drift-recovery rig

@@ -24,8 +24,10 @@ def server_bin():
 
 
 def _start(args):
-    p = subprocess.Popen([*args], stdout=subprocess.PIPE, text=True)
-    line = p.stdout.readline()
+    # the ready banner arrives on stderr (stdout is reserved for the --rs2
+    # intrinsics JSON dump, which operators redirect into an .intr.json)
+    p = subprocess.Popen([*args], stderr=subprocess.PIPE, text=True)
+    line = p.stderr.readline()
     assert "native camera server" in line, line
     port = int(line.split(":")[1].split(" ")[0])
     return p, port
@@ -103,12 +105,14 @@ def test_rs2_capture_path_compiles():
     (native/rs2_stub/) — the SDK itself is not installable here, so this is
     the CI guard that keeps the real-capture path code, not a seam
     (VERDICT r2 missing #1)."""
-    r = subprocess.run(
-        ["g++", "-std=c++17", "-DPCS_WITH_RS2",
-         "-I" + os.path.join(REPO, "native", "rs2_stub"), "-fsyntax-only",
-         os.path.join(REPO, "native", "camera_server.cc")],
-        capture_output=True, text=True)
-    if "g++" in (r.stderr or "") and r.returncode == 127:
+    try:
+        r = subprocess.run(
+            ["g++", "-std=c++17", "-DPCS_WITH_RS2",
+             "-I" + os.path.join(REPO, "native", "rs2_stub"), "-fsyntax-only",
+             os.path.join(REPO, "native", "camera_server.cc")],
+            capture_output=True, text=True)
+    except FileNotFoundError:
+        # exec-style subprocess.run raises rather than returning rc 127
         pytest.skip("no g++")
     assert r.returncode == 0, r.stderr[:2000]
 

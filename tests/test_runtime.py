@@ -1,5 +1,6 @@
 """Loopback-cluster tests: fake servers + streaming client, no hardware."""
 import socket
+import threading
 import time
 
 import numpy as np
@@ -581,4 +582,62 @@ def test_run_zero_frames_returns_immediately():
         assert metrics.total_frames == 0
         client.stop()
     finally:
+        srv.stop()
+
+
+def test_unbounded_run_survives_outage_past_dead_timeout():
+    """r3 review: dead_timeout must only bound *bounded* runs. An unbounded
+    run (num_frames=None — a long-lived streaming service) must keep
+    waiting through an outage longer than dead_timeout so the reconnect
+    machinery can bring cameras back."""
+    ncam, h, w = 1, 60, 106
+    srv = FakeCameraServer(synthetic_frames(4, h, w), die_after=1).start()
+    client = None
+    try:
+        pipe = _make_pipeline(ncam, h, w)
+        client = MulticameraClient([("127.0.0.1", srv.port)], pipe,
+                                   stale_timeout=0.2, reconnect=False).start()
+        client.wait_for_first_frames(timeout=10)
+        time.sleep(0.5)  # camera dies and goes stale
+        done = threading.Event()
+
+        def run():
+            client.run(num_frames=None, overlap=True, dead_timeout=0.3)
+            done.set()
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        # well past dead_timeout with zero live cameras: must still be in
+        # the loop (a bounded run with these settings exits in ~0.3 s)
+        assert not done.wait(timeout=1.5)
+        client.stop()  # stop() is the only way an unbounded run ends
+        assert done.wait(timeout=5.0)
+    finally:
+        if client is not None:
+            client.stop()
+        srv.stop()
+
+
+def test_on_demand_trickle_stays_under_stale_timeout():
+    """r3 review: the on-demand stall-trickle period must sit well under
+    stale_timeout, or a healthy camera's frame age oscillates past the
+    staleness test whenever the stitch tick outpaces consumption."""
+    ncam, h, w = 1, 60, 106
+    srv = FakeCameraServer(synthetic_frames(8, h, w)).start()
+    client = None
+    try:
+        pipe = _make_pipeline(ncam, h, w)
+        client = MulticameraClient([("127.0.0.1", srv.port)], pipe,
+                                   stale_timeout=0.2).start()
+        assert client._threads[0]._trickle <= 0.2 / 2
+        client.wait_for_first_frames(timeout=10)
+        # a consumer slower than stale_timeout: the camera must never be
+        # masked stale while the server is healthy
+        for _ in range(4):
+            time.sleep(0.3)
+            _data, mask = client._snapshot()
+            assert bool(mask[0]), "healthy camera flapped stale"
+    finally:
+        if client is not None:
+            client.stop()
         srv.stop()

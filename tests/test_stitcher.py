@@ -399,3 +399,46 @@ def test_closure_gate_rejects_implausible_residual():
                                            gate=0.25)
     assert np.abs(np.asarray(applied)[-1] - np.asarray(chain)[-1]).max() \
         > 1e-3
+
+
+def test_closure_gate_rejects_rotation_dominated_residual():
+    """The rotation arm of the closure gate: a closing residual that is a
+    20-degree rotation with negligible translation is just as implausible
+    as a half-meter translation and must not be distributed (a
+    translation-only gate passes it — r3 review finding)."""
+    from pointcloud_stitching_tpu.models.stitcher import (
+        _compose_ring_corrections)
+    ncam = 8
+    th = np.deg2rad(20.0)
+    deltas = np.stack([np.eye(4, dtype=np.float32)] * ncam)
+    deltas[0, :3, :3] = np.array(
+        [[np.cos(th), -np.sin(th), 0],
+         [np.sin(th), np.cos(th), 0],
+         [0, 0, 1]], np.float32)
+    deltas[0, :3, 3] = [0.05, 0.0, 0.0]  # passes the 0.25 m translation arm
+    d = jnp.asarray(deltas)
+    chain, _ = _compose_ring_corrections(d, False)
+    gated, le = _compose_ring_corrections(d, True, gate=0.25, gate_rot=0.26)
+    np.testing.assert_allclose(np.asarray(gated), np.asarray(chain),
+                               atol=1e-6)
+    assert float(le) > 0.1  # still observable
+    # a sub-gate rotation still distributes
+    th = np.deg2rad(5.0)
+    deltas[0, :3, :3] = np.array(
+        [[np.cos(th), -np.sin(th), 0],
+         [np.sin(th), np.cos(th), 0],
+         [0, 0, 1]], np.float32)
+    applied, _ = _compose_ring_corrections(jnp.asarray(deltas), True,
+                                           gate=0.25, gate_rot=0.26)
+    assert np.abs(np.asarray(applied)[-1] - np.asarray(chain)[-1]).max() \
+        > 1e-3
+    # default gate_rot=inf admits any rotation (no nan-gating)
+    th = np.deg2rad(20.0)
+    deltas[0, :3, :3] = np.array(
+        [[np.cos(th), -np.sin(th), 0],
+         [np.sin(th), np.cos(th), 0],
+         [0, 0, 1]], np.float32)
+    open_gate, _ = _compose_ring_corrections(jnp.asarray(deltas), True,
+                                             gate=0.25)
+    assert np.abs(np.asarray(open_gate)[-1] - np.asarray(chain)[-1]).max() \
+        > 1e-3
