@@ -32,6 +32,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
+from ..io.plyio import save_ply
 from ..io.render import render_view, save_image, view_rotation
 from .wire import Kind, recv_frame
 
@@ -125,7 +126,9 @@ class StreamViewer:
     True = continue, False/"quit" = stop, "az+"/"az-"/"el+"/"el-" = orbit
     the viewpoint by 15° (the keyboard counterpart of PCLVisualizer's
     mouse orbit — VERDICT r2 missing #2), "reset" = back to the initial
-    --axis view. The cloud that produced the frame is retained, so an
+    --axis view, "snap" = save the retained cloud as a .ply snapshot
+    (the reference's keypress savePLYFile — SURVEY §3.2).
+    The cloud that produced the frame is retained, so an
     orbit command re-renders it from the new viewpoint immediately — the
     operator can spin a paused or slow stream. Separated from the CLI so
     tests can drive the full subscribe→decode→render→orbit path headlessly.
@@ -133,13 +136,15 @@ class StreamViewer:
 
     def __init__(self, address: tuple[str, int], axis: str = "z",
                  size: int = 800, every: int = 1,
-                 connect_timeout: float = 10.0):
+                 connect_timeout: float = 10.0, snapshot_dir: str = "."):
         self.address = address
         self.view = CloudView(axis=axis, size=size)
         self.every = max(every, 1)
         self._timeout = connect_timeout
         self._last_cloud: Optional[tuple] = None
         self.frames_rendered = 0
+        self.snapshot_dir = snapshot_dir
+        self._snap_count = 0
 
     # steering API kept on the viewer itself (tests drive it directly)
     @property
@@ -159,8 +164,29 @@ class StreamViewer:
     def _render(self, xyz, rgb) -> np.ndarray:
         return self.view.render(xyz, rgb)
 
+    def snap(self) -> Optional[str]:
+        """Save the retained cloud as a .ply snapshot (the reference
+        client's keypress save — pcl::io::savePLYFile in the render loop,
+        src/pcs-multicamera-client.cpp, SURVEY §3.2). Returns the path,
+        or None when no frame has arrived yet."""
+        if self._last_cloud is None:
+            return None
+        os.makedirs(self.snapshot_dir, exist_ok=True)
+        xyz, rgb = self._last_cloud
+        path = os.path.join(self.snapshot_dir,
+                            f"snapshot_{self._snap_count:05d}.ply")
+        save_ply(path, xyz, rgb)
+        self._snap_count += 1
+        return path
+
     def _handle(self, result) -> bool:
         """Apply a sink's steering command; False = stop streaming."""
+        if result == "snap":
+            path = self.snap()
+            print(f"viewer: saved {path}", flush=True)
+            # a snapshot produces no new image; re-consult the sink only
+            # through the next streamed frame
+            return True
         while self.view.apply_command(result):
             if self._last_cloud is None:
                 return True
@@ -210,7 +236,9 @@ def _window_sink(title: str = "pointcloud_stitching_tpu"):
     """cv2 window sink, or None when no GUI backend works.
 
     Keys: a/d orbit azimuth ∓/±15°, w/s elevation ±15°, 0 reset view,
-    q quit — the keyboard stand-in for PCLVisualizer's mouse orbit.
+    p save a .ply snapshot of the current cloud (the reference client's
+    keypress save), q quit — the keyboard stand-in for PCLVisualizer's
+    mouse orbit + snapshot handler.
     """
     # cv2's Qt backend ABORTS the process (not a Python exception) when
     # imshow runs with no display server, so gate on one existing first
@@ -225,7 +253,8 @@ def _window_sink(title: str = "pointcloud_stitching_tpu"):
         return None
 
     keymap = {ord("q"): "quit", ord("a"): "az-", ord("d"): "az+",
-              ord("w"): "el+", ord("s"): "el-", ord("0"): "reset"}
+              ord("w"): "el+", ord("s"): "el-", ord("0"): "reset",
+              ord("p"): "snap"}
 
     def sink(idx: int, img: np.ndarray):
         cv2.imshow(title, img[..., ::-1])  # cv2 is BGR
@@ -275,6 +304,9 @@ def main(argv=None) -> int:
     ap.add_argument("--out-dir", default="viewer_out")
     ap.add_argument("--keep", type=int, default=300,
                     help="rolling image-sequence length (0 = keep all)")
+    ap.add_argument("--snap-dir", default=None,
+                    help=".ply snapshot directory for the 'p' key "
+                         "(default: --out-dir)")
     ap.add_argument("--window", dest="window", action="store_true",
                     default=None,
                     help="force a cv2 GUI window (default: try one, fall "
@@ -294,7 +326,8 @@ def main(argv=None) -> int:
         sink = _directory_sink(args.out_dir, keep=args.keep)
 
     viewer = StreamViewer((host, int(port)), axis=args.axis, size=args.size,
-                          every=args.every)
+                          every=args.every,
+                          snapshot_dir=args.snap_dir or args.out_dir)
     n = viewer.run(sink, num_frames=args.frames)
     print(f"viewer: rendered {n} frames", flush=True)
     return 0

@@ -439,6 +439,53 @@ def test_stream_viewer_orbit_rerenders_retained_cloud(rng):
         pub.stop()
 
 
+def test_stream_viewer_snap_saves_ply(tmp_path, rng):
+    """A sink returning "snap" writes the retained cloud as a .ply (the
+    reference client's keypress savePLYFile — SURVEY §3.2) and streaming
+    continues."""
+    import threading
+
+    from pointcloud_stitching_tpu.runtime import CloudPublisher, StreamViewer
+
+    pub = CloudPublisher(host="127.0.0.1").start()
+    snaps = str(tmp_path / "snaps")
+    try:
+        viewer = StreamViewer(("127.0.0.1", pub.port), size=96,
+                              snapshot_dir=snaps)
+        n_frames = []
+
+        def sink(i, img):
+            n_frames.append(i)
+            return "snap" if len(n_frames) == 1 else True
+
+        done = threading.Event()
+
+        def consume():
+            viewer.run(sink, num_frames=2)
+            done.set()
+
+        threading.Thread(target=consume, daemon=True).start()
+        deadline = time.time() + 10
+        while pub.num_subscribers == 0 and time.time() < deadline:
+            time.sleep(0.02)
+        xyz = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+        rgb = rng.integers(0, 255, (500, 3)).astype(np.uint8)
+        for _ in range(3):
+            pub.publish(xyz, rgb)
+            time.sleep(0.05)
+        assert done.wait(timeout=15)
+        assert len(n_frames) == 2  # snap consumed no rendered-frame budget
+        files = sorted(os.listdir(snaps))
+        assert files == ["snapshot_00000.ply"]
+        sx, srgb = load_ply(os.path.join(snaps, files[0]))
+        # the wire quantizes to int16 mm: 1 mm tolerance
+        assert sx.shape == xyz.shape and srgb is not None
+        np.testing.assert_allclose(sx, xyz, atol=2e-3)
+        np.testing.assert_array_equal(srgb, rgb)
+    finally:
+        pub.stop()
+
+
 def test_stitch_cli_in_process_view(tmp_path):
     """--view renders stitched clouds from inside the client process (the
     reference's -v flag — VERDICT r2 missing #3), headless fallback =
