@@ -4,6 +4,8 @@ from .registration import (RegistrationResult, register_from_correspondences,
                            register_pair, write_cal)
 from .voxel_map import (TemporalAccumulator, VoxelMap, load_map, localize,
                         save_map, voxel_map_update)
+from .pose_graph import (PoseGraphResult, chain_initial_poses,
+                         optimize_pose_graph)
 
 __all__ = [
     "StitchingPipeline", "StitchMetrics", "StitchOutput", "stitch_step",
@@ -12,4 +14,5 @@ __all__ = [
     "write_cal",
     "TemporalAccumulator", "VoxelMap", "load_map", "localize",
     "save_map", "voxel_map_update",
+    "PoseGraphResult", "chain_initial_poses", "optimize_pose_graph",
 ]
