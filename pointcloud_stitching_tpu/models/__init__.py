@@ -5,7 +5,7 @@ from .registration import (RegistrationResult, register_from_correspondences,
 from .voxel_map import (TemporalAccumulator, VoxelMap, load_map, localize,
                         save_map, voxel_map_update)
 from .pose_graph import (PoseGraphResult, chain_initial_poses,
-                         optimize_pose_graph)
+                         optimize_pose_graph, register_rig)
 
 __all__ = [
     "StitchingPipeline", "StitchMetrics", "StitchOutput", "stitch_step",
@@ -15,4 +15,5 @@ __all__ = [
     "TemporalAccumulator", "VoxelMap", "load_map", "localize",
     "save_map", "voxel_map_update",
     "PoseGraphResult", "chain_initial_poses", "optimize_pose_graph",
+    "register_rig",
 ]

@@ -204,6 +204,56 @@ def optimize_pose_graph(T_init: jax.Array, edges: jax.Array,
                            iterations=jnp.int32(iterations))
 
 
+def register_rig(clouds, edges: jax.Array, T_init: jax.Array,
+                 icp_iterations: int = 20, gn_iterations: int = 10,
+                 max_corr_dist: float = 0.25, trim_fraction: float = 0.0,
+                 query_tile: int = 1024, ref_tile: int = 4096,
+                 nn_impl: str = "auto",
+                 anchor: int = 0) -> PoseGraphResult:
+    """Turn-key multiway registration: pairwise ICP on every graph edge,
+    then the joint pose-graph solve.
+
+    The one-call composition of the two calibration stages (the reference
+    needs a human to run its pairwise tool per pair and chain the results
+    by hand — SURVEY.md §3.4): for each edge (i, j), camera j's cloud is
+    ICP-aligned to camera i's under the initial poses — ALL edges run as
+    one batched ICP, one NN kernel per iteration over every pair
+    (ops.icp.icp_batched, the same machinery as the streaming ring drift
+    stage) — and each aligned pose becomes the edge measurement
+    ``T_meas = T_i^-1 @ delta @ T_j`` for optimize_pose_graph, weighted by
+    its ICP inlier count so weak overlaps pull proportionally less.
+
+    Args:
+      clouds: camera-batched sensor-frame PointCloud ([N, C, 3] + mask).
+      edges: [E, 2] int32 (i, j) pairs expected to overlap; clouds must be
+        roughly pre-aligned by T_init (ICP basin, a few cm — the streaming
+        rig's standing assumption).
+      T_init: [N, 4, 4] initial world-from-camera poses.
+
+    Returns the PoseGraphResult of the joint solve (anchor fixed).
+    """
+    from ..ops.icp import icp_batched
+    from ..ops.se3 import se3_apply
+    from ..utils.types import PointCloud
+
+    edges = jnp.asarray(edges, jnp.int32)
+    T_init = jnp.asarray(T_init, jnp.float32)
+    world_xyz = se3_apply(T_init, clouds.xyz)            # [N, C, 3]
+    si, di = edges[:, 1], edges[:, 0]
+    src = PointCloud(xyz=world_xyz[si], mask=clouds.mask[si])
+    dst = PointCloud(xyz=world_xyz[di], mask=clouds.mask[di])
+    res = icp_batched(src, dst, iterations=icp_iterations,
+                      max_corr_dist=max_corr_dist,
+                      query_tile=query_tile, ref_tile=ref_tile,
+                      nn_impl=nn_impl, trim_fraction=trim_fraction)
+    # res.T[e] aligns camera j's world-frame cloud onto camera i's, so the
+    # measured world pose of j is res.T[e] @ T_init[j]; in i's frame:
+    meas = mm(se3_inverse(T_init[di]), mm(res.T, T_init[si]))
+    weights = jnp.maximum(res.num_inliers.astype(jnp.float32), 1.0)
+    return optimize_pose_graph(T_init, edges, meas, weights=weights,
+                               iterations=gn_iterations, anchor=anchor)
+
+
 def chain_initial_poses(num_nodes: int, edges: Sequence[Sequence[int]],
                         T_meas: jax.Array,
                         anchor: int = 0) -> jax.Array:

@@ -10,6 +10,9 @@ from .kabsch import kabsch
 from .icp import (ICPResult, icp, icp_batched, icp_converge,
                   icp_point_to_plane_batched)
 from .normals import grid_normals
+from .filters import (count_neighbors, crop_box, knn_mean_distance,
+                      passthrough, radius_outlier_removal,
+                      statistical_outlier_removal)
 
 __all__ = [
     "deproject", "deproject_with_color",
@@ -21,4 +24,6 @@ __all__ = [
     "nearest_neighbors", "kabsch",
     "ICPResult", "icp", "icp_batched", "icp_converge",
     "icp_point_to_plane_batched", "grid_normals",
+    "count_neighbors", "crop_box", "knn_mean_distance", "passthrough",
+    "radius_outlier_removal", "statistical_outlier_removal",
 ]

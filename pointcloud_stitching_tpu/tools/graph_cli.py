@@ -20,10 +20,19 @@ SRC_CAM's frame into DST_CAM's frame. WEIGHT (optional, default 1) scales
 the edge's contribution (e.g. ICP inlier counts). Lines starting with #
 are comments.
 
+With ``--ply-dir`` the measurements are produced here instead of read
+from pairwise .cal files: edge lines are just ``DST_CAM SRC_CAM``, the
+per-camera sensor-frame clouds load from the directory's .ply files
+(sorted name order = camera order), every edge runs as one batched ICP
+under the ``--init-dir`` poses, and the joint solve weighs each edge by
+its inlier count (models.pose_graph.register_rig) — the whole multiway
+calibration in one command.
+
 Usage:
   python -m pointcloud_stitching_tpu.tools.graph_cli edges.txt out_dir \
       [--cameras N] [--anchor 0] [--iterations 10] \
-      [--init-dir existing_cal_dir]
+      [--init-dir existing_cal_dir] \
+      [--ply-dir clouds_dir --max-corr-dist 0.25 --icp-iter 20]
 """
 from __future__ import annotations
 
@@ -45,6 +54,17 @@ def main(argv=None):
                     help="directory of existing per-camera .cal files used "
                          "as the starting point (default: BFS-chain the "
                          "pairwise measurements from the anchor)")
+    ap.add_argument("--ply-dir", default=None,
+                    help="directory of per-camera sensor-frame .ply clouds "
+                         "(sorted name order = camera order): edge lines "
+                         "become 'DST SRC' and measurements come from "
+                         "batched ICP under --init-dir poses (required)")
+    ap.add_argument("--max-corr-dist", type=float, default=0.25,
+                    help="ICP correspondence gate for --ply-dir (meters)")
+    ap.add_argument("--icp-iter", type=int, default=20,
+                    help="ICP iterations per edge for --ply-dir")
+    ap.add_argument("--voxel", type=float, default=None,
+                    help="pre-downsample --ply-dir clouds (meters)")
     args = ap.parse_args(argv)
 
     from pointcloud_stitching_tpu.utils.platform import apply_platform_override
@@ -57,6 +77,7 @@ def main(argv=None):
     from pointcloud_stitching_tpu.models import (chain_initial_poses,
                                                  optimize_pose_graph)
 
+    ply_mode = args.ply_dir is not None
     edges, meas, weights = [], [], []
     with open(args.edges) as f:
         for line in f:
@@ -64,6 +85,12 @@ def main(argv=None):
             if not line or line.startswith("#"):
                 continue
             parts = line.split()
+            if ply_mode:
+                if len(parts) != 2:
+                    raise SystemExit(f"--ply-dir edge lines are 'DST SRC'; "
+                                     f"bad line: {line!r}")
+                edges.append((int(parts[0]), int(parts[1])))
+                continue
             if len(parts) not in (3, 4):
                 raise SystemExit(f"bad edges line: {line!r}")
             i, j, path = int(parts[0]), int(parts[1]), parts[2]
@@ -75,21 +102,54 @@ def main(argv=None):
 
     n = args.cameras or (1 + max(max(i, j) for i, j in edges))
     edges_a = np.asarray(edges, np.int32)
-    meas_a = np.stack(meas).astype(np.float32)
-    w_a = np.asarray(weights, np.float32)
 
-    if args.init_dir:
+    def load_init():
         paths = discover_cals(args.init_dir)
         if len(paths) != n:
             raise SystemExit(f"--init-dir has {len(paths)} .cal files, "
                              f"expected {n}")
-        init = load_cals(paths)
-    else:
-        init = chain_initial_poses(n, edges, meas_a, anchor=args.anchor)
+        return load_cals(paths)
 
-    res = optimize_pose_graph(init, edges_a, meas_a, weights=w_a,
-                              iterations=args.iterations,
-                              anchor=args.anchor)
+    if ply_mode:
+        if not args.init_dir:
+            raise SystemExit("--ply-dir needs --init-dir (clouds must be "
+                             "roughly pre-aligned for ICP)")
+        import glob
+
+        from pointcloud_stitching_tpu import PointCloud
+        from pointcloud_stitching_tpu.io import load_pcd, load_ply
+        from pointcloud_stitching_tpu.models import register_rig
+        from pointcloud_stitching_tpu.ops import voxel_downsample
+        from pointcloud_stitching_tpu.utils.types import round_up
+
+        paths = sorted(glob.glob(os.path.join(args.ply_dir, "*.ply"))
+                       + glob.glob(os.path.join(args.ply_dir, "*.pcd")))
+        if len(paths) != n:
+            raise SystemExit(f"--ply-dir has {len(paths)} clouds, "
+                             f"expected {n}")
+        raw = [(load_pcd(p) if p.endswith(".pcd") else load_ply(p))[0]
+               for p in paths]
+        cap = round_up(max(len(x) for x in raw), 1024)
+        clouds = PointCloud(
+            xyz=np.stack([np.pad(x, ((0, cap - len(x)), (0, 0)))
+                          for x in raw]).astype(np.float32),
+            mask=np.stack([np.arange(cap) < len(x) for x in raw]))
+        if args.voxel:
+            clouds = voxel_downsample(clouds, args.voxel, capacity=cap)
+        init = load_init()
+        res = register_rig(clouds, edges_a, init,
+                           icp_iterations=args.icp_iter,
+                           gn_iterations=args.iterations,
+                           max_corr_dist=args.max_corr_dist,
+                           anchor=args.anchor)
+    else:
+        meas_a = np.stack(meas).astype(np.float32)
+        w_a = np.asarray(weights, np.float32)
+        init = load_init() if args.init_dir else chain_initial_poses(
+            n, edges, meas_a, anchor=args.anchor)
+        res = optimize_pose_graph(init, edges_a, meas_a, weights=w_a,
+                                  iterations=args.iterations,
+                                  anchor=args.anchor)
     before = float(np.sqrt(np.square(res.residual_before).mean()))
     after = float(np.sqrt(np.square(res.residual_after).mean()))
     print(f"pose graph: {n} cameras, {len(edges)} measurements, "

@@ -1,0 +1,158 @@
+"""Filters: passthrough / crop-box / radius outlier removal vs numpy oracle."""
+import numpy as np
+import pytest
+
+from pointcloud_stitching_tpu import PointCloud
+from pointcloud_stitching_tpu.ops import (count_neighbors, crop_box,
+                                          knn_mean_distance, passthrough,
+                                          radius_outlier_removal,
+                                          statistical_outlier_removal)
+
+
+def _cloud(rng, n=3000, pad=512):
+    xyz = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    return xyz, PointCloud.from_points(xyz, capacity=n + pad)
+
+
+def count_neighbors_np(xyz, mask, radius):
+    """Oracle: other valid points within radius (inclusive), self excluded."""
+    out = np.zeros(len(xyz), np.int32)
+    valid = np.flatnonzero(mask)
+    v = xyz[valid]
+    for i in valid:
+        d2 = np.sum((v - xyz[i]) ** 2, axis=1)
+        out[i] = int(np.sum(d2 <= radius * radius)) - 1
+    return out
+
+
+def test_passthrough_matches_numpy(rng):
+    xyz, pc = _cloud(rng)
+    out = passthrough(pc, axis=2, lo=-0.5, hi=1.0)
+    want = (xyz[:, 2] >= -0.5) & (xyz[:, 2] <= 1.0)
+    got = np.asarray(out.mask)
+    np.testing.assert_array_equal(got[:len(xyz)], want)
+    assert not got[len(xyz):].any()  # padding stays invalid
+    # invert = setNegative
+    inv = passthrough(pc, axis=2, lo=-0.5, hi=1.0, invert=True)
+    np.testing.assert_array_equal(np.asarray(inv.mask)[:len(xyz)], ~want)
+    # geometry untouched (mask-only filter)
+    np.testing.assert_array_equal(np.asarray(out.xyz), np.asarray(pc.xyz))
+
+
+def test_crop_box_matches_numpy(rng):
+    xyz, pc = _cloud(rng)
+    lo, hi = np.float32([-1, -0.5, 0]), np.float32([1, 1.5, 2])
+    out = crop_box(pc, lo, hi)
+    want = np.all((xyz >= lo) & (xyz <= hi), axis=1)
+    np.testing.assert_array_equal(np.asarray(out.mask)[:len(xyz)], want)
+    inv = crop_box(pc, lo, hi, invert=True)
+    np.testing.assert_array_equal(np.asarray(inv.mask)[:len(xyz)], ~want)
+
+
+def test_count_neighbors_matches_numpy(rng):
+    xyz, pc = _cloud(rng, n=1500, pad=100)
+    # odd tile sizes exercise the padded-block edges
+    counts = np.asarray(count_neighbors(pc, 0.35, query_tile=256,
+                                        ref_tile=192))
+    want = count_neighbors_np(np.asarray(pc.xyz), np.asarray(pc.mask), 0.35)
+    np.testing.assert_array_equal(counts, want)
+    assert want.max() > 3  # the radius actually captures neighborhoods
+
+
+def test_count_neighbors_ignores_invalid_and_duplicates_count():
+    xyz = np.array([[0, 0, 0], [0, 0, 0], [0.05, 0, 0], [5, 5, 5]],
+                   np.float32)
+    pc = PointCloud.from_points(xyz, capacity=8)
+    mask = np.asarray(pc.mask).copy()
+    mask[3] = False  # invalidate the far point AND exclude it from counts
+    pc = pc.replace(mask=mask)
+    counts = np.asarray(count_neighbors(pc, 0.1))
+    # duplicates see each other + the 0.05 point; self never counted
+    np.testing.assert_array_equal(counts[:4], [2, 2, 2, 0])
+    assert counts[4:].sum() == 0
+
+
+def test_radius_outlier_removal(rng):
+    """A dense cluster survives; injected isolated points drop."""
+    cluster = rng.normal(0, 0.05, (2000, 3)).astype(np.float32)
+    lonely = np.float32([[3, 3, 3], [-4, 0, 2], [0, 5, -1]])
+    xyz = np.concatenate([cluster, lonely])
+    pc = PointCloud.from_points(xyz, capacity=2560)
+    out = radius_outlier_removal(pc, radius=0.05, min_neighbors=4)
+    got = np.asarray(out.mask)
+    want = count_neighbors_np(
+        np.asarray(pc.xyz), np.asarray(pc.mask), 0.05) >= 4
+    want &= np.asarray(pc.mask)
+    np.testing.assert_array_equal(got, want)
+    assert not got[2000:2003].any()      # isolated points removed
+    assert got[:2000].mean() > 0.9       # cluster interior survives
+
+
+def test_filters_are_traced_no_recompile(rng):
+    """Bounds are traced: changing them must not recompile."""
+    import jax
+
+    _, pc = _cloud(rng, n=1024, pad=0)
+    f = jax.jit(lambda p, lo, hi: passthrough(p, 2, lo, hi))
+    with jax.log_compiles():
+        f(pc, -1.0, 1.0)
+    n0 = f._cache_size()
+    f(pc, -0.2, 0.7)
+    f(pc, 0.0, 0.1)
+    assert f._cache_size() == n0
+    g = lambda p, r, k: radius_outlier_removal(p, r, k)
+    gj = jax.jit(g)
+    gj(pc, 0.2, 3)
+    n0 = gj._cache_size()
+    gj(pc, 0.4, 7)
+    assert gj._cache_size() == n0
+
+
+def knn_mean_distance_np(xyz, mask, k):
+    """Oracle: mean distance to the k nearest other valid points."""
+    out = np.zeros(len(xyz), np.float64)
+    valid = np.flatnonzero(mask)
+    v = xyz[valid]
+    for i in valid:
+        d = np.sqrt(np.sum((v - xyz[i]) ** 2, axis=1))
+        d = np.sort(d)[1:k + 1]  # drop the self-match
+        out[i] = d.mean() if len(d) else 0.0
+    return out.astype(np.float32)
+
+
+def test_knn_mean_distance_matches_numpy(rng):
+    xyz, pc = _cloud(rng, n=900, pad=124)
+    got = np.asarray(knn_mean_distance(pc, 8, query_tile=128, ref_tile=256))
+    want = knn_mean_distance_np(np.asarray(pc.xyz), np.asarray(pc.mask), 8)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_statistical_outlier_removal(rng):
+    """PCL SOR contract: threshold = mean + std_ratio * sample stddev of
+    the k-NN mean distances; the injected far points fall past it."""
+    cluster = rng.normal(0, 0.05, (1500, 3)).astype(np.float32)
+    lonely = np.float32([[2, 2, 2], [-3, 0, 1]])
+    xyz = np.concatenate([cluster, lonely])
+    pc = PointCloud.from_points(xyz, capacity=1664)
+    out = statistical_outlier_removal(pc, k=16, std_ratio=1.0)
+    got = np.asarray(out.mask)
+    md = knn_mean_distance_np(np.asarray(pc.xyz), np.asarray(pc.mask), 16)
+    valid = np.asarray(pc.mask)
+    vals = md[valid]
+    thresh = vals.mean() + vals.std(ddof=1)
+    want = valid & (md <= thresh)
+    np.testing.assert_array_equal(got, want)
+    assert not got[1500:1502].any()
+    assert got[:1500].mean() > 0.8
+
+
+def test_count_neighbors_batched(rng):
+    xyz = rng.uniform(-1, 1, (3, 700, 3)).astype(np.float32)
+    mask = np.ones((3, 700), bool)
+    mask[1, ::3] = False
+    pc = PointCloud(xyz=xyz, mask=mask)
+    counts = np.asarray(count_neighbors(pc, 0.3, query_tile=128,
+                                        ref_tile=256))
+    for b in range(3):
+        want = count_neighbors_np(xyz[b], mask[b], 0.3)
+        np.testing.assert_array_equal(counts[b], want)

@@ -120,6 +120,37 @@ def test_chain_initial_poses_traverses_reverse_edges():
     assert dt < 1e-4 and dr < 1e-4
 
 
+def test_register_rig_end_to_end(rng):
+    """Batched edge ICP + joint solve recovers a perturbed 4-camera rig."""
+    from pointcloud_stitching_tpu import PointCloud
+    from pointcloud_stitching_tpu.models import register_rig
+
+    scene = rng.uniform(-1.5, 1.5, (4000, 3)).astype(np.float32)
+    n = 4
+    gt = np.stack([np.eye(4, dtype=np.float32)]
+                  + [random_se3(seed=50 + k, max_angle=0.3, max_trans=0.5)
+                     for k in range(1, n)])
+    # each camera sees its own 2500-point subset of the scene, expressed in
+    # its sensor frame (world -> sensor = inv(gt))
+    clouds_xyz = []
+    for k in range(n):
+        sub = scene[rng.permutation(len(scene))[:2500]]
+        inv = np.linalg.inv(gt[k])
+        clouds_xyz.append(sub @ inv[:3, :3].T + inv[:3, 3])
+    clouds = PointCloud(xyz=np.stack(clouds_xyz).astype(np.float32),
+                        mask=np.ones((n, 2500), bool))
+    init = _perturb(gt, dt=0.03, dr=0.03, seed=17)
+    init[0] = gt[0]
+    edges = np.asarray([(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], np.int32)
+    res = register_rig(clouds, edges, init, icp_iterations=15,
+                       gn_iterations=8, max_corr_dist=0.3)
+    dt_init, _ = _pose_err(init, gt)
+    dt_opt, dr_opt = _pose_err(np.asarray(res.poses), gt)
+    assert dt_opt < 0.2 * dt_init      # ICP+solve recovers most of the 3 cm
+    assert dt_opt < 5e-3 and dr_opt < 5e-3
+    assert float(res.residual_after.max()) < 1e-2
+
+
 def test_graph_cli_end_to_end(tmp_path):
     """edges file of pairwise .cal measurements -> refined per-camera .cal
     files that recover the ground-truth rig (noise-free measurements)."""
@@ -141,6 +172,44 @@ def test_graph_cli_end_to_end(tmp_path):
                         for k in range(5)])
     dt, dr = _pose_err(refined, gt)
     assert dt < 1e-4 and dr < 1e-4
+
+
+def test_graph_cli_ply_mode(tmp_path, rng):
+    """--ply-dir: measurements come from batched ICP on the clouds."""
+    from pointcloud_stitching_tpu.io import load_cal, save_cal, save_ply
+    from pointcloud_stitching_tpu.tools import graph_cli
+
+    scene = rng.uniform(-1.5, 1.5, (3000, 3)).astype(np.float32)
+    n = 3
+    gt = np.stack([np.eye(4, dtype=np.float32)]
+                  + [random_se3(seed=70 + k, max_angle=0.3, max_trans=0.5)
+                     for k in range(1, n)])
+    ply_dir = tmp_path / "clouds"
+    ply_dir.mkdir()
+    for k in range(n):
+        sub = scene[rng.permutation(len(scene))[:2000]]
+        inv = np.linalg.inv(gt[k])
+        save_ply(str(ply_dir / f"cam_{k}.ply"),
+                 sub @ inv[:3, :3].T + inv[:3, 3])
+    init = _perturb(gt, dt=0.02, dr=0.02, seed=23)
+    init[0] = gt[0]
+    init_dir = tmp_path / "init"
+    init_dir.mkdir()
+    for k in range(n):
+        save_cal(str(init_dir / f"cam_{k}.cal"), init[k])
+    edges_file = tmp_path / "edges.txt"
+    edges_file.write_text("0 1\n1 2\n2 0\n")
+    out = tmp_path / "cal_out"
+    rc = graph_cli.main([str(edges_file), str(out),
+                         "--ply-dir", str(ply_dir),
+                         "--init-dir", str(init_dir),
+                         "--icp-iter", "15", "--iterations", "8"])
+    assert rc == 0
+    refined = np.stack([load_cal(str(out / f"cam_{k}.cal"))
+                        for k in range(n)])
+    dt_init, _ = _pose_err(init, gt)
+    dt_opt, dr_opt = _pose_err(refined, gt)
+    assert dt_opt < 0.3 * dt_init and dr_opt < 5e-3
 
 
 def test_pose_graph_rejects_nothing_but_improves_ring_rig():
