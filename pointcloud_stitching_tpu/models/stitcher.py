@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.deproject import deproject, deproject_with_color, map_color
+from ..ops.filters import crop_box
 from ..ops.fuse import fuse_batched
 from ..ops.icp import icp_batched, icp_point_to_plane_batched
 from ..ops.normals import grid_normals
@@ -201,6 +202,10 @@ def _stitch_tail(cfg: StitchConfig, raw: PointCloud, extrinsics: jax.Array,
                                   impl=cfg.kernel_impl)
     world = clouds.replace(xyz=se3_apply(extrinsics, clouds.xyz))
     fused = fuse_batched(world)
+    if cfg.crop_lo is not None:
+        # world-frame scene bound (mask-only, free): crop BEFORE the voxel
+        # pass so out-of-bounds points don't consume output capacity
+        fused = crop_box(fused, list(cfg.crop_lo), list(cfg.crop_hi))
     # one global voxel pass, same dataflow as the reference's fused VoxelGrid
     out = voxel_downsample(fused, cfg.out_voxel_leaf,
                            capacity=cfg.out_capacity, impl=cfg.kernel_impl)

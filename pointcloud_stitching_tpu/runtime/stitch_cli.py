@@ -49,6 +49,10 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--no-icp", action="store_true")
+    ap.add_argument("--crop", default=None, metavar="X0,Y0,Z0:X1,Y1,Z1",
+                    help="world-frame crop box for the fused cloud "
+                         "(meters; the pcl::CropBox role — mask-only, "
+                         "applied before the output voxel grid)")
     ap.add_argument("--payload", choices=["depth", "points"], default="depth",
                     help="wire payload kind (points = reference legacy mode)")
     ap.add_argument("--color", action="store_true",
@@ -135,6 +139,15 @@ def main(argv=None):
         updates["icp_enabled"] = False
     if args.color:
         updates["with_color"] = True
+    if args.crop:
+        try:
+            lo_s, hi_s = args.crop.split(":")
+            lo = tuple(float(v) for v in lo_s.split(","))
+            hi = tuple(float(v) for v in hi_s.split(","))
+        except ValueError:
+            raise SystemExit(f"bad --crop {args.crop!r}; want "
+                             "X0,Y0,Z0:X1,Y1,Z1")
+        updates["crop_lo"], updates["crop_hi"] = lo, hi
     cfg = dataclasses.replace(cfg, **updates)
 
     if args.cal_dir:

@@ -43,6 +43,12 @@ class StitchConfig:
     # fused output cloud
     out_voxel_leaf: float = 0.01
     out_capacity: int = 262144
+    # optional world-frame crop of the fused cloud (pcl::CropBox role):
+    # (x, y, z) lower/upper corners in meters, None = no crop. Applied
+    # before the output voxel pass so out-of-scene points (windows, far
+    # walls) don't consume output capacity. Mask-only — zero cost.
+    crop_lo: tuple[float, float, float] | None = None
+    crop_hi: tuple[float, float, float] | None = None
 
     # per-frame ICP drift correction (config 4/5); BASELINE: >=5 iters/frame
     icp_enabled: bool = True
@@ -119,6 +125,18 @@ class StitchConfig:
             raise ValueError("set both color_height and color_width or neither")
         if self.color_height is not None and not self.with_color:
             raise ValueError("color_height/width require with_color=True")
+        if (self.crop_lo is None) != (self.crop_hi is None):
+            raise ValueError("set both crop_lo and crop_hi or neither")
+        if self.crop_lo is not None:
+            # JSON round-trips tuples as lists; the config must stay
+            # hashable (it keys the jit cache), so normalise here
+            lo, hi = tuple(self.crop_lo), tuple(self.crop_hi)
+            if len(lo) != 3 or len(hi) != 3:
+                raise ValueError("crop_lo/crop_hi must have 3 components")
+            if not all(a < b for a, b in zip(lo, hi)):
+                raise ValueError("crop_lo must be < crop_hi per axis")
+            object.__setattr__(self, "crop_lo", lo)
+            object.__setattr__(self, "crop_hi", hi)
 
     @property
     def pixels_per_camera(self) -> int:

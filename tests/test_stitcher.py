@@ -73,6 +73,35 @@ def test_stitch_matches_manual_composition():
                                atol=1e-3)
 
 
+def test_stitch_step_crop_box():
+    """cfg.crop_lo/hi bound the fused world cloud (pcl::CropBox role)
+    before the output voxel pass; the config stays jit-hashable through a
+    JSON round-trip (tuples come back as lists)."""
+    ncam = 2
+    depths, intr, ext = _scene(ncam)
+    cfg_full = _small_cfg(ncam, icp_enabled=False)
+    full = stitch_step(cfg_full, intr, jnp.asarray(ext), jnp.asarray(depths))
+    fx = np.asarray(full.cloud.xyz)[np.asarray(full.cloud.mask)]
+    mid = np.median(fx, axis=0)
+    lo = tuple(float(v) for v in (fx.min(axis=0) - 1e-3))
+    hi = tuple(float(v) for v in mid)  # keep roughly the lower half
+    cfg = StitchConfig.from_json(
+        _small_cfg(ncam, icp_enabled=False, crop_lo=lo, crop_hi=hi)
+        .to_json())
+    assert isinstance(cfg.crop_lo, tuple)  # hashable again after JSON
+    hash(cfg)
+    out = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths))
+    ox = np.asarray(out.cloud.xyz)[np.asarray(out.cloud.mask)]
+    assert len(ox) > 0
+    # every surviving voxel centroid sits inside the box (+ leaf slack:
+    # centroids of boundary voxels can average just past the corner)
+    slack = cfg.out_voxel_leaf
+    assert (ox >= np.asarray(lo) - slack).all()
+    assert (ox <= np.asarray(hi) + slack).all()
+    # and the crop really removed the upper half
+    assert len(ox) < 0.8 * len(fx)
+
+
 def test_stitch_step_mapped_color():
     """Non-aligned color streams through the full step: color attaches via
     texture mapping with separate color intrinsics + depth->color extrinsics
