@@ -173,6 +173,10 @@ def _stream_bench_interleaved(ncam: int, h: int, w: int, rounds: int = 3,
             "efficiency_vs_bound_pipelined": round(med_pipe / bound_pipe, 2),
         }
     finally:
+        # run() is re-enterable and no longer stops the client; without
+        # this the 4 ingest threads outlive their stopped servers and
+        # reconnect-spin on the 1-core host for the rest of the bench
+        client.stop()
         for srv in servers:
             srv.stop()
 

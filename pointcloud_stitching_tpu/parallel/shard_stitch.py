@@ -138,7 +138,8 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
         # since its dst is fully masked and kabsch then returns identity)
         deltas = jax.lax.all_gather(res.T, axis).reshape(cfg.num_cameras, 4, 4)
         corrections, loop_err = _compose_ring_corrections(
-            deltas, closure, gate=cfg.icp_closure_gate)
+            deltas, closure, gate=cfg.icp_closure_gate,
+            gate_rot=cfg.icp_closure_gate_rot)
         refined_full = mm(
             corrections,
             jax.lax.all_gather(ext_l, axis).reshape(cfg.num_cameras, 4, 4))

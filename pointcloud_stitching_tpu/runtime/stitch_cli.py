@@ -144,9 +144,14 @@ def main(argv=None):
             lo_s, hi_s = args.crop.split(":")
             lo = tuple(float(v) for v in lo_s.split(","))
             hi = tuple(float(v) for v in hi_s.split(","))
+            if len(lo) != 3 or len(hi) != 3 or any(
+                    a >= b for a, b in zip(lo, hi)):
+                raise ValueError
         except ValueError:
             raise SystemExit(f"bad --crop {args.crop!r}; want "
-                             "X0,Y0,Z0:X1,Y1,Z1")
+                             "X0,Y0,Z0:X1,Y1,Z1 with lo < hi per axis "
+                             "(use --crop=-2,... for negative corners: "
+                             "argparse needs the '=' form there)")
         updates["crop_lo"], updates["crop_hi"] = lo, hi
     cfg = dataclasses.replace(cfg, **updates)
 
@@ -218,6 +223,7 @@ def main(argv=None):
         print(f"publishing stitched clouds on :{publisher.port}", flush=True)
 
     view = view_sink = None
+    snap_idx = [0]  # --view 'p'-key snapshot counter (closure-mutable)
     if args.view:
         from .view_cli import CloudView, _directory_sink, _window_sink
         view = CloudView(axis=args.view_axis, size=args.view_size)
@@ -273,6 +279,15 @@ def main(argv=None):
                 # reference's PCLVisualizer window, which doesn't stop
                 # the client loop)
                 close_view()
+            elif cmd == "snap":
+                # the window's documented p key (the reference's keypress
+                # savePLYFile) — snapshot the cloud that produced this frame
+                path = os.path.join(args.view_dir,
+                                    f"snapshot_{snap_idx[0]:05d}.ply")
+                os.makedirs(args.view_dir, exist_ok=True)
+                save_cloud(path, out.cloud)
+                snap_idx[0] += 1
+                print(f"saved {path}", flush=True)
             else:
                 view.apply_command(cmd)
         if args.print_every and i > 0 and i % args.print_every == 0:

@@ -180,14 +180,19 @@ class StreamViewer:
         return path
 
     def _handle(self, result) -> bool:
-        """Apply a sink's steering command; False = stop streaming."""
-        if result == "snap":
-            path = self.snap()
-            print(f"viewer: saved {path}", flush=True)
-            # a snapshot produces no new image; re-consult the sink only
-            # through the next streamed frame
-            return True
-        while self.view.apply_command(result):
+        """Apply a sink's steering command; False = stop streaming.
+
+        Handles "snap" at ANY point in the steering loop (first response
+        or mid-orbit re-render), not just as the initial command."""
+        while True:
+            if result == "snap":
+                path = self.snap()
+                print(f"viewer: saved {path}", flush=True)
+                # a snapshot produces no new image; re-consult the sink
+                # only through the next streamed frame
+                return True
+            if not self.view.apply_command(result):
+                break
             if self._last_cloud is None:
                 return True
             xyz, rgb = self._last_cloud

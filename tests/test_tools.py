@@ -486,6 +486,76 @@ def test_stream_viewer_snap_saves_ply(tmp_path, rng):
         pub.stop()
 
 
+def test_stream_viewer_snap_after_orbit(rng, tmp_path):
+    """'snap' must be honored mid-steering-loop (after an orbit re-render),
+    not only as the first sink response."""
+    import threading
+
+    from pointcloud_stitching_tpu.runtime import CloudPublisher, StreamViewer
+
+    pub = CloudPublisher(host="127.0.0.1").start()
+    snaps = str(tmp_path / "snaps")
+    try:
+        viewer = StreamViewer(("127.0.0.1", pub.port), size=96,
+                              snapshot_dir=snaps)
+        responses = iter(["az+", "snap"])
+
+        def sink(i, img):
+            return next(responses, True)
+
+        done = threading.Event()
+
+        def consume():
+            viewer.run(sink, num_frames=3)
+            done.set()
+
+        threading.Thread(target=consume, daemon=True).start()
+        deadline = time.time() + 10
+        while pub.num_subscribers == 0 and time.time() < deadline:
+            time.sleep(0.02)
+        xyz = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+        for _ in range(4):
+            pub.publish(xyz)
+            time.sleep(0.05)
+        assert done.wait(timeout=15)
+        # frame 1 = orbit re-render whose sink response was "snap"
+        assert sorted(os.listdir(snaps)) == ["snapshot_00000.ply"]
+    finally:
+        pub.stop()
+
+
+def test_stitch_cli_view_snap(tmp_path, monkeypatch):
+    """--view 'p' key (sink returning 'snap') writes a .ply of the cloud
+    that produced the frame (reference keypress savePLYFile parity)."""
+    from pointcloud_stitching_tpu.runtime import stitch_cli, view_cli
+    from pointcloud_stitching_tpu.utils.config import StitchConfig
+
+    responses = iter(["snap"])
+    monkeypatch.setattr(
+        view_cli, "_window_sink",
+        lambda *a, **k: (lambda i, img: next(responses, True)))
+    h, w = 60, 106
+    cfg = StitchConfig(num_cameras=1, height=h, width=w,
+                       cam_voxel_leaf=0.03, cam_capacity=4096,
+                       out_voxel_leaf=0.03, out_capacity=8192,
+                       icp_enabled=False)
+    cfgp = tmp_path / "cfg.json"
+    cfg.save(str(cfgp))
+    view_dir = tmp_path / "view"
+    srv = FakeCameraServer(synthetic_frames(4, h, w, seed=2)).start()
+    try:
+        stitch_cli.main(["--camera", f"127.0.0.1:{srv.port}",
+                         "--config", str(cfgp), "--frames", "3",
+                         "--view", "--view-dir", str(view_dir),
+                         "--view-size", "64"])
+    finally:
+        srv.stop()
+    snaps = [f for f in os.listdir(view_dir) if f.endswith(".ply")]
+    assert snaps == ["snapshot_00000.ply"]
+    xyz, _ = load_ply(str(view_dir / snaps[0]))
+    assert len(xyz) > 50
+
+
 def test_stitch_cli_in_process_view(tmp_path):
     """--view renders stitched clouds from inside the client process (the
     reference's -v flag — VERDICT r2 missing #3), headless fallback =
