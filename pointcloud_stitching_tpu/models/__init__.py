@@ -1,5 +1,5 @@
 from .stitcher import (StitchingPipeline, StitchMetrics, StitchOutput,
-                       stitch_points_step, stitch_step)
+                       autofit_out_leaf, stitch_points_step, stitch_step)
 from .registration import (RegistrationResult, register_from_correspondences,
                            register_pair, write_cal)
 from .voxel_map import (TemporalAccumulator, VoxelMap, load_map, localize,
@@ -9,7 +9,7 @@ from .pose_graph import (PoseGraphResult, chain_initial_poses,
 
 __all__ = [
     "StitchingPipeline", "StitchMetrics", "StitchOutput", "stitch_step",
-    "stitch_points_step",
+    "stitch_points_step", "autofit_out_leaf",
     "RegistrationResult", "register_from_correspondences", "register_pair",
     "write_cal",
     "TemporalAccumulator", "VoxelMap", "load_map", "localize",

@@ -54,6 +54,40 @@ class StitchOutput(NamedTuple):
     metrics: StitchMetrics
 
 
+def autofit_out_leaf(points_out: jax.Array, leaf: jax.Array, *,
+                     capacity: int, floor: float, ceil: float,
+                     grow: float = 1.25,
+                     headroom: float = 0.85) -> jax.Array:
+    """Per-frame output-leaf controller for a fixed-capacity voxel grid.
+
+    PCL's VoxelGrid reallocates when a scene outgrows it; a TPU program
+    cannot (fixed shapes), so a saturated output drops the sorted tail of
+    voxels — a spatially biased amputation. This controller instead adapts
+    the *resolution*: the leaf is a traced operand of the stitch step
+    (never a recompile), grown by ``grow`` whenever the last frame
+    saturated and shrunk back toward ``floor`` (the configured target
+    resolution) when a finer grid would fit with ``headroom`` to spare.
+
+    The shrink guard is cubic (``points_out * grow**3 < headroom *
+    capacity``): occupancy scales ~leaf^-2 for surface-like scenes but up
+    to leaf^-3 for volumetric ones, and a quadratic guard on a volumetric
+    scene re-saturates right after shrinking (grow/shrink oscillation). The
+    cubic bound is safe for both — at worst it shrinks a surface scene one
+    frame later.
+
+    Pure and jittable; StitchingPipeline applies it between frames when
+    ``cfg.out_leaf_autofit`` is set (the device scalar feeds back without
+    any host sync, same pattern as the refined-extrinsics feedback).
+    """
+    pts = points_out.astype(jnp.float32)
+    cap = jnp.float32(capacity)
+    leaf = jnp.asarray(leaf, jnp.float32)
+    nxt = jnp.where(pts >= cap, leaf * grow,
+                    jnp.where(pts * grow ** 3 < headroom * cap,
+                              leaf / grow, leaf))
+    return jnp.clip(nxt, floor, ceil)
+
+
 def _compose_ring_corrections(deltas: jax.Array, closure: bool,
                               gate: jax.Array | float = jnp.inf,
                               gate_rot: jax.Array | float = jnp.inf
@@ -180,7 +214,8 @@ def _ring_drift_correction(cfg: StitchConfig, clouds: PointCloud,
 
 
 def _stitch_tail(cfg: StitchConfig, raw: PointCloud, extrinsics: jax.Array,
-                 points_in: jax.Array, sub: PointCloud) -> StitchOutput:
+                 points_in: jax.Array, sub: PointCloud,
+                 out_leaf: Optional[jax.Array] = None) -> StitchOutput:
     """Shared back half: ring drift correction → world → fuse → voxel."""
     ncam = cfg.num_cameras
     icp_err = jnp.zeros((max(ncam - 1, 1),), jnp.float32)
@@ -206,8 +241,12 @@ def _stitch_tail(cfg: StitchConfig, raw: PointCloud, extrinsics: jax.Array,
         # world-frame scene bound (mask-only, free): crop BEFORE the voxel
         # pass so out-of-bounds points don't consume output capacity
         fused = crop_box(fused, list(cfg.crop_lo), list(cfg.crop_hi))
-    # one global voxel pass, same dataflow as the reference's fused VoxelGrid
-    out = voxel_downsample(fused, cfg.out_voxel_leaf,
+    # one global voxel pass, same dataflow as the reference's fused
+    # VoxelGrid. The leaf may arrive as a traced operand (out_leaf): the
+    # autofit controller / callers vary resolution per frame with no
+    # recompile.
+    leaf = cfg.out_voxel_leaf if out_leaf is None else out_leaf
+    out = voxel_downsample(fused, leaf,
                            capacity=cfg.out_capacity, impl=cfg.kernel_impl)
 
     metrics = StitchMetrics(points_in=points_in, points_out=out.count(),
@@ -220,7 +259,8 @@ def stitch_step(cfg: StitchConfig, intr: Intrinsics, extrinsics: jax.Array,
                 depths: jax.Array, colors: Optional[jax.Array] = None,
                 cam_mask: Optional[jax.Array] = None,
                 color_intr: Optional[Intrinsics] = None,
-                color_ext: Optional[jax.Array] = None) -> StitchOutput:
+                color_ext: Optional[jax.Array] = None,
+                out_leaf: Optional[jax.Array] = None) -> StitchOutput:
     """One full stitching step. Pure function of its inputs; jit over `cfg`.
 
     Args:
@@ -238,6 +278,9 @@ def stitch_step(cfg: StitchConfig, intr: Intrinsics, extrinsics: jax.Array,
         texture-coordinate mapping (rs2 map_to semantics — projects each
         point into the color camera; see ops.deproject.map_color) instead of
         assuming depth-aligned streams.
+      out_leaf: optional traced scalar overriding cfg.out_voxel_leaf for the
+        fused output grid — per-frame resolution changes with no recompile
+        (fed by autofit_out_leaf when cfg.out_leaf_autofit is set).
     """
     ncam = cfg.num_cameras
     assert depths.shape[0] == ncam
@@ -290,12 +333,13 @@ def stitch_step(cfg: StitchConfig, intr: Intrinsics, extrinsics: jax.Array,
         sub_rgb = nrm.reshape(ncam, -1, 3)
     sub = PointCloud(xyz=sub_xyz.reshape(ncam, -1, 3),
                      mask=sub_mask.reshape(ncam, -1), rgb=sub_rgb)
-    return _stitch_tail(cfg, raw, extrinsics, points_in, sub)
+    return _stitch_tail(cfg, raw, extrinsics, points_in, sub, out_leaf)
 
 
 def stitch_points_step(cfg: StitchConfig, extrinsics: jax.Array,
                        clouds: PointCloud,
-                       cam_mask: Optional[jax.Array] = None) -> StitchOutput:
+                       cam_mask: Optional[jax.Array] = None,
+                       out_leaf: Optional[jax.Array] = None) -> StitchOutput:
     """Stitch pre-deprojected per-camera point clouds (legacy interop mode).
 
     For reference-protocol camera servers that deproject on the camera node
@@ -310,7 +354,7 @@ def stitch_points_step(cfg: StitchConfig, extrinsics: jax.Array,
     points_in = jnp.sum(clouds.mask)
     s = cfg.icp_stride * cfg.icp_stride  # match the depth path's area ratio
     sub = PointCloud(xyz=clouds.xyz[:, ::s], mask=clouds.mask[:, ::s])
-    return _stitch_tail(cfg, clouds, extrinsics, points_in, sub)
+    return _stitch_tail(cfg, clouds, extrinsics, points_in, sub, out_leaf)
 
 
 class StitchingPipeline:
@@ -353,6 +397,17 @@ class StitchingPipeline:
         self._points_step = jax.jit(partial(stitch_points_step, cfg))
         from ..ops.se3 import se3_blend
         self._blend = jax.jit(se3_blend)
+        # adaptive output resolution (cfg.out_leaf_autofit): the leaf is a
+        # device scalar fed back frame to frame, like the extrinsics — the
+        # controller runs on device, no host sync, no recompile (the leaf
+        # is a traced operand of the step)
+        self.out_leaf = None
+        self._leaf_ctrl = None
+        if cfg.out_leaf_autofit:
+            self.out_leaf = jnp.float32(cfg.out_voxel_leaf)
+            self._leaf_ctrl = jax.jit(partial(
+                autofit_out_leaf, capacity=cfg.out_capacity,
+                floor=cfg.out_voxel_leaf, ceil=cfg.out_leaf_max))
 
     def _update(self, refined: jax.Array) -> None:
         if not self.cfg.icp_enabled or self.update_mode == "anchored":
@@ -365,8 +420,9 @@ class StitchingPipeline:
 
     def __call__(self, depths, colors=None, cam_mask=None) -> StitchOutput:
         out = self._step(self.intr, self.extrinsics, depths, colors, cam_mask,
-                         self.color_intr, self.color_ext)
+                         self.color_intr, self.color_ext, self.out_leaf)
         self._update(out.extrinsics)
+        self._update_leaf(out)
         return out
 
     def step_points(self, xyz, point_mask, rgb=None,
@@ -374,6 +430,13 @@ class StitchingPipeline:
         """Stitch pre-deprojected clouds (legacy reference-protocol mode)."""
         rgb_f = None if rgb is None else rgb.astype(jnp.float32)
         clouds = PointCloud(xyz=xyz, mask=point_mask, rgb=rgb_f)
-        out = self._points_step(self.extrinsics, clouds, cam_mask)
+        out = self._points_step(self.extrinsics, clouds, cam_mask,
+                                self.out_leaf)
         self._update(out.extrinsics)
+        self._update_leaf(out)
         return out
+
+    def _update_leaf(self, out: StitchOutput) -> None:
+        if self._leaf_ctrl is not None:
+            self.out_leaf = self._leaf_ctrl(out.metrics.points_out,
+                                            self.out_leaf)

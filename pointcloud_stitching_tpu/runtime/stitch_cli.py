@@ -53,6 +53,14 @@ def main(argv=None):
                     help="world-frame crop box for the fused cloud "
                          "(meters; the pcl::CropBox role — mask-only, "
                          "applied before the output voxel grid)")
+    ap.add_argument("--auto-leaf", action="store_true",
+                    help="adapt the output grid resolution per frame: grow "
+                         "the leaf when the fixed-capacity output saturates "
+                         "(instead of dropping the sorted tail of voxels), "
+                         "shrink back toward --leaf when the scene fits")
+    ap.add_argument("--auto-leaf-max", type=float, default=None,
+                    help="--auto-leaf ceiling in meters (default 8x the "
+                         "base leaf)")
     ap.add_argument("--payload", choices=["depth", "points"], default="depth",
                     help="wire payload kind (points = reference legacy mode)")
     ap.add_argument("--color", action="store_true",
@@ -153,6 +161,12 @@ def main(argv=None):
                              "(use --crop=-2,... for negative corners: "
                              "argparse needs the '=' form there)")
         updates["crop_lo"], updates["crop_hi"] = lo, hi
+    if args.auto_leaf:
+        updates["out_leaf_autofit"] = True
+        base = updates.get("out_voxel_leaf", cfg.out_voxel_leaf)
+        updates["out_leaf_max"] = (args.auto_leaf_max
+                                   if args.auto_leaf_max is not None
+                                   else 8.0 * base)
     cfg = dataclasses.replace(cfg, **updates)
 
     if args.cal_dir:

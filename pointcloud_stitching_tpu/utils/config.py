@@ -49,6 +49,16 @@ class StitchConfig:
     # walls) don't consume output capacity. Mask-only — zero cost.
     crop_lo: tuple[float, float, float] | None = None
     crop_hi: tuple[float, float, float] | None = None
+    # adaptive output resolution: when the fixed-capacity output grid
+    # saturates (points_out == out_capacity: the sorted tail of voxels is
+    # dropped, a spatially biased amputation), StitchingPipeline feeds the
+    # leaf back through a per-frame controller (models.autofit_out_leaf):
+    # grow until the scene fits, shrink back toward out_voxel_leaf (the
+    # floor = the finest/target resolution) when it would fit with
+    # headroom. The leaf is a *traced* operand, so adaptation never
+    # recompiles — the TPU-native answer to PCL's unbounded realloc.
+    out_leaf_autofit: bool = False
+    out_leaf_max: float = 0.08   # controller ceiling (meters)
 
     # per-frame ICP drift correction (config 4/5); BASELINE: >=5 iters/frame
     icp_enabled: bool = True
@@ -121,6 +131,8 @@ class StitchConfig:
                 raise ValueError(f"{name} must be positive")
         if self.decimation < 1:
             raise ValueError("decimation must be >= 1")
+        if self.out_leaf_autofit and self.out_leaf_max < self.out_voxel_leaf:
+            raise ValueError("out_leaf_max must be >= out_voxel_leaf")
         if (self.color_height is None) != (self.color_width is None):
             raise ValueError("set both color_height and color_width or neither")
         if self.color_height is not None and not self.with_color:
