@@ -14,7 +14,10 @@ import numpy as np
 
 
 def save_ply(path: str, xyz: np.ndarray, rgb: np.ndarray | None = None,
-             binary: bool = True) -> None:
+             binary: bool = True,
+             normals: np.ndarray | None = None) -> None:
+    """Write a PLY. ``normals`` adds the standard nx/ny/nz float properties
+    (pcl::PointNormal layout — what savePLYFile writes for normal clouds)."""
     xyz = np.asarray(xyz, np.float32).reshape(-1, 3)
     n = len(xyz)
     has_rgb = rgb is not None
@@ -22,6 +25,11 @@ def save_ply(path: str, xyz: np.ndarray, rgb: np.ndarray | None = None,
         rgb = np.clip(np.asarray(rgb), 0, 255).astype(np.uint8).reshape(-1, 3)
         if len(rgb) != n:
             raise ValueError("rgb length mismatch")
+    has_nrm = normals is not None
+    if has_nrm:
+        normals = np.asarray(normals, np.float32).reshape(-1, 3)
+        if len(normals) != n:
+            raise ValueError("normals length mismatch")
 
     fmt = "binary_little_endian" if binary else "ascii"
     header = [
@@ -30,6 +38,9 @@ def save_ply(path: str, xyz: np.ndarray, rgb: np.ndarray | None = None,
         f"element vertex {n}",
         "property float x", "property float y", "property float z",
     ]
+    if has_nrm:
+        header += ["property float nx", "property float ny",
+                   "property float nz"]
     if has_rgb:
         header += ["property uchar red", "property uchar green",
                    "property uchar blue"]
@@ -38,17 +49,24 @@ def save_ply(path: str, xyz: np.ndarray, rgb: np.ndarray | None = None,
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode("ascii"))
         if binary:
+            fields = [("xyz", "<f4", 3)]
+            if has_nrm:
+                fields.append(("nrm", "<f4", 3))
             if has_rgb:
-                dt = np.dtype([("xyz", "<f4", 3), ("rgb", "u1", 3)])
-                rec = np.empty(n, dt)
-                rec["xyz"] = xyz
+                fields.append(("rgb", "u1", 3))
+            rec = np.empty(n, np.dtype(fields))
+            rec["xyz"] = xyz
+            if has_nrm:
+                rec["nrm"] = normals
+            if has_rgb:
                 rec["rgb"] = rgb
-                f.write(rec.tobytes())
-            else:
-                f.write(xyz.astype("<f4").tobytes())
+            f.write(rec.tobytes())
         else:
             for i in range(n):
                 row = f"{xyz[i, 0]:.6g} {xyz[i, 1]:.6g} {xyz[i, 2]:.6g}"
+                if has_nrm:
+                    row += (f" {normals[i, 0]:.6g} {normals[i, 1]:.6g}"
+                            f" {normals[i, 2]:.6g}")
                 if has_rgb:
                     row += f" {rgb[i, 0]} {rgb[i, 1]} {rgb[i, 2]}"
                 f.write((row + "\n").encode("ascii"))
@@ -107,9 +125,21 @@ def load_ply(path: str):
     return xyz, rgb
 
 
-def save_cloud(path: str, pc, binary: bool = True) -> None:
-    """Save a (device) PointCloud's valid points to PLY."""
+def save_cloud(path: str, pc, binary: bool = True,
+               decode_normals: bool = False) -> None:
+    """Save a (device) PointCloud's valid points to PLY.
+
+    decode_normals: the cloud's rgb channel carries encoded normals (a
+    cfg.with_normals pipeline output) — write them as nx/ny/nz float
+    properties (pcl::PointNormal layout) instead of colors.
+    """
     xyz = np.asarray(pc.xyz)
     mask = np.asarray(pc.mask)
+    if decode_normals:
+        from ..ops.normals import decode_normals as _dec
+        nrm, _ = _dec(pc)
+        save_ply(path, xyz[mask], None, binary=binary,
+                 normals=np.asarray(nrm)[mask])
+        return
     rgb = None if pc.rgb is None else np.asarray(pc.rgb)[mask]
     save_ply(path, xyz[mask], rgb, binary=binary)

@@ -236,6 +236,15 @@ def _stitch_tail(cfg: StitchConfig, raw: PointCloud, extrinsics: jax.Array,
                                   capacity=cfg.cam_capacity,
                                   impl=cfg.kernel_impl)
     world = clouds.replace(xyz=se3_apply(extrinsics, clouds.xyz))
+    if cfg.with_normals and clouds.rgb is not None:
+        # normals rotate with the refined extrinsics (translation-free),
+        # then quantize to 3x8-bit so the output voxel pass takes the
+        # packed 3-operand sort (the colored-cloud fast path; mean exact);
+        # ops.normals.decode_normals recovers unit world normals
+        R = extrinsics[..., :3, :3]
+        nw = jnp.einsum("cij,cnj->cni", R, clouds.rgb, precision="highest")
+        world = world.replace(
+            rgb=jnp.clip(jnp.round((nw + 1.0) * 127.5), 0.0, 255.0))
     fused = fuse_batched(world)
     if cfg.crop_lo is not None:
         # world-frame scene bound (mask-only, free): crop BEFORE the voxel
@@ -318,6 +327,17 @@ def stitch_step(cfg: StitchConfig, intr: Intrinsics, extrinsics: jax.Array,
     points_in = jnp.sum(raw.mask)
     h = cfg.height // cfg.decimation
     w = cfg.width // cfg.decimation
+
+    if cfg.with_normals:
+        # full-resolution grid normals ride the rgb channel as unit floats
+        # (sensor frame here; _stitch_tail rotates them to world with the
+        # refined extrinsics and quantizes them for the packed voxel sort).
+        # Pixels without a valid normal (holes, depth edges, grid border)
+        # keep their point but carry a zero normal: zeros only shorten the
+        # voxel's mean — the renormalized direction is untouched.
+        nrm_full, _ = grid_normals(raw.xyz.reshape(ncam, h, w, 3),
+                                   raw.mask.reshape(ncam, h, w))
+        raw = raw.replace(rgb=nrm_full.reshape(ncam, -1, 3))
 
     # ICP clouds from a grid-stride subsample (cheap, preserves spatial
     # uniformity) + a small voxel pass — not a full-resolution voxel grid

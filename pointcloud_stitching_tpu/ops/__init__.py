@@ -9,7 +9,7 @@ from .nn import nearest_neighbors
 from .kabsch import kabsch
 from .icp import (ICPResult, icp, icp_batched, icp_converge,
                   icp_point_to_plane_batched)
-from .normals import grid_normals
+from .normals import decode_normals, grid_normals
 from .filters import (count_neighbors, crop_box, knn_mean_distance,
                       passthrough, radius_outlier_removal,
                       statistical_outlier_removal)
@@ -23,7 +23,7 @@ __all__ = [
     "compact", "fuse", "fuse_batched",
     "nearest_neighbors", "kabsch",
     "ICPResult", "icp", "icp_batched", "icp_converge",
-    "icp_point_to_plane_batched", "grid_normals",
+    "icp_point_to_plane_batched", "grid_normals", "decode_normals",
     "count_neighbors", "crop_box", "knn_mean_distance", "passthrough",
     "radius_outlier_removal", "statistical_outlier_removal",
 ]

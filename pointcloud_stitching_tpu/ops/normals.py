@@ -50,3 +50,26 @@ def grid_normals(xyz_grid: jax.Array, mask_grid: jax.Array,
         n = jnp.where(flip, -n, n)
     n = jnp.where(valid[..., None], n, 0.0)
     return n, valid
+
+
+def decode_normals(cloud, min_norm: float = 0.3):
+    """Unit world normals from a ``with_normals`` pipeline output.
+
+    The stitcher encodes normals as 3x8-bit integers in the cloud's rgb
+    channel (q = (n + 1) * 127.5) so they ride the packed voxel sort; the
+    per-voxel value is the member average. Decoding inverts the affine map
+    and renormalizes. A short average (|n| < min_norm) means the voxel's
+    members disagreed (a depth edge, mixed surfaces) or mostly carried no
+    valid normal — those decode to zero with valid=False, the same
+    convention PCL consumers use for NaN normals.
+
+    Returns (normals [..., N, 3], valid [..., N]).
+    """
+    if cloud.rgb is None:
+        raise ValueError("cloud has no encoded normals (rgb is None); "
+                         "run the pipeline with cfg.with_normals=True")
+    n = cloud.rgb * (1.0 / 127.5) - 1.0
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    ok = cloud.mask & (norm[..., 0] >= min_norm)
+    n = jnp.where(ok[..., None], n / jnp.maximum(norm, 1e-12), 0.0)
+    return n, ok

@@ -53,6 +53,12 @@ def main(argv=None):
                     help="world-frame crop box for the fused cloud "
                          "(meters; the pcl::CropBox role — mask-only, "
                          "applied before the output voxel grid)")
+    ap.add_argument("--normals", action="store_true",
+                    help="attach per-point surface normals to the fused "
+                         "output (pcl::PointNormal role): saved .ply files "
+                         "carry nx/ny/nz; the live view shows them "
+                         "normal-map colored. Mutually exclusive with "
+                         "--color (both ride the rgb channel)")
     ap.add_argument("--auto-leaf", action="store_true",
                     help="adapt the output grid resolution per frame: grow "
                          "the leaf when the fixed-capacity output saturates "
@@ -147,6 +153,8 @@ def main(argv=None):
         updates["icp_enabled"] = False
     if args.color:
         updates["with_color"] = True
+    if args.normals:
+        updates["with_normals"] = True
     if args.crop:
         try:
             lo_s, hi_s = args.crop.split(":")
@@ -299,7 +307,7 @@ def main(argv=None):
                 path = os.path.join(args.view_dir,
                                     f"snapshot_{snap_idx[0]:05d}.ply")
                 os.makedirs(args.view_dir, exist_ok=True)
-                save_cloud(path, out.cloud)
+                save_cloud(path, out.cloud, decode_normals=cfg.with_normals)
                 snap_idx[0] += 1
                 print(f"saved {path}", flush=True)
             else:
@@ -311,7 +319,7 @@ def main(argv=None):
             print(line, flush=True)
         if args.save_dir and i % args.save_every == 0:
             save_cloud(os.path.join(args.save_dir, f"cloud_{i:06d}.ply"),
-                       out.cloud)
+                       out.cloud, decode_normals=cfg.with_normals)
 
     try:
         if args.trace_dir:

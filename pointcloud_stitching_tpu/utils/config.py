@@ -25,6 +25,17 @@ class StitchConfig:
     z_max: float = 10.0
     decimation: int = 1          # grid-stride depth decimation (server-side in ref)
     with_color: bool = False
+    # attach per-point surface normals to the fused output (the
+    # pcl::PointNormal capability — downstream meshing/shading/registration
+    # needs them). Normals come free from the organized depth grid (one
+    # cross product per pixel — no KD-tree, no eigensolve), rotate to world
+    # frame with the refined extrinsics, and ride the voxel sort as a
+    # quantized 3x8-bit packed operand (the colored-cloud machinery), so
+    # the per-voxel normal is the renormalized member average. Decode with
+    # ops.normals.decode_normals. Mutually exclusive with with_color (both
+    # use the cloud's rgb channel); depth payloads only (the legacy points
+    # payload has no grid to derive normals from).
+    with_normals: bool = False
     # non-aligned color stream resolution (DEPTH16_COLOR_NATIVE wire kind):
     # None = color is depth-aligned [height, width]. When set, the pipeline
     # texture-maps color through separate color intrinsics + depth->color
@@ -133,6 +144,9 @@ class StitchConfig:
             raise ValueError("decimation must be >= 1")
         if self.out_leaf_autofit and self.out_leaf_max < self.out_voxel_leaf:
             raise ValueError("out_leaf_max must be >= out_voxel_leaf")
+        if self.with_normals and self.with_color:
+            raise ValueError("with_normals and with_color are mutually "
+                             "exclusive (both ride the cloud's rgb channel)")
         if (self.color_height is None) != (self.color_width is None):
             raise ValueError("set both color_height and color_width or neither")
         if self.color_height is not None and not self.with_color:
