@@ -101,6 +101,24 @@ def test_save_cloud_writes_pointnormal_ply(tmp_path):
     assert abs(nz + 1.0) < 0.05  # plane normal ~ -z
 
 
+def test_normals_accumulate_into_the_temporal_map():
+    """Encoded normals ride the voxel map's rgb channel: a with_rgb map
+    absorbing with_normals frames yields a scene model whose accumulated
+    cloud still decodes to the surface normals."""
+    from pointcloud_stitching_tpu.models import TemporalAccumulator
+    cfg, intr, ext, depths = _flat_scene()
+    out = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths))
+    acc = TemporalAccumulator(capacity=1 << 15, leaf=0.02, with_rgb=True)
+    for _ in range(3):
+        acc.update(out.cloud)
+    scene = acc.cloud(min_weight=1.0)
+    n, ok = decode_normals(scene)
+    n, ok = np.asarray(n), np.asarray(ok)
+    assert ok.sum() > 100
+    dots = n[ok] @ np.array([0.0, 0.0, -1.0], np.float32)
+    assert np.all(dots > 0.99), dots.min()
+
+
 def test_holes_do_not_corrupt_voxel_normals():
     """Pixels without a valid grid normal keep their point but contribute a
     zero normal: the voxel's renormalized direction must be unaffected."""
