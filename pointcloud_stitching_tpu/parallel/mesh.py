@@ -61,9 +61,9 @@ def make_sharded_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
     cam3 = NamedSharding(mesh, P(axis, None, None))
 
     def step(intr, extrinsics, depths, colors=None, cam_mask=None,
-             color_intr=None, color_ext=None):
+             color_intr=None, color_ext=None, out_leaf=None):
         return stitch_step(cfg, intr, extrinsics, depths, colors, cam_mask,
-                           color_intr, color_ext)
+                           color_intr, color_ext, out_leaf)
 
     # `cam` as a pytree prefix shards every per-camera Intrinsics field on
     # its leading (camera) axis; depths/colors shard their camera rows the
@@ -80,21 +80,22 @@ def make_sharded_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
         rep,                                    # cam_mask [ncam]
         cam,                                    # color_intr (prefix)
         cam3,                                   # color_ext [ncam, 4, 4]
+        rep,                                    # out_leaf scalar (traced)
     )
     jitted = jax.jit(step, in_shardings=in_shardings)
 
     def call(intr, extrinsics, depths, colors=None, cam_mask=None,
-             color_intr=None, color_ext=None):
+             color_intr=None, color_ext=None, out_leaf=None):
         # always pass all positions: pjit requires in_shardings to match
         # the call's positional arity (None = empty pytree, sharding unused)
         return jitted(intr, extrinsics, depths, colors, cam_mask,
-                      color_intr, color_ext)
+                      color_intr, color_ext, out_leaf)
 
     # keep jit introspection available (tests inspect the compiled HLO)
     call.lower = lambda intr, extrinsics, depths, colors=None, \
-        cam_mask=None, color_intr=None, color_ext=None: jitted.lower(
-            intr, extrinsics, depths, colors, cam_mask, color_intr,
-            color_ext)
+        cam_mask=None, color_intr=None, color_ext=None, out_leaf=None: \
+        jitted.lower(intr, extrinsics, depths, colors, cam_mask, color_intr,
+                     color_ext, out_leaf)
     return call
 
 

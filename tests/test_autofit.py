@@ -122,6 +122,25 @@ def test_out_leaf_override_matches_cfg_leaf():
                                atol=1e-6)
 
 
+def test_sharded_out_leaf_override_matches_single_device():
+    """The GSPMD path accepts the traced leaf too (autofit over a mesh)."""
+    import dataclasses
+    from pointcloud_stitching_tpu.models import stitch_step
+    from pointcloud_stitching_tpu.parallel import (make_mesh,
+                                                   make_sharded_stitch)
+    cfg, intr, ext, depths = _rig(ncam=2, out_leaf_autofit=False)
+    fn = make_sharded_stitch(cfg, make_mesh(2))
+    a = fn(intr, ext, depths, out_leaf=jnp.float32(0.02))
+    b = stitch_step(dataclasses.replace(cfg, kernel_impl="xla",
+                                        out_voxel_leaf=0.02),
+                    intr, ext, depths)
+    assert int(a.metrics.points_out) == int(b.metrics.points_out)
+    ga = np.asarray(a.cloud.xyz)[np.asarray(a.cloud.mask)]
+    gb = np.asarray(b.cloud.xyz)[np.asarray(b.cloud.mask)]
+    np.testing.assert_allclose(np.sort(ga, axis=0), np.sort(gb, axis=0),
+                               atol=1e-6)
+
+
 def test_autofit_config_validation():
     import pytest
     with pytest.raises(ValueError):
