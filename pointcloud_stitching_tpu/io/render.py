@@ -67,10 +67,32 @@ def view_rotation(azimuth: float, elevation: float) -> np.ndarray:
     return np.stack([r, u, f]).astype(np.float32)
 
 
+def shade_from_normals(rgb: np.ndarray, azimuth: float,
+                       elevation: float) -> np.ndarray:
+    """Lambert-shade encoded normals into gray colors.
+
+    ``rgb`` carries the stitcher's quantized normals (q = (n+1)*127.5 —
+    cfg.with_normals output, possibly voxel-averaged). A headlight at the
+    camera (light direction = the orbit view's forward) gives the classic
+    surface-relief view; |n·l| is used so PCL's toward-the-sensor normal
+    orientation never blacks out a surface seen from behind. Points whose
+    averaged normal cancelled out (depth edges) shade to a dim floor
+    instead of a false highlight.
+    """
+    n = np.asarray(rgb, np.float32) * (1.0 / 127.5) - 1.0
+    norm = np.linalg.norm(n, axis=-1)
+    fwd = view_rotation(azimuth, elevation)[2]
+    lam = np.abs(n @ fwd) / np.maximum(norm, 1e-6)
+    lam = np.where(norm < 0.3, 0.0, lam)
+    g = (40.0 + 215.0 * np.clip(lam, 0.0, 1.0)).astype(np.uint8)
+    return np.stack([g, g, g], axis=-1)
+
+
 def render_view(xyz: np.ndarray, rgb: np.ndarray | None = None,
                 azimuth: float = 0.0, elevation: float = 0.0,
                 size: int = 800, background: int = 0,
-                bounds: tuple | None = None) -> np.ndarray:
+                bounds: tuple | None = None,
+                shade_normals: bool = False) -> np.ndarray:
     """Orbit-viewpoint orthographic render (the interactive counterpart of
     ``render_orthographic``'s fixed axes).
 
@@ -79,6 +101,8 @@ def render_view(xyz: np.ndarray, rgb: np.ndarray | None = None,
     (azimuth, elevation) basis, then depth-buffer-splat along the view
     forward. (0, 0) reproduces ``render_orthographic(axis="z")`` exactly.
     ``bounds`` as in render_orthographic, in the *rotated* frame.
+    ``shade_normals`` treats rgb as encoded normals (cfg.with_normals
+    streams) and Lambert-shades them with a view-forward headlight.
     """
     xyz = np.asarray(xyz, np.float32).reshape(-1, 3)
     if len(xyz) == 0:
@@ -97,7 +121,9 @@ def render_view(xyz: np.ndarray, rgb: np.ndarray | None = None,
 
     order = np.argsort(-d)
     img = np.full((size, size, 3), background, np.uint8)
-    if rgb is not None:
+    if rgb is not None and shade_normals:
+        colors = shade_from_normals(rgb, azimuth, elevation)[order]
+    elif rgb is not None:
         colors = np.clip(np.asarray(rgb), 0, 255).astype(np.uint8)[order]
     else:
         dn = (d - d.min()) / max(d.max() - d.min(), 1e-6)

@@ -248,7 +248,9 @@ def main(argv=None):
     snap_idx = [0]  # --view 'p'-key snapshot counter (closure-mutable)
     if args.view:
         from .view_cli import CloudView, _directory_sink, _window_sink
-        view = CloudView(axis=args.view_axis, size=args.view_size)
+        # a --normals rig shades its normals by default ('n' key toggles)
+        view = CloudView(axis=args.view_axis, size=args.view_size,
+                         shade_normals=cfg.with_normals)
         view_sink = _window_sink()
         if view_sink is None:
             print(f"view: no GUI, writing image sequence to {args.view_dir}",

@@ -52,10 +52,15 @@ class CloudView:
     sink (VERDICT r2 missing #3): render(xyz, rgb) → [size,size,3] u8.
     """
 
-    def __init__(self, axis: str = "z", size: int = 800):
+    def __init__(self, axis: str = "z", size: int = 800,
+                 shade_normals: bool = False):
         self.axis = axis
         self.azimuth, self.elevation = _AXIS_VIEW[axis]
         self.size = size
+        # Lambert-shade encoded normals (cfg.with_normals streams) with a
+        # view-forward headlight instead of showing them as normal-map
+        # colors; toggled live by the 'n' key ("shade" command)
+        self.shade_normals = shade_normals
         # sticky projection window: lock to the first frame, expand only
         self._lo: Optional[np.ndarray] = None
         self._span: float = 0.0
@@ -96,6 +101,9 @@ class CloudView:
         if cmd == "reset":
             self.reset_view()
             return True
+        if cmd == "shade":
+            self.shade_normals = not self.shade_normals
+            return True
         if cmd in _ORBIT_CMDS:
             self.orbit(*_ORBIT_CMDS[cmd])
             return True
@@ -108,7 +116,8 @@ class CloudView:
         bounds = self._update_bounds(xyz)
         return render_view(xyz, rgb, azimuth=self.azimuth,
                            elevation=self.elevation, size=self.size,
-                           bounds=bounds)
+                           bounds=bounds,
+                           shade_normals=self.shade_normals)
 
     def render_cloud(self, pc) -> np.ndarray:
         """Render a (device) PointCloud's valid points."""
@@ -136,9 +145,11 @@ class StreamViewer:
 
     def __init__(self, address: tuple[str, int], axis: str = "z",
                  size: int = 800, every: int = 1,
-                 connect_timeout: float = 10.0, snapshot_dir: str = "."):
+                 connect_timeout: float = 10.0, snapshot_dir: str = ".",
+                 shade_normals: bool = False):
         self.address = address
-        self.view = CloudView(axis=axis, size=size)
+        self.view = CloudView(axis=axis, size=size,
+                              shade_normals=shade_normals)
         self.every = max(every, 1)
         self._timeout = connect_timeout
         self._last_cloud: Optional[tuple] = None
@@ -259,7 +270,7 @@ def _window_sink(title: str = "pointcloud_stitching_tpu"):
 
     keymap = {ord("q"): "quit", ord("a"): "az-", ord("d"): "az+",
               ord("w"): "el+", ord("s"): "el-", ord("0"): "reset",
-              ord("p"): "snap"}
+              ord("p"): "snap", ord("n"): "shade"}
 
     def sink(idx: int, img: np.ndarray):
         cv2.imshow(title, img[..., ::-1])  # cv2 is BGR
@@ -312,6 +323,11 @@ def main(argv=None) -> int:
     ap.add_argument("--snap-dir", default=None,
                     help=".ply snapshot directory for the 'p' key "
                          "(default: --out-dir)")
+    ap.add_argument("--shade", action="store_true",
+                    help="the stream carries encoded normals (pcs-stitch "
+                         "--normals): Lambert-shade them with a headlight "
+                         "instead of showing normal-map colors ('n' key "
+                         "toggles live)")
     ap.add_argument("--window", dest="window", action="store_true",
                     default=None,
                     help="force a cv2 GUI window (default: try one, fall "
@@ -332,7 +348,8 @@ def main(argv=None) -> int:
 
     viewer = StreamViewer((host, int(port)), axis=args.axis, size=args.size,
                           every=args.every,
-                          snapshot_dir=args.snap_dir or args.out_dir)
+                          snapshot_dir=args.snap_dir or args.out_dir,
+                          shade_normals=args.shade)
     n = viewer.run(sink, num_frames=args.frames)
     print(f"viewer: rendered {n} frames", flush=True)
     return 0

@@ -119,6 +119,36 @@ def test_normals_accumulate_into_the_temporal_map():
     assert np.all(dots > 0.99), dots.min()
 
 
+def test_viewer_shades_encoded_normals():
+    """render_view(shade_normals=True) Lambert-shades: a plane facing the
+    view forward renders full-bright gray; the 'shade' steering command
+    toggles the mode on a live CloudView."""
+    from pointcloud_stitching_tpu.io.render import render_view
+    from pointcloud_stitching_tpu.runtime.view_cli import CloudView
+    cfg, intr, ext, depths = _flat_scene()
+    out = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths))
+    mask = np.asarray(out.cloud.mask)
+    xyz = np.asarray(out.cloud.xyz)[mask]
+    enc = np.asarray(out.cloud.rgb)[mask]
+    img = render_view(xyz, enc, azimuth=0.0, elevation=0.0, size=64,
+                      shade_normals=True)
+    hit = img.reshape(-1, 3)
+    hit = hit[hit.any(axis=-1)]
+    assert len(hit) > 50
+    # grayscale (r == g == b) and near full brightness: n ~ -z, fwd = +z
+    assert np.all(hit[:, 0] == hit[:, 1]) and np.all(hit[:, 1] == hit[:, 2])
+    assert np.median(hit[:, 0]) > 240
+    # live toggle
+    v = CloudView(size=64)
+    assert not v.shade_normals
+    assert v.apply_command("shade")
+    assert v.shade_normals
+    shaded = v.render(xyz, enc)
+    s = shaded.reshape(-1, 3)
+    s = s[s.any(axis=-1)]
+    assert np.all(s[:, 0] == s[:, 1]) and np.all(s[:, 1] == s[:, 2])
+
+
 def test_holes_do_not_corrupt_voxel_normals():
     """Pixels without a valid grid normal keep their point but contribute a
     zero normal: the voxel's renormalized direction must be unaffected."""
