@@ -53,6 +53,11 @@ def main(argv=None):
                     help="world-frame crop box for the fused cloud "
                          "(meters; the pcl::CropBox role — mask-only, "
                          "applied before the output voxel grid)")
+    ap.add_argument("--drop-plane", type=float, default=None, metavar="DIST",
+                    help="segment the dominant plane each frame "
+                         "(pcl::SACSegmentation role) and drop points "
+                         "within DIST meters of it from every output — "
+                         "remove the floor/wall from the stitched stream")
     ap.add_argument("--normals", action="store_true",
                     help="attach per-point surface normals to the fused "
                          "output (pcl::PointNormal role): saved .ply files "
@@ -268,8 +273,21 @@ def main(argv=None):
         except Exception:
             pass
 
+    drop_key = None
+    if args.drop_plane is not None:
+        import jax as _jax
+        drop_key = _jax.random.key(0)
+
     def on_frame(i, out):
         nonlocal acc
+        if drop_key is not None:
+            # segment the dominant plane (floor/wall) and drop its inliers
+            # from everything downstream (save/publish/view/map). Per-frame
+            # and stateless — all on device, fixed key so it's deterministic
+            from ..ops import extract_plane, segment_plane
+            model, _, _ = segment_plane(out.cloud, args.drop_plane, drop_key)
+            out = out._replace(cloud=extract_plane(out.cloud, model,
+                                                   args.drop_plane))
         if args.map_leaf is not None or args.map_in is not None:
             if acc is None:
                 # lazy: RGB presence must match the stitched output's

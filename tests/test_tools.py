@@ -613,6 +613,44 @@ def test_stitch_cli_temporal_map(tmp_path):
         srv.stop()
 
 
+def test_stitch_cli_drop_plane(tmp_path):
+    """--drop-plane removes the dominant plane from every saved output: a
+    constant-depth rig (one big wall) saves nearly empty clouds with the
+    flag and full ones without."""
+    import numpy as np
+    from pointcloud_stitching_tpu.runtime import stitch_cli
+    from pointcloud_stitching_tpu.utils.config import StitchConfig
+
+    h, w = 60, 106
+    cfg = StitchConfig(num_cameras=1, height=h, width=w,
+                       out_voxel_leaf=0.03, out_capacity=8192,
+                       icp_enabled=False)
+    cfgp = tmp_path / "cfg.json"
+    cfg.save(str(cfgp))
+    frames = np.full((3, h, w), 1000, np.uint16)  # a wall at z = 1 m
+
+    def run(extra, sub):
+        d = tmp_path / sub
+        srv = FakeCameraServer(frames).start()
+        try:
+            stitch_cli.main(["--camera", f"127.0.0.1:{srv.port}",
+                             "--config", str(cfgp), "--frames", "2",
+                             "--print-every", "0", "--save-dir", str(d),
+                             "--save-every", "1"] + extra)
+        finally:
+            srv.stop()
+        xyz, _ = load_ply(str(d / "cloud_000000.ply"))
+        return len(xyz)
+
+    full = run([], "plain")
+    rest = run(["--drop-plane", "0.01"], "dropped")
+    # the default D435 focal at 106x60 sees a ~0.25 m wall patch: small in
+    # voxels, but entirely planar — the flag must remove essentially all
+    # of it
+    assert full > 40, full
+    assert rest < 0.2 * full, (rest, full)
+
+
 def test_stitch_cli_map_checkpoint_resume(tmp_path):
     """--map-out foo.npz checkpoints the full accumulation state and a
     second run resumes it via --map-in (leaf comes from the file, no
