@@ -1,0 +1,135 @@
+"""Euclidean cluster extraction (pcl::EuclideanClusterExtraction role)."""
+import jax.numpy as jnp
+import numpy as np
+
+from pointcloud_stitching_tpu import PointCloud
+from pointcloud_stitching_tpu.ops.cluster import euclidean_clusters
+
+
+def _cloud(pts, cap=None):
+    pts = np.asarray(pts, np.float32)
+    cap = cap or len(pts)
+    xyz = np.zeros((cap, 3), np.float32)
+    mask = np.zeros((cap,), bool)
+    xyz[:len(pts)] = pts
+    mask[:len(pts)] = True
+    return PointCloud(xyz=jnp.asarray(xyz), mask=jnp.asarray(mask))
+
+
+def _blob(center, n, spread, seed):
+    rng = np.random.default_rng(seed)
+    return np.asarray(center) + rng.uniform(-spread, spread, (n, 3))
+
+
+def test_three_separated_blobs():
+    tol = 0.05
+    blobs = [_blob((0, 0, 0), 400, 0.1, 1),
+             _blob((3, 0, 0), 200, 0.1, 2),
+             _blob((0, 3, 0), 100, 0.1, 3)]
+    pc = _cloud(np.concatenate(blobs), cap=1024)
+    labels, num, sizes = euclidean_clusters(pc, tol, min_size=5)
+    labels = np.asarray(labels)
+    assert int(num) == 3
+    np.testing.assert_array_equal(np.asarray(sizes)[:3], [400, 200, 100])
+    # largest-first ids and each blob uniform
+    assert set(labels[:400]) == {0}
+    assert set(labels[400:600]) == {1}
+    assert set(labels[600:700]) == {2}
+    assert set(labels[700:]) == {-1}  # padding
+
+
+def test_min_size_drops_small_clusters():
+    tol = 0.05
+    pts = np.concatenate([_blob((0, 0, 0), 100, 0.05, 1),
+                          np.array([[5.0, 5.0, 5.0]])])  # a singleton
+    pc = _cloud(pts)
+    labels, num, sizes = euclidean_clusters(pc, tol, min_size=5)
+    assert int(num) == 1
+    assert np.asarray(labels)[-1] == -1  # the singleton is dropped
+    labels2, num2, _ = euclidean_clusters(pc, tol, min_size=1)
+    assert int(num2) == 2
+    assert np.asarray(labels2)[-1] == 1
+
+
+def test_long_chain_converges():
+    """An elongated cluster stresses propagation diameter: 600 collinear
+    points spaced inside the tolerance must resolve to ONE cluster (the
+    pointer-jumping rounds, not a diameter-long loop)."""
+    tol = 0.05
+    t = np.arange(600) * (0.9 * tol)
+    pts = np.stack([t, np.zeros_like(t), np.zeros_like(t)], -1)
+    pc = _cloud(pts)
+    labels, num, sizes = euclidean_clusters(pc, tol)
+    assert int(num) == 1
+    assert int(np.asarray(sizes)[0]) == 600
+    assert set(np.asarray(labels)) == {0}
+
+
+def test_matches_numpy_voxel_bfs_oracle():
+    """Random scene vs an independent numpy BFS over the same
+    voxel-connectivity graph: identical partitions (up to relabeling)."""
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(0, 1.0, (500, 3)).astype(np.float32)
+    tol = 0.08
+    pc = _cloud(pts, cap=600)
+    labels, num, _ = euclidean_clusters(pc, tol, min_size=1,
+                                        max_clusters=64)
+    labels = np.asarray(labels)[:500]
+
+    # oracle: BFS over 26-adjacent occupied voxels (reciprocal-multiply
+    # indexing like the library, tests/oracle.py convention)
+    ijk = np.floor(pts * (1.0 / tol)).astype(np.int64)
+    ijk -= ijk.min(axis=0)
+    vox = {}
+    for i, t in enumerate(map(tuple, ijk)):
+        vox.setdefault(t, []).append(i)
+    seen = {}
+    comp = 0
+    for start in vox:
+        if start in seen:
+            continue
+        stack = [start]
+        seen[start] = comp
+        while stack:
+            cur = stack.pop()
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        nb = (cur[0] + dx, cur[1] + dy, cur[2] + dz)
+                        if nb in vox and nb not in seen:
+                            seen[nb] = comp
+                            stack.append(nb)
+        comp += 1
+    want = np.array([seen[tuple(t)] for t in ijk])
+
+    # same partition: the label pairs must be a bijection
+    assert (labels >= 0).all()
+    pairs = set(zip(labels.tolist(), want.tolist()))
+    assert len(pairs) == len(set(labels)) == len(set(want))
+    assert int(num) == min(comp, 64)
+
+
+def test_empty_and_all_invalid():
+    pc = PointCloud(xyz=jnp.zeros((32, 3)), mask=jnp.zeros((32,), bool))
+    labels, num, sizes = euclidean_clusters(pc, 0.05)
+    assert int(num) == 0
+    assert set(np.asarray(labels)) == {-1}
+    assert int(np.asarray(sizes).sum()) == 0
+
+
+def test_after_plane_removal_workflow():
+    """The canonical pipeline: drop the floor, cluster the objects."""
+    import jax
+    from pointcloud_stitching_tpu.ops import extract_plane, segment_plane
+    rng = np.random.default_rng(0)
+    floor = np.stack([rng.uniform(-2, 2, 3000), rng.uniform(-2, 2, 3000),
+                      np.zeros(3000)], -1)
+    obj1 = _blob((0.5, 0.5, 0.3), 300, 0.08, 1)
+    obj2 = _blob((-0.8, 0.2, 0.4), 150, 0.08, 2)
+    pc = _cloud(np.concatenate([floor, obj1, obj2]), cap=4096)
+    model, _, _ = segment_plane(pc, 0.02, jax.random.key(0))
+    rest = extract_plane(pc, model, 0.05)
+    labels, num, sizes = euclidean_clusters(rest, 0.06, min_size=20)
+    assert int(num) == 2
+    s = np.asarray(sizes)
+    assert 250 <= s[0] <= 300 and 120 <= s[1] <= 150, s[:3]
