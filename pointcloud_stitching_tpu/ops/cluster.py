@@ -152,3 +152,34 @@ def euclidean_clusters(pc: PointCloud, tolerance, min_size: int = 1,
         jnp.where(keep, jnp.arange(k, dtype=jnp.int32), -1))
     out_labels = jnp.where(mask & valid, rank_of_root[lab_pt], -1)
     return out_labels, num, jnp.where(keep, top_sizes, 0)
+
+
+@partial(jax.jit, static_argnames=("max_clusters",))
+def cluster_stats(pc: PointCloud, labels: jax.Array,
+                  max_clusters: int = 16):
+    """Per-cluster centroid and axis-aligned bounding box.
+
+    The downstream consumer's first question about each extracted object
+    (PCL idiom: getMinMax3D + compute3DCentroid per cluster). labels as
+    returned by euclidean_clusters (-1 ignored).
+
+    Returns (centroids [K, 3], aabb_lo [K, 3], aabb_hi [K, 3],
+    counts [K]) — zero rows for absent clusters.
+    """
+    k = max_clusters
+    lab = jnp.where((labels >= 0) & pc.mask, labels, k)
+    w = (lab < k).astype(jnp.float32)
+    sums = jax.ops.segment_sum(pc.xyz * w[:, None], lab, num_segments=k + 1)
+    cnt = jax.ops.segment_sum(w, lab, num_segments=k + 1)
+    centroids = sums[:k] / jnp.maximum(cnt[:k, None], 1.0)
+    big = jnp.float32(3.4e38)
+    lo_in = jnp.where(w[:, None] > 0, pc.xyz, big)
+    hi_in = jnp.where(w[:, None] > 0, pc.xyz, -big)
+    lo = jax.ops.segment_min(lo_in, lab, num_segments=k + 1)[:k]
+    hi = jax.ops.segment_max(hi_in, lab, num_segments=k + 1)[:k]
+    present = cnt[:k] > 0
+    zero = jnp.zeros_like(centroids)
+    return (jnp.where(present[:, None], centroids, zero),
+            jnp.where(present[:, None], lo, zero),
+            jnp.where(present[:, None], hi, zero),
+            cnt[:k].astype(jnp.int32))

@@ -133,3 +133,21 @@ def test_after_plane_removal_workflow():
     assert int(num) == 2
     s = np.asarray(sizes)
     assert 250 <= s[0] <= 300 and 120 <= s[1] <= 150, s[:3]
+
+
+def test_cluster_stats():
+    tol = 0.05
+    b1 = _blob((0, 0, 0), 300, 0.1, 1)
+    b2 = _blob((3, 0, 1), 100, 0.05, 2)
+    pc = _cloud(np.concatenate([b1, b2]), cap=512)
+    labels, num, _ = euclidean_clusters(pc, tol, min_size=5)
+    from pointcloud_stitching_tpu.ops import cluster_stats
+    cent, lo, hi, cnt = cluster_stats(pc, labels)
+    cent, lo, hi, cnt = map(np.asarray, (cent, lo, hi, cnt))
+    assert cnt[0] == 300 and cnt[1] == 100
+    np.testing.assert_allclose(cent[0], b1.mean(axis=0), atol=1e-4)
+    np.testing.assert_allclose(cent[1], b2.mean(axis=0), atol=1e-4)
+    np.testing.assert_allclose(lo[1], b2.min(axis=0), atol=1e-5)
+    np.testing.assert_allclose(hi[1], b2.max(axis=0), atol=1e-5)
+    # absent clusters are zero rows with zero counts
+    assert cnt[2:].sum() == 0 and np.abs(cent[2:]).sum() == 0
