@@ -1,7 +1,7 @@
 from .stitcher import (StitchingPipeline, StitchMetrics, StitchOutput,
                        autofit_out_leaf, stitch_points_step, stitch_step)
 from .registration import (RegistrationResult, register_from_correspondences,
-                           register_pair, write_cal)
+                           register_global, register_pair, write_cal)
 from .voxel_map import (TemporalAccumulator, VoxelMap, load_map, localize,
                         save_map, voxel_map_update)
 from .pose_graph import (PoseGraphResult, chain_initial_poses,
@@ -11,6 +11,7 @@ __all__ = [
     "StitchingPipeline", "StitchMetrics", "StitchOutput", "stitch_step",
     "stitch_points_step", "autofit_out_leaf",
     "RegistrationResult", "register_from_correspondences", "register_pair",
+    "register_global",
     "write_cal",
     "TemporalAccumulator", "VoxelMap", "load_map", "localize",
     "save_map", "voxel_map_update",

@@ -77,5 +77,153 @@ def register_pair(src: PointCloud, dst: PointCloud,
     return RegistrationResult(T=T, initial_T=init_T, icp=icp_res)
 
 
+def _quat_rotations(q: jax.Array) -> jax.Array:
+    """Unit-quaternion batch [M, 4] (wxyz) → rotation matrices [M, 3, 3]."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                   2 * (x * z + w * y)], -1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w * x)], -1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                   1 - 2 * (x * x + y * y)], -1),
+    ], axis=-2)
+
+
+def _pca_axes(xyz: jax.Array, w: jax.Array) -> jax.Array:
+    """Weighted principal axes [3, 3] (columns, ascending eigenvalue)."""
+    tot = jnp.maximum(jnp.sum(w), 1.0)
+    c = jnp.sum(xyz * w[:, None], 0) / tot
+    d = (xyz - c) * w[:, None]
+    _, v = jnp.linalg.eigh(d.T @ d)
+    return v
+
+
+# the 24 proper rotations mapping one orthonormal basis onto another with
+# all axis permutations and sign flips (det +1 only), as permutation/sign
+# matrices applied between the two eigenbases
+def _basis_alignments() -> np.ndarray:
+    mats = []
+    from itertools import permutations, product
+    for perm in permutations(range(3)):
+        for signs in product((1.0, -1.0), repeat=3):
+            m = np.zeros((3, 3), np.float32)
+            for i, (p, s) in enumerate(zip(perm, signs)):
+                m[i, p] = s
+            if np.linalg.det(m) > 0:
+                mats.append(m)
+    return np.stack(mats)  # [24, 3, 3]
+
+
+_ALIGN24 = _basis_alignments()
+
+
+def register_global(src: PointCloud, dst: PointCloud, key: jax.Array,
+                    num_starts: int = 64,
+                    coarse_leaf: float = 0.05,
+                    coarse_capacity: int = 1024,
+                    coarse_iterations: int = 15,
+                    coarse_corr_dist: Optional[float] = None,
+                    coarse_trim: float = 0.1,
+                    query_tile: int = 512, ref_tile: int = 1024,
+                    refine: bool = True,
+                    **refine_kw) -> RegistrationResult:
+    """Automatic pairwise registration — no picked correspondences.
+
+    The reference's workflow (and PCL's manual_registration) needs a human
+    to click >=3 pairs before ICP can converge; PCL's automatic
+    alternative (FPFH + SAC-IA) is a serial descriptor/RANSAC pipeline.
+    The TPU formulation is *parallel multi-start*: draw ``num_starts``
+    rotations uniformly at random (normalized 4-D Gaussians = uniform on
+    SO(3)), center each with a centroid-matching translation, and run ALL
+    the ICPs at once — the same batched machinery that powers the ring
+    drift correction, here with the batch axis = hypothesis instead of
+    camera pair. The basin of attraction of the true pose only has to
+    catch ONE of the starts (start 0 is pinned to identity so an
+    already-roughly-aligned pair never regresses). The winner — most
+    inliers, mean error as the tie-break — seeds a full-resolution
+    ``icp_converge`` polish.
+
+    The multi-start stage runs on voxel skeletons (``coarse_capacity``
+    points at ``coarse_leaf`` — the finest resolution tried; the leaf
+    auto-coarsens until both clouds fit, since a saturated voxel pass
+    would keep orientation-dependent, non-matching crops of the scene)
+    with a loose correspondence gate (``coarse_corr_dist``, default 4x
+    the fitted leaf) and light trimming, so all ``num_starts`` ICPs cost
+    about one registration-scale ICP.
+
+    Start composition: [identity] + [the 24 proper rotations aligning the
+    two clouds' PCA eigenbases under every axis permutation/sign flip] +
+    random fill. Random rotations alone need hundreds of draws to land
+    within ICP's capture radius of an arbitrary pose; on any scene with
+    distinct principal directions (rooms, height-fields, rigs), one of
+    the 24 PCA alignments IS within it, deterministically. Scenes with
+    degenerate principal axes fall back on the random starts.
+
+    Suited to calibration scenes with substantial overlap (the rig case);
+    like any geometry-only global method it can lock onto a symmetry of
+    the scene — check ``icp.mean_error`` / ``num_inliers`` as usual.
+    """
+    from ..ops.voxel import voxel_downsample
+
+    # auto-coarsen the skeleton leaf until BOTH clouds fit the capacity: a
+    # saturated voxel pass keeps the lowest-key voxels — a spatially biased
+    # crop whose location depends on each cloud's orientation, so the two
+    # skeletons would cover DIFFERENT parts of the scene and neither PCA
+    # nor ICP could match them (coarse_leaf is the finest resolution tried;
+    # the leaf is traced, so this host loop reuses one compiled program)
+    leaf = float(coarse_leaf)
+    for _ in range(8):
+        cs = voxel_downsample(src, leaf, capacity=coarse_capacity)
+        cd = voxel_downsample(dst, leaf, capacity=coarse_capacity)
+        if max(int(cs.count()), int(cd.count())) < 0.9 * coarse_capacity:
+            break
+        leaf *= 1.6
+    coarse_leaf = leaf
+
+    m = num_starts
+    ws = cs.mask.astype(jnp.float32)
+    wd = cd.mask.astype(jnp.float32)
+    n_rand = max(m - 25, 1)
+    q = jax.random.normal(key, (n_rand, 4), jnp.float32)
+    rot_rand = _quat_rotations(q)
+    vs = _pca_axes(cs.xyz, ws)
+    vd = _pca_axes(cd.xyz, wd)
+    rot_pca = jnp.einsum("ij,ajk,lk->ail", vd, jnp.asarray(_ALIGN24), vs,
+                         precision="highest")       # vd @ A @ vs^T, [24,3,3]
+    eye = jnp.eye(3, dtype=jnp.float32)[None]
+    rot = jnp.concatenate([eye, rot_pca, rot_rand])[:m]
+    m = rot.shape[0]
+    c_src = jnp.sum(cs.xyz * ws[:, None], 0) / jnp.maximum(jnp.sum(ws), 1.0)
+    c_dst = jnp.sum(cd.xyz * wd[:, None], 0) / jnp.maximum(jnp.sum(wd), 1.0)
+    t = c_dst[None] - jnp.einsum("mij,j->mi", rot, c_src)
+    init_T = jnp.tile(jnp.eye(4, dtype=jnp.float32), (m, 1, 1))
+    init_T = init_T.at[:, :3, :3].set(rot).at[:, :3, 3].set(t)
+
+    tile = lambda a: jnp.broadcast_to(a[None], (m, *a.shape))
+    bs = PointCloud(xyz=tile(cs.xyz), mask=tile(cs.mask))
+    bd = PointCloud(xyz=tile(cd.xyz), mask=tile(cd.mask))
+    from ..ops.icp import icp_batched
+    corr = (coarse_corr_dist if coarse_corr_dist is not None
+            else 4.0 * coarse_leaf)
+    res = icp_batched(bs, bd, init_T=init_T, iterations=coarse_iterations,
+                      max_corr_dist=corr, query_tile=query_tile,
+                      ref_tile=ref_tile, trim_fraction=coarse_trim)
+    # most inliers wins; mean error (<= corr^2 by construction) tie-breaks
+    score = res.num_inliers.astype(jnp.float32) \
+        - res.mean_error / jnp.asarray(corr, jnp.float32) ** 2
+    best = jnp.argmax(score)
+    t0 = res.T[best]
+
+    icp_res = None
+    T = t0
+    if refine:
+        refine_kw.setdefault("max_corr_dist", 2.0 * coarse_leaf)
+        icp_res = icp_converge(src, dst, init_T=t0, **refine_kw)
+        T = icp_res.T
+    return RegistrationResult(T=T, initial_T=t0, icp=icp_res)
+
+
 def write_cal(path: str, result: RegistrationResult) -> None:
     save_cal(path, np.asarray(result.T))

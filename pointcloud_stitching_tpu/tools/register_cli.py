@@ -29,6 +29,16 @@ def main(argv=None):
     ap.add_argument("--no-picks", action="store_true",
                     help="pure ICP from identity (clouds must be roughly "
                          "aligned already)")
+    ap.add_argument("--global", dest="global_init", action="store_true",
+                    help="automatic registration with NO picks and NO "
+                         "rough alignment: parallel multi-start ICP "
+                         "(identity + 24 PCA-basis alignments + random "
+                         "rotations, all batched), winner refined")
+    ap.add_argument("--starts", type=int, default=64,
+                    help="--global hypothesis count")
+    ap.add_argument("--coarse-leaf", type=float, default=0.05,
+                    help="--global skeleton resolution (auto-coarsens "
+                         "to fit)")
     ap.add_argument("--no-refine", action="store_true",
                     help="skip ICP refinement (picked-pair SVD only)")
     ap.add_argument("--max-corr-dist", type=float, default=0.25)
@@ -66,20 +76,32 @@ def main(argv=None):
           flush=True)
 
     src_idx = dst_idx = None
-    if args.picks:
-        pairs = np.loadtxt(args.picks, dtype=np.int64).reshape(-1, 2)
-        if len(pairs) < 3:
-            sys.exit("need >=3 correspondence pairs")
-        src_idx, dst_idx = pairs[:, 0], pairs[:, 1]
-    elif not args.no_picks:
-        sys.exit("provide --picks FILE or --no-picks")
+    if args.global_init:
+        import jax
+        from pointcloud_stitching_tpu.models import register_global
+        res = register_global(src, dst, jax.random.key(0),
+                              num_starts=args.starts,
+                              coarse_leaf=args.coarse_leaf,
+                              refine=not args.no_refine,
+                              max_iterations=args.max_iter,
+                              transformation_epsilon=args.epsilon,
+                              max_corr_dist=args.max_corr_dist,
+                              trim_fraction=args.trim, prune=args.prune)
+    else:
+        if args.picks:
+            pairs = np.loadtxt(args.picks, dtype=np.int64).reshape(-1, 2)
+            if len(pairs) < 3:
+                sys.exit("need >=3 correspondence pairs")
+            src_idx, dst_idx = pairs[:, 0], pairs[:, 1]
+        elif not args.no_picks:
+            sys.exit("provide --picks FILE, --no-picks, or --global")
 
-    res = register_pair(src, dst, src_idx=src_idx, dst_idx=dst_idx,
-                        refine=not args.no_refine,
-                        max_iterations=args.max_iter,
-                        transformation_epsilon=args.epsilon,
-                        max_corr_dist=args.max_corr_dist,
-                        trim_fraction=args.trim, prune=args.prune)
+        res = register_pair(src, dst, src_idx=src_idx, dst_idx=dst_idx,
+                            refine=not args.no_refine,
+                            max_iterations=args.max_iter,
+                            transformation_epsilon=args.epsilon,
+                            max_corr_dist=args.max_corr_dist,
+                            trim_fraction=args.trim, prune=args.prune)
     if res.icp is not None:
         print(f"ICP: {int(res.icp.iterations)} iterations, "
               f"mean_error={float(res.icp.mean_error):.3e}, "
