@@ -92,12 +92,22 @@ def _quat_rotations(q: jax.Array) -> jax.Array:
 
 
 def _pca_axes(xyz: jax.Array, w: jax.Array) -> jax.Array:
-    """Weighted principal axes [3, 3] (columns, ascending eigenvalue)."""
+    """Weighted principal axes [3, 3] (columns, ascending eigenvalue).
+
+    The basis is forced right-handed (det +1): eigh returns eigenvector
+    matrices of arbitrary determinant sign, and a left-handed Vs or Vd
+    would turn EVERY det(+1) alignment in _ALIGN24 into a reflection —
+    silently defeating the PCA starts for ~half of all cloud pairs.
+    HIGHEST-precision scatter: a bf16 3x3 accumulation can reorder
+    near-equal eigenvalues (CLAUDE.md precision rule).
+    """
     tot = jnp.maximum(jnp.sum(w), 1.0)
     c = jnp.sum(xyz * w[:, None], 0) / tot
     d = (xyz - c) * w[:, None]
-    _, v = jnp.linalg.eigh(d.T @ d)
-    return v
+    cov = jnp.einsum("ni,nj->ij", d, d, precision="highest")
+    _, v = jnp.linalg.eigh(cov)
+    det = jnp.linalg.det(v)
+    return v.at[:, 0].multiply(jnp.where(det < 0, -1.0, 1.0))
 
 
 # the 24 proper rotations mapping one orthonormal basis onto another with
@@ -197,7 +207,8 @@ def register_global(src: PointCloud, dst: PointCloud, key: jax.Array,
     m = rot.shape[0]
     c_src = jnp.sum(cs.xyz * ws[:, None], 0) / jnp.maximum(jnp.sum(ws), 1.0)
     c_dst = jnp.sum(cd.xyz * wd[:, None], 0) / jnp.maximum(jnp.sum(wd), 1.0)
-    t = c_dst[None] - jnp.einsum("mij,j->mi", rot, c_src)
+    t = c_dst[None] - jnp.einsum("mij,j->mi", rot, c_src,
+                                 precision="highest")
     init_T = jnp.tile(jnp.eye(4, dtype=jnp.float32), (m, 1, 1))
     init_T = init_T.at[:, :3, :3].set(rot).at[:, :3, 3].set(t)
 

@@ -58,6 +58,13 @@ def euclidean_clusters(pc: PointCloud, tolerance, min_size: int = 1,
     Returns (labels [N] int32: cluster id 0..max_clusters-1 largest-first,
     -1 for invalid/small-cluster points; num_clusters ≥-min_size found,
     capped at max_clusters; sizes [max_clusters] int32 point counts).
+
+    Scene-size bound: the linearized int32 voxel key requires
+    nx*ny*nz < 2^31 occupied-extent cells at leaf = ``tolerance`` (the
+    same index class PCL's VoxelGrid refuses past; ~128 m of extent at a
+    1 cm tolerance). Past it keys would alias and weld distant points, so
+    the guard FAILS SAFE instead: every label -1, num_clusters 0 —
+    coarsen the tolerance or crop the cloud first.
     """
     xyz, mask = pc.xyz, pc.mask
     n = xyz.shape[0]
@@ -67,6 +74,12 @@ def euclidean_clusters(pc: PointCloud, tolerance, min_size: int = 1,
     ext = mx + 1
     ny = jnp.maximum(ext[1], 1)
     nz = jnp.maximum(ext[2], 1)
+    # int32-key bound (see docstring): past 2^31 cells keys alias and
+    # distant points weld — degrade to the documented fail-safe output by
+    # invalidating every point (traced, so no recompile)
+    cells_ok = (jnp.prod(ext.astype(jnp.float32)) < float(2 ** 31)) \
+        & jnp.all(ext >= 0)
+    valid = valid & cells_ok
     key = _linearize(ijk, ny, nz, valid)
 
     # unique voxels via one sort; remember each point's voxel slot

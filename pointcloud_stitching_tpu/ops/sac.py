@@ -51,8 +51,12 @@ def _count_inliers(models, xyz, mask, threshold, chunk):
 
     def body(carry, xm):
         x, msk = xm
-        # distance of every point to every plane: one [M,3]x[3,chunk] dot
-        dist = jnp.abs(m4[:, :3] @ x.T + m4[:, 3:4])      # [M, chunk]
+        # distance of every point to every plane: one [M,3]x[3,chunk] dot.
+        # HIGHEST precision: bf16 MXU passes err at ~1 cm for meter-scale
+        # points — the same magnitude as a typical inlier threshold
+        # (CLAUDE.md precision rule; CPU tests cannot catch a violation)
+        dist = jnp.abs(jnp.matmul(m4[:, :3], x.T, precision="highest")
+                       + m4[:, 3:4])                      # [M, chunk]
         hit = (dist <= threshold) & msk[None, :]
         return carry + jnp.sum(hit, axis=1, dtype=jnp.int32), None
 
@@ -63,12 +67,14 @@ def _count_inliers(models, xyz, mask, threshold, chunk):
 
 def _refit(model, xyz, mask, threshold):
     """One total-least-squares refit on the model's inliers."""
-    dist = jnp.abs(xyz @ model[:3] + model[3])
+    dist = jnp.abs(jnp.matmul(xyz, model[:3], precision="highest")
+                   + model[3])
     w = ((dist <= threshold) & mask).astype(jnp.float32)
     tot = jnp.maximum(jnp.sum(w), 3.0)
     c = jnp.sum(xyz * w[:, None], axis=0) / tot
     dxyz = (xyz - c) * w[:, None]
-    cov = dxyz.T @ dxyz  # 3x3 scatter of inliers
+    # 3x3 scatter of inliers (HIGHEST: see _count_inliers)
+    cov = jnp.einsum("ni,nj->ij", dxyz, dxyz, precision="highest")
     # smallest-eigenvalue eigenvector = plane normal (eigh: ascending)
     _, vecs = jnp.linalg.eigh(cov)
     nrm = vecs[:, 0]
@@ -86,6 +92,8 @@ def segment_plane(pc: PointCloud, threshold, key: jax.Array,
 
     Args:
       pc: cloud [N, 3] + mask (a fused/voxelized output works directly).
+        Clouds that cannot support a plane (< 3 inliers) return the zero
+        model with count 0.
       threshold: inlier point-to-plane distance (meters, traced).
       key: jax.random key — deterministic given (key, cloud).
       num_hypotheses: minimal-sample planes drawn up front and evaluated
@@ -115,9 +123,19 @@ def segment_plane(pc: PointCloud, threshold, key: jax.Array,
     for _ in range(refine_iters):
         model = _refit(model, xyz, pc.mask, threshold)
 
-    dist = jnp.abs(xyz @ model[:3] + model[3])
+    dist = jnp.abs(jnp.matmul(xyz, model[:3], precision="highest")
+                   + model[3])
     inliers = (dist <= threshold) & pc.mask
-    return model, inliers, jnp.sum(inliers, dtype=jnp.int32)
+    count = jnp.sum(inliers, dtype=jnp.int32)
+    # degenerate contract: a plane is determined by >= 3 points; with
+    # fewer supporting inliers (e.g. a < 3-valid-point cloud) the refit's
+    # eigh would fabricate an identity-basis plane [1, 0, 0, 0] — return
+    # the zero model / zero inliers instead
+    ok = count >= 3
+    model = jnp.where(ok, model, jnp.zeros_like(model))
+    inliers = inliers & ok
+    count = jnp.where(ok, count, 0)
+    return model, inliers, count
 
 
 def extract_plane(pc: PointCloud, model: jax.Array, threshold,
@@ -127,7 +145,8 @@ def extract_plane(pc: PointCloud, model: jax.Array, threshold,
     negative=True removes the plane's inliers (drop the floor); False keeps
     only them (isolate the floor).
     """
-    dist = jnp.abs(pc.xyz @ model[:3] + model[3])
+    dist = jnp.abs(jnp.matmul(pc.xyz, model[:3], precision="highest")
+                   + model[3])
     on_plane = dist <= threshold
     keep = pc.mask & (~on_plane if negative else on_plane)
     return pc.replace(mask=keep)

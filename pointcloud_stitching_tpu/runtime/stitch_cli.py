@@ -159,6 +159,13 @@ def main(argv=None):
     if args.color:
         updates["with_color"] = True
     if args.normals:
+        if args.payload == "points":
+            # normals come from the organized depth grid; the legacy
+            # pre-deprojected points payload has none (and a later
+            # decode_normals on an rgb-less cloud would crash mid-stream)
+            raise SystemExit("--normals requires the depth payload "
+                             "(--payload points clouds have no grid to "
+                             "derive normals from)")
         updates["with_normals"] = True
     if args.crop:
         try:

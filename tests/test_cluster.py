@@ -151,3 +151,15 @@ def test_cluster_stats():
     np.testing.assert_allclose(hi[1], b2.max(axis=0), atol=1e-5)
     # absent clusters are zero rows with zero counts
     assert cnt[2:].sum() == 0 and np.abs(cent[2:]).sum() == 0
+
+
+def test_scene_past_int32_key_bound_fails_safe():
+    """Extent/tolerance combinations whose linearized key would overflow
+    int32 must return the documented empty output, never welded clusters."""
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 1000.0, (256, 3)).astype(np.float32)
+    pc = _cloud(pts)
+    labels, num, sizes = euclidean_clusters(pc, 1e-4, min_size=1)
+    assert int(num) == 0
+    assert set(np.asarray(labels)) == {-1}
+    assert int(np.asarray(sizes).sum()) == 0

@@ -163,3 +163,21 @@ def test_holes_do_not_corrupt_voxel_normals():
     assert ok.sum() > 50
     dots = n[ok] @ np.array([0.0, 0.0, -1.0], np.float32)
     assert np.all(dots > 0.99), dots.min()
+
+
+def test_normals_survive_cam_voxel_prepass():
+    """with_normals + cam_voxel_enabled: the per-camera voxel pass sees
+    FLOAT unit normals in the rgb channel — the packed sort's
+    integer-rgb gate must route them through the exact path, keeping the
+    averaged directions intact (the multi-chip configuration)."""
+    import dataclasses
+    cfg, intr, ext, depths = _flat_scene()
+    cfg = dataclasses.replace(cfg, cam_voxel_enabled=True,
+                              cam_voxel_leaf=0.01, cam_capacity=8192)
+    out = stitch_step(cfg, intr, jnp.asarray(ext), jnp.asarray(depths))
+    n, ok = decode_normals(out.cloud)
+    n, ok = np.asarray(n), np.asarray(ok)
+    mask = np.asarray(out.cloud.mask)
+    assert ok.sum() > 0.9 * mask.sum()
+    dots = n[ok] @ np.array([0.0, 0.0, -1.0], np.float32)
+    assert np.all(dots > 0.99), dots.min()

@@ -94,3 +94,15 @@ def test_robust_to_noise_and_reports_fit():
     err = _max_point_err(res.T, T_true, np.asarray(src.xyz)[:200])
     assert err < 0.02, err
     assert res.icp is not None and int(res.icp.num_inliers) > 500
+
+
+def test_pca_axes_always_right_handed():
+    """eigh returns arbitrary-handed eigenbases; _pca_axes must flip to
+    det +1 or every PCA alignment start becomes a reflection."""
+    from pointcloud_stitching_tpu.models.registration import _pca_axes
+    rng = np.random.default_rng(0)
+    for seed in range(8):
+        xyz = jnp.asarray(rng.normal(0, 1, (200, 3)).astype(np.float32)
+                          * np.array([3.0, 2.0, 1.0], np.float32))
+        v = _pca_axes(xyz, jnp.ones((200,), jnp.float32))
+        assert float(jnp.linalg.det(v)) > 0.99

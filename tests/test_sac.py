@@ -86,6 +86,8 @@ def test_degenerate_inputs():
         PointCloud(xyz=xyz, mask=mask), 0.01, jax.random.key(0),
         num_hypotheses=64)
     assert np.isfinite(np.asarray(model)).all()
+    # the documented degenerate contract: zero model, not a fabricated one
+    assert int(count) == 0 and np.all(np.asarray(model) == 0.0)
 
     # all-collinear cloud: every triple degenerate -> finite output
     t = jnp.linspace(0, 1, 64)[:, None]

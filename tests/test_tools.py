@@ -689,3 +689,11 @@ def test_stitch_cli_map_checkpoint_resume(tmp_path):
         assert len(xyz) >= n_ckpt  # resumed map contains the checkpoint
     finally:
         srv.stop()
+
+
+def test_stitch_cli_rejects_points_payload_with_normals():
+    import pytest
+    from pointcloud_stitching_tpu.runtime import stitch_cli
+    with pytest.raises(SystemExit, match="normals"):
+        stitch_cli.main(["--camera", "127.0.0.1:1", "--payload", "points",
+                         "--normals"])
