@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Scene analysis CLI: plane removal + Euclidean clustering on a cloud file.
+
+The shell-level counterpart of the PCL tool idiom this class of rig uses
+downstream of stitching (pcl::SACSegmentation → ExtractIndices →
+EuclideanClusterExtraction): take a .ply/.pcd (e.g. a saved stitched
+frame, a viewer snapshot, or an accumulated scene map), optionally remove
+the dominant plane(s), split the rest into objects, and write one .ply
+per cluster plus a summary table.
+
+Usage:
+  python -m pointcloud_stitching_tpu.tools.segment_cli scene.ply out_dir \
+      [--drop-plane 0.02 [--planes 1]] [--tolerance 0.05] \
+      [--min-size 30] [--max-clusters 16]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("cloud", help="input .ply/.pcd")
+    ap.add_argument("out_dir", help="output directory (cluster_%%02d.ply)")
+    ap.add_argument("--drop-plane", type=float, default=None, metavar="DIST",
+                    help="remove dominant plane inliers within DIST meters "
+                         "before clustering (floor/walls)")
+    ap.add_argument("--planes", type=int, default=1,
+                    help="how many planes to remove successively")
+    ap.add_argument("--tolerance", type=float, default=0.05,
+                    help="cluster distance (meters)")
+    ap.add_argument("--min-size", type=int, default=30,
+                    help="drop clusters below this many points")
+    ap.add_argument("--max-clusters", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="plane-RANSAC key (deterministic per seed)")
+    args = ap.parse_args(argv)
+
+    from pointcloud_stitching_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
+
+    import jax
+    import numpy as np
+
+    from pointcloud_stitching_tpu import PointCloud
+    from pointcloud_stitching_tpu.io import load_pcd, load_ply
+    from pointcloud_stitching_tpu.io.plyio import save_ply
+    from pointcloud_stitching_tpu.ops import (cluster_stats,
+                                              euclidean_clusters,
+                                              extract_plane, segment_plane)
+    from pointcloud_stitching_tpu.utils.types import round_up
+
+    xyz, rgb = (load_pcd(args.cloud) if args.cloud.endswith(".pcd")
+                else load_ply(args.cloud))
+    pc = PointCloud.from_points(xyz, capacity=round_up(len(xyz), 1024))
+    print(f"{args.cloud}: {int(pc.count())} points", flush=True)
+
+    if args.drop_plane is not None:
+        key = jax.random.key(args.seed)
+        for i in range(args.planes):
+            key, sub = jax.random.split(key)
+            model, _, count = segment_plane(pc, args.drop_plane, sub)
+            c = int(count)
+            if c == 0:
+                print(f"plane {i}: none found, stopping", flush=True)
+                break
+            m = np.asarray(model)
+            print(f"plane {i}: n=({m[0]:+.3f}, {m[1]:+.3f}, {m[2]:+.3f}) "
+                  f"d={m[3]:+.3f}, {c} inliers removed", flush=True)
+            pc = extract_plane(pc, model, args.drop_plane)
+
+    labels, num, sizes = euclidean_clusters(
+        pc, args.tolerance, min_size=args.min_size,
+        max_clusters=args.max_clusters)
+    cent, lo, hi, cnt = cluster_stats(pc, labels,
+                                      max_clusters=args.max_clusters)
+    n = int(num)
+    print(f"{n} clusters (tolerance {args.tolerance} m, "
+          f"min size {args.min_size}):", flush=True)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    labels_np = np.asarray(labels)
+    xyz_np = np.asarray(pc.xyz)
+    rgb_np = None if rgb is None else np.asarray(rgb)
+    for k in range(n):
+        sel = labels_np == k
+        ck, lk, hk = (np.asarray(cent)[k], np.asarray(lo)[k],
+                      np.asarray(hi)[k])
+        path = os.path.join(args.out_dir, f"cluster_{k:02d}.ply")
+        save_ply(path, xyz_np[sel],
+                 None if rgb_np is None else rgb_np[sel[:len(rgb_np)]])
+        print(f"  #{k}: {int(np.asarray(cnt)[k])} pts  "
+              f"centroid ({ck[0]:+.3f}, {ck[1]:+.3f}, {ck[2]:+.3f})  "
+              f"size ({hk[0]-lk[0]:.3f} x {hk[1]-lk[1]:.3f} x "
+              f"{hk[2]-lk[2]:.3f}) m -> {path}", flush=True)
+    return n
+
+
+if __name__ == "__main__":
+    main()

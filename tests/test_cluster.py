@@ -1,4 +1,6 @@
 """Euclidean cluster extraction (pcl::EuclideanClusterExtraction role)."""
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -163,3 +165,26 @@ def test_scene_past_int32_key_bound_fails_safe():
     assert int(num) == 0
     assert set(np.asarray(labels)) == {-1}
     assert int(np.asarray(sizes).sum()) == 0
+
+
+def test_segment_cli_end_to_end(tmp_path):
+    """pcs-segment: PLY in -> plane removed -> per-cluster PLYs out."""
+    from pointcloud_stitching_tpu.io import load_ply
+    from pointcloud_stitching_tpu.io.plyio import save_ply
+    from pointcloud_stitching_tpu.tools import segment_cli
+    rng = np.random.default_rng(0)
+    floor = np.stack([rng.uniform(-2, 2, 3000), rng.uniform(-2, 2, 3000),
+                      np.zeros(3000)], -1)
+    obj1 = _blob((0.5, 0.5, 0.3), 300, 0.08, 1)
+    obj2 = _blob((-0.8, 0.2, 0.4), 150, 0.08, 2)
+    inp = str(tmp_path / "scene.ply")
+    save_ply(inp, np.concatenate([floor, obj1, obj2]).astype(np.float32))
+    out = str(tmp_path / "clusters")
+    n = segment_cli.main([inp, out, "--drop-plane", "0.03",
+                          "--tolerance", "0.06", "--min-size", "20"])
+    assert n == 2
+    xyz0, _ = load_ply(os.path.join(out, "cluster_00.ply"))
+    xyz1, _ = load_ply(os.path.join(out, "cluster_01.ply"))
+    assert len(xyz0) >= len(xyz1) >= 100
+    np.testing.assert_allclose(xyz0.mean(axis=0), obj1.mean(axis=0),
+                               atol=0.05)
