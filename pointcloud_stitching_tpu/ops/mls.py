@@ -1,0 +1,123 @@
+"""Moving-least-squares surface smoothing on fixed-shape clouds.
+
+TPU-native role of ``pcl::MovingLeastSquares`` (plane-projection mode —
+the sensor-noise smoother PCL users run before meshing/normals). PCL
+builds an explicit neighbor list per point through a KD-tree radius
+search and fits each local surface serially; neither the tree nor the
+ragged neighbor lists map to fixed shapes.
+
+The reformulation: a local plane fit needs only the kernel-weighted
+*moments* of the neighborhood —
+
+    sum(w), sum(w p), sum(w p p^T)
+
+— and moments ACCUMULATE, so the ragged neighbor gather disappears: one
+blockwise all-pairs sweep (the same [tile, block] pattern as
+ops.filters.count_neighbors / the NN kernel) adds every reference block's
+kernel-weighted contribution into 13 running scalars per query point. A
+batched 3x3 ``eigh`` then yields each point's local plane (smallest
+eigenvector of the weighted covariance), and the point projects onto it.
+
+Cost is exact O(N^2) like the brute NN sweep — fine at stitched-output
+scale (the fused cloud is already voxel-bounded); voxel-downsample first
+for registration-scale inputs.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.types import PointCloud
+
+
+@partial(jax.jit, static_argnames=("query_tile", "ref_tile"))
+def mls_smooth(pc: PointCloud, radius, sqr_gauss=None,
+               min_neighbors: int | jax.Array = 3,
+               query_tile: int = 512, ref_tile: int = 1024) -> PointCloud:
+    """Project each point onto its kernel-weighted local plane.
+
+    Args:
+      pc: cloud [N, 3] (+mask, optional rgb — passed through untouched) or
+        camera-batched [B, N, 3].
+      radius: neighborhood radius in meters (traced). PCL's
+        setSearchRadius.
+      sqr_gauss: Gaussian kernel width (meters^2); default radius^2, PCL's
+        setSqrGaussParam default.
+      min_neighbors: points with fewer OTHER neighbors in the radius keep
+        their original coordinates (a plane needs support; PCL drops such
+        points — here the mask-only philosophy keeps them unsmoothed, and
+        ``radius_outlier_removal`` composes in front when dropping is
+        wanted).
+
+    Returns the cloud with smoothed xyz; mask/rgb unchanged. Matches the
+    direct numpy computation (tests/test_mls.py) — this is PCL's
+    plane-projection MLS (polynomial fit off), not the polynomial
+    upsampling variants.
+    """
+    if pc.xyz.ndim == 3:
+        sm = jax.lax.map(
+            lambda args: mls_smooth(PointCloud(xyz=args[0], mask=args[1]),
+                                    radius, sqr_gauss, min_neighbors,
+                                    query_tile=query_tile,
+                                    ref_tile=ref_tile).xyz,
+            (pc.xyz, pc.mask))
+        return pc.replace(xyz=sm)
+    xyz, mask = pc.xyz, pc.mask
+    n = xyz.shape[0]
+    r2 = jnp.square(jnp.asarray(radius, jnp.float32))
+    sg = r2 if sqr_gauss is None else jnp.asarray(sqr_gauss, jnp.float32)
+    qt, rt = min(query_tile, n), min(ref_tile, n)
+    nq, nr = -(-n // qt), -(-n // rt)
+    rxyz = jnp.pad(xyz, ((0, nr * rt - n), (0, 0)))
+    rmask = jnp.pad(mask, (0, nr * rt - n))
+    qxyz = jnp.pad(xyz, ((0, nq * qt - n), (0, 0)))
+
+    def query_block(qi):
+        q = jax.lax.dynamic_slice(qxyz, (qi * qt, 0), (qt, 3))
+
+        def ref_step(ri, acc):
+            sw, swp, swppt, cnt = acc
+            r = jax.lax.dynamic_slice(rxyz, (ri * rt, 0), (rt, 3))
+            rm = jax.lax.dynamic_slice(rmask, (ri * rt,), (rt,))
+            d = q[:, None, :] - r[None, :, :]            # [qt, rt, 3]
+            d2 = jnp.sum(d * d, axis=-1)
+            inside = (d2 <= r2) & rm[None, :]
+            w = jnp.where(inside, jnp.exp(-d2 / jnp.maximum(sg, 1e-12)),
+                          0.0)                           # [qt, rt]
+            sw = sw + jnp.sum(w, axis=1)
+            swp = swp + jnp.matmul(w, r, precision="highest")
+            # sum(w p p^T): contract the block axis (HIGHEST — the
+            # covariance decides each plane normal; CLAUDE.md bf16 rule)
+            swppt = swppt + jnp.einsum("qr,ri,rj->qij", w, r, r,
+                                       precision="highest")
+            cnt = cnt + jnp.sum(inside, axis=1).astype(jnp.int32)
+            return sw, swp, swppt, cnt
+
+        return jax.lax.fori_loop(
+            0, nr, ref_step,
+            (jnp.zeros((qt,), jnp.float32), jnp.zeros((qt, 3), jnp.float32),
+             jnp.zeros((qt, 3, 3), jnp.float32),
+             jnp.zeros((qt,), jnp.int32)))
+
+    sw, swp, swppt, cnt = jax.lax.map(query_block, jnp.arange(nq))
+    sw = sw.reshape(-1)[:n]
+    swp = swp.reshape(-1, 3)[:n]
+    swppt = swppt.reshape(-1, 3, 3)[:n]
+    cnt = cnt.reshape(-1)[:n]
+
+    denom = jnp.maximum(sw, 1e-12)[:, None]
+    mu = swp / denom
+    cov = swppt / denom[..., None] - mu[:, :, None] * mu[:, None, :]
+    # guard eigh against the all-zero covariance of unsupported points
+    eye = jnp.eye(3, dtype=jnp.float32)
+    _, vecs = jnp.linalg.eigh(cov + 1e-12 * eye)
+    nrm = vecs[..., 0]                       # smallest-eigenvalue direction
+    off = jnp.sum((xyz - mu) * nrm, axis=-1, keepdims=True)
+    projected = xyz - off * nrm
+
+    # self-match is inside every valid point's neighborhood: cnt includes
+    # it, so "other neighbors" is cnt - 1
+    ok = mask & (cnt - 1 >= jnp.asarray(min_neighbors, jnp.int32))
+    return pc.replace(xyz=jnp.where(ok[:, None], projected, xyz))

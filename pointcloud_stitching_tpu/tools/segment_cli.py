@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("--min-size", type=int, default=30,
                     help="drop clusters below this many points")
     ap.add_argument("--max-clusters", type=int, default=16)
+    ap.add_argument("--mls", type=float, default=None, metavar="RADIUS",
+                    help="moving-least-squares smooth the cloud first "
+                         "(plane-projection MLS, pcl::MovingLeastSquares "
+                         "role; RADIUS in meters)")
     ap.add_argument("--seed", type=int, default=0,
                     help="plane-RANSAC key (deterministic per seed)")
     args = ap.parse_args(argv)
@@ -55,6 +59,11 @@ def main(argv=None):
                 else load_ply(args.cloud))
     pc = PointCloud.from_points(xyz, capacity=round_up(len(xyz), 1024))
     print(f"{args.cloud}: {int(pc.count())} points", flush=True)
+
+    if args.mls is not None:
+        from pointcloud_stitching_tpu.ops import mls_smooth
+        pc = mls_smooth(pc, args.mls)
+        print(f"MLS-smoothed (radius {args.mls} m)", flush=True)
 
     if args.drop_plane is not None:
         key = jax.random.key(args.seed)
