@@ -72,6 +72,41 @@ def save_ply(path: str, xyz: np.ndarray, rgb: np.ndarray | None = None,
                 f.write((row + "\n").encode("ascii"))
 
 
+def save_mesh(path: str, xyz: np.ndarray, faces: np.ndarray,
+              binary: bool = True) -> None:
+    """Write a triangle mesh PLY (vertex list + standard face list
+    elements — what pcl::io::savePLYFile writes for a PolygonMesh and
+    every mesh viewer reads)."""
+    xyz = np.asarray(xyz, np.float32).reshape(-1, 3)
+    faces = np.asarray(faces, np.int32).reshape(-1, 3)
+    if faces.size and (faces.min() < 0 or faces.max() >= len(xyz)):
+        raise ValueError("face index out of range")
+    fmt = "binary_little_endian" if binary else "ascii"
+    header = [
+        "ply", f"format {fmt} 1.0",
+        "comment pointcloud_stitching_tpu mesh",
+        f"element vertex {len(xyz)}",
+        "property float x", "property float y", "property float z",
+        f"element face {len(faces)}",
+        "property list uchar int vertex_indices",
+        "end_header",
+    ]
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        if binary:
+            f.write(xyz.astype("<f4").tobytes())
+            rec = np.empty(len(faces),
+                           np.dtype([("n", "u1"), ("v", "<i4", 3)]))
+            rec["n"] = 3
+            rec["v"] = faces
+            f.write(rec.tobytes())
+        else:
+            for p in xyz:
+                f.write(f"{p[0]:.6g} {p[1]:.6g} {p[2]:.6g}\n".encode())
+            for t in faces:
+                f.write(f"3 {t[0]} {t[1]} {t[2]}\n".encode())
+
+
 def load_ply(path: str):
     """Returns (xyz [N,3] float32, rgb [N,3] uint8 or None)."""
     with open(path, "rb") as f:

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Mesh a recorded depth frame: depth .npy in, triangle-mesh .ply out.
+
+The pcl::OrganizedFastMesh workflow on this framework's recordings: take
+a frame from a ``--record-dir`` capture (or any [H, W] / [T, H, W] uint16
+depth .npy), deproject it on device, triangulate the organized grid
+(ops.organized_mesh — elementwise, no Delaunay), optionally transform to
+world frame with a .cal, and write a standard PLY mesh every viewer opens.
+
+Usage:
+  python -m pointcloud_stitching_tpu.tools.mesh_cli depth.npy out.ply \
+      [--frame 0] [--intr cam0.intr.json] [--cal cam0.cal] \
+      [--max-edge 0.05] [--z-min 0.1] [--z-max 10]
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("depth", help="[H,W] or [T,H,W] uint16 depth .npy")
+    ap.add_argument("out", help="output mesh .ply")
+    ap.add_argument("--frame", type=int, default=0,
+                    help="frame index for [T,H,W] inputs")
+    ap.add_argument("--intr", default=None,
+                    help=".intr.json (default: D435 factory values)")
+    ap.add_argument("--cal", default=None,
+                    help="4x4 .cal to world frame (default: sensor frame)")
+    ap.add_argument("--max-edge", type=float, default=0.05,
+                    help="cut triangles with edges past this (meters)")
+    ap.add_argument("--z-min", type=float, default=0.1)
+    ap.add_argument("--z-max", type=float, default=10.0)
+    args = ap.parse_args(argv)
+
+    from pointcloud_stitching_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointcloud_stitching_tpu import Intrinsics
+    from pointcloud_stitching_tpu.io import load_cal
+    from pointcloud_stitching_tpu.io.plyio import save_mesh
+    from pointcloud_stitching_tpu.ops import deproject, se3_apply
+    from pointcloud_stitching_tpu.ops.mesh import mesh_cloud_arrays
+
+    depth = np.load(args.depth)
+    if depth.ndim == 3:
+        depth = depth[args.frame]
+    h, w = depth.shape
+    if args.intr:
+        from pointcloud_stitching_tpu.io import load_intrinsics
+        intr = load_intrinsics(args.intr)
+    else:
+        intr = Intrinsics.d435_default(width=w, height=h)
+
+    pc = deproject(jnp.asarray(depth), intr, z_min=args.z_min,
+                   z_max=args.z_max)
+    xyz = pc.xyz
+    if args.cal:
+        xyz = se3_apply(jnp.asarray(load_cal(args.cal)), xyz)
+    verts, faces = mesh_cloud_arrays(xyz.reshape(h, w, 3),
+                                     pc.mask.reshape(h, w),
+                                     max_edge=args.max_edge)
+    save_mesh(args.out, verts, faces)
+    print(f"{args.out}: {len(verts)} vertices, {len(faces)} triangles "
+          f"(max edge {args.max_edge} m)", flush=True)
+    return len(faces)
+
+
+if __name__ == "__main__":
+    main()
