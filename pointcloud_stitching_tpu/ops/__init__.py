@@ -12,7 +12,7 @@ from .icp import (ICPResult, icp, icp_batched, icp_converge,
 from .normals import decode_normals, grid_normals
 from .sac import extract_plane, segment_plane
 from .cluster import cluster_stats, euclidean_clusters
-from .mls import mls_smooth
+from .mls import estimate_normals, mls_smooth
 from .mesh import organized_mesh
 from .filters import (count_neighbors, crop_box, knn_mean_distance,
                       passthrough, radius_outlier_removal,
@@ -30,6 +30,7 @@ __all__ = [
     "icp_point_to_plane_batched", "grid_normals", "decode_normals",
     "segment_plane", "extract_plane", "euclidean_clusters",
     "cluster_stats", "mls_smooth", "organized_mesh",
+    "estimate_normals",
     "count_neighbors", "crop_box", "knn_mean_distance", "passthrough",
     "radius_outlier_removal", "statistical_outlier_removal",
 ]

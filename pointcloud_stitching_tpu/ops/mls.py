@@ -32,42 +32,15 @@ import jax.numpy as jnp
 from ..utils.types import PointCloud
 
 
-@partial(jax.jit, static_argnames=("query_tile", "ref_tile"))
-def mls_smooth(pc: PointCloud, radius, sqr_gauss=None,
-               min_neighbors: int | jax.Array = 3,
-               query_tile: int = 512, ref_tile: int = 1024) -> PointCloud:
-    """Project each point onto its kernel-weighted local plane.
+def _radius_moments(xyz, mask, radius, sg, query_tile, ref_tile):
+    """Kernel-weighted neighborhood moments per point, blockwise.
 
-    Args:
-      pc: cloud [N, 3] (+mask, optional rgb — passed through untouched) or
-        camera-batched [B, N, 3].
-      radius: neighborhood radius in meters (traced). PCL's
-        setSearchRadius.
-      sqr_gauss: Gaussian kernel width (meters^2); default radius^2, PCL's
-        setSqrGaussParam default.
-      min_neighbors: points with fewer OTHER neighbors in the radius keep
-        their original coordinates (a plane needs support; PCL drops such
-        points — here the mask-only philosophy keeps them unsmoothed, and
-        ``radius_outlier_removal`` composes in front when dropping is
-        wanted).
-
-    Returns the cloud with smoothed xyz; mask/rgb unchanged. Matches the
-    direct numpy computation (tests/test_mls.py) — this is PCL's
-    plane-projection MLS (polynomial fit off), not the polynomial
-    upsampling variants.
+    Returns (sum_w [N], sum_wp [N,3], sum_wppT [N,3,3], count [N]) over
+    valid points within ``radius`` (self included), Gaussian weights
+    exp(-d2/sg). The shared engine of mls_smooth and estimate_normals.
     """
-    if pc.xyz.ndim == 3:
-        sm = jax.lax.map(
-            lambda args: mls_smooth(PointCloud(xyz=args[0], mask=args[1]),
-                                    radius, sqr_gauss, min_neighbors,
-                                    query_tile=query_tile,
-                                    ref_tile=ref_tile).xyz,
-            (pc.xyz, pc.mask))
-        return pc.replace(xyz=sm)
-    xyz, mask = pc.xyz, pc.mask
     n = xyz.shape[0]
     r2 = jnp.square(jnp.asarray(radius, jnp.float32))
-    sg = r2 if sqr_gauss is None else jnp.asarray(sqr_gauss, jnp.float32)
     qt, rt = min(query_tile, n), min(ref_tile, n)
     nq, nr = -(-n // qt), -(-n // rt)
     rxyz = jnp.pad(xyz, ((0, nr * rt - n), (0, 0)))
@@ -102,18 +75,90 @@ def mls_smooth(pc: PointCloud, radius, sqr_gauss=None,
              jnp.zeros((qt,), jnp.int32)))
 
     sw, swp, swppt, cnt = jax.lax.map(query_block, jnp.arange(nq))
-    sw = sw.reshape(-1)[:n]
-    swp = swp.reshape(-1, 3)[:n]
-    swppt = swppt.reshape(-1, 3, 3)[:n]
-    cnt = cnt.reshape(-1)[:n]
+    return (sw.reshape(-1)[:n], swp.reshape(-1, 3)[:n],
+            swppt.reshape(-1, 3, 3)[:n], cnt.reshape(-1)[:n])
 
+
+def _local_planes(xyz, sw, swp, swppt):
+    """Per-point weighted centroid + plane normal from moments."""
     denom = jnp.maximum(sw, 1e-12)[:, None]
     mu = swp / denom
     cov = swppt / denom[..., None] - mu[:, :, None] * mu[:, None, :]
     # guard eigh against the all-zero covariance of unsupported points
     eye = jnp.eye(3, dtype=jnp.float32)
     _, vecs = jnp.linalg.eigh(cov + 1e-12 * eye)
-    nrm = vecs[..., 0]                       # smallest-eigenvalue direction
+    return mu, vecs[..., 0]                  # smallest-eigenvalue direction
+
+
+@partial(jax.jit, static_argnames=("query_tile", "ref_tile"))
+def estimate_normals(pc: PointCloud, radius, viewpoint=(0.0, 0.0, 0.0),
+                     sqr_gauss=None, min_neighbors: int | jax.Array = 3,
+                     query_tile: int = 512, ref_tile: int = 1024):
+    """Surface normals for UNORGANIZED clouds (pcl::NormalEstimation role).
+
+    Organized grids get normals for free (ops.normals.grid_normals); an
+    arbitrary cloud (a fused output, a loaded .ply, a voxel map) needs the
+    neighborhood-PCA form: each point's normal is the smallest eigenvector
+    of its radius-neighborhood's weighted covariance — exactly the moments
+    the MLS sweep accumulates, so both ops share one blockwise engine (no
+    KD-tree, no neighbor lists; see module docstring).
+
+    Returns (normals [N, 3] unit vectors oriented toward ``viewpoint`` —
+    PCL's flipNormalTowardsViewpoint convention — and valid [N]: False
+    where fewer than ``min_neighbors`` other points support the fit;
+    normals are zero there).
+    """
+    xyz, mask = pc.xyz, pc.mask
+    r2 = jnp.square(jnp.asarray(radius, jnp.float32))
+    sg = r2 if sqr_gauss is None else jnp.asarray(sqr_gauss, jnp.float32)
+    sw, swp, swppt, cnt = _radius_moments(xyz, mask, radius, sg,
+                                          query_tile, ref_tile)
+    _, nrm = _local_planes(xyz, sw, swp, swppt)
+    vp = jnp.asarray(viewpoint, jnp.float32)
+    flip = jnp.sum(nrm * (vp[None, :] - xyz), axis=-1) < 0
+    nrm = jnp.where(flip[:, None], -nrm, nrm)
+    ok = mask & (cnt - 1 >= jnp.asarray(min_neighbors, jnp.int32))
+    return jnp.where(ok[:, None], nrm, 0.0), ok
+
+
+@partial(jax.jit, static_argnames=("query_tile", "ref_tile"))
+def mls_smooth(pc: PointCloud, radius, sqr_gauss=None,
+               min_neighbors: int | jax.Array = 3,
+               query_tile: int = 512, ref_tile: int = 1024) -> PointCloud:
+    """Project each point onto its kernel-weighted local plane.
+
+    Args:
+      pc: cloud [N, 3] (+mask, optional rgb — passed through untouched) or
+        camera-batched [B, N, 3].
+      radius: neighborhood radius in meters (traced). PCL's
+        setSearchRadius.
+      sqr_gauss: Gaussian kernel width (meters^2); default radius^2, PCL's
+        setSqrGaussParam default.
+      min_neighbors: points with fewer OTHER neighbors in the radius keep
+        their original coordinates (a plane needs support; PCL drops such
+        points — here the mask-only philosophy keeps them unsmoothed, and
+        ``radius_outlier_removal`` composes in front when dropping is
+        wanted).
+
+    Returns the cloud with smoothed xyz; mask/rgb unchanged. Matches the
+    direct numpy computation (tests/test_mls.py) — this is PCL's
+    plane-projection MLS (polynomial fit off), not the polynomial
+    upsampling variants.
+    """
+    if pc.xyz.ndim == 3:
+        sm = jax.lax.map(
+            lambda args: mls_smooth(PointCloud(xyz=args[0], mask=args[1]),
+                                    radius, sqr_gauss, min_neighbors,
+                                    query_tile=query_tile,
+                                    ref_tile=ref_tile).xyz,
+            (pc.xyz, pc.mask))
+        return pc.replace(xyz=sm)
+    xyz, mask = pc.xyz, pc.mask
+    r2 = jnp.square(jnp.asarray(radius, jnp.float32))
+    sg = r2 if sqr_gauss is None else jnp.asarray(sqr_gauss, jnp.float32)
+    sw, swp, swppt, cnt = _radius_moments(xyz, mask, radius, sg,
+                                          query_tile, ref_tile)
+    mu, nrm = _local_planes(xyz, sw, swp, swppt)
     off = jnp.sum((xyz - mu) * nrm, axis=-1, keepdims=True)
     projected = xyz - off * nrm
 

@@ -99,3 +99,38 @@ def test_rgb_and_mask_passthrough_and_batched():
                                np.asarray(mls_smooth(
                                    PointCloud(xyz=pc.xyz, mask=pc.mask),
                                    0.1).xyz), atol=1e-6)
+
+
+def test_estimate_normals_plane_and_sphere():
+    """pcl::NormalEstimation role: neighborhood-PCA normals with the
+    flip-toward-viewpoint convention."""
+    from pointcloud_stitching_tpu.ops import estimate_normals
+    rng = np.random.default_rng(4)
+    # a z = 1.5 plane seen from the origin: normals ~ -z after the flip
+    uv = rng.uniform(-1, 1, (2000, 2)).astype(np.float32)
+    plane = np.stack([uv[:, 0], uv[:, 1], np.full(2000, 1.5, np.float32)],
+                     -1)
+    pc = _cloud(plane)
+    n, ok = estimate_normals(pc, 0.15)
+    n, ok = np.asarray(n), np.asarray(ok)
+    assert ok.sum() > 1900
+    dots = n[ok] @ np.array([0.0, 0.0, -1.0], np.float32)
+    assert np.all(dots > 0.999), dots.min()
+    np.testing.assert_allclose(np.linalg.norm(n[ok], axis=-1), 1.0,
+                               atol=1e-5)
+
+    # a unit sphere seen from its center: every normal points inward
+    v = rng.normal(size=(3000, 3))
+    sph = (v / np.linalg.norm(v, axis=-1, keepdims=True)).astype(np.float32)
+    n2, ok2 = estimate_normals(_cloud(sph), 0.15, viewpoint=(0, 0, 0))
+    n2, ok2 = np.asarray(n2), np.asarray(ok2)
+    inward = np.sum(n2[ok2] * (-sph[ok2]), axis=-1)
+    assert np.all(inward > 0.97), inward.min()
+
+
+def test_estimate_normals_unsupported_zero():
+    from pointcloud_stitching_tpu.ops import estimate_normals
+    pts = np.array([[0, 0, 1], [5, 5, 5]], np.float32)
+    n, ok = estimate_normals(_cloud(pts, cap=8), 0.1)
+    assert not np.asarray(ok).any()
+    assert np.abs(np.asarray(n)).sum() == 0
