@@ -14,7 +14,8 @@ from .sac import extract_plane, segment_plane
 from .cluster import cluster_stats, euclidean_clusters
 from .mls import estimate_normals, mls_smooth
 from .mesh import organized_mesh
-from .filters import (count_neighbors, crop_box, knn_mean_distance,
+from .filters import (count_neighbors, crop_box, frustum_cull,
+                      knn_mean_distance,
                       passthrough, radius_outlier_removal,
                       statistical_outlier_removal)
 
@@ -31,6 +32,7 @@ __all__ = [
     "segment_plane", "extract_plane", "euclidean_clusters",
     "cluster_stats", "mls_smooth", "organized_mesh",
     "estimate_normals",
-    "count_neighbors", "crop_box", "knn_mean_distance", "passthrough",
+    "count_neighbors", "crop_box", "frustum_cull",
+    "knn_mean_distance", "passthrough",
     "radius_outlier_removal", "statistical_outlier_removal",
 ]

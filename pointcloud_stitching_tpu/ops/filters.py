@@ -47,6 +47,41 @@ def crop_box(pc: PointCloud, lo, hi, invert: bool = False) -> PointCloud:
     return pc.replace(mask=pc.mask & keep)
 
 
+def frustum_cull(pc: PointCloud, intr, extrinsic=None,
+                 z_min=0.0, z_max=jnp.inf, invert: bool = False
+                 ) -> PointCloud:
+    """Keep points a camera actually sees (pcl::FrustumCulling role).
+
+    The rig question this answers: which part of the fused world cloud is
+    inside camera k's view? Points transform into the camera frame (the
+    inverse of the camera→world ``extrinsic``, i.e. a .cal matrix —
+    identity = the cloud is already camera-frame), project through the
+    REAL intrinsics incl. distortion (ops.deproject.project — exact pixel
+    frustum, not PCL's symmetric FOV-angle approximation), and survive
+    when the pixel lands inside the image and z within [z_min, z_max].
+    Mask-only, fixed shape; all bounds traced. ``invert`` keeps the
+    complement (everything the camera does NOT see).
+    """
+    from .deproject import project
+    from .se3 import se3_apply, se3_inverse
+    xyz = pc.xyz
+    if extrinsic is not None:
+        xyz = se3_apply(se3_inverse(jnp.asarray(extrinsic, jnp.float32)),
+                        xyz)
+    uv, in_front = project(xyz, intr)
+    z = xyz[..., 2]
+    # pixel-AREA bounds (centers 0..w-1, areas extend half a pixel): the
+    # sensor sees anything landing on a pixel, and a point deprojected
+    # from the border pixel must round-trip inside (an f32 ulp past the
+    # center would otherwise cull it)
+    inside = (in_front & (z >= z_min) & (z <= z_max)
+              & (uv[..., 0] >= -0.5) & (uv[..., 0] <= intr.width - 0.5)
+              & (uv[..., 1] >= -0.5) & (uv[..., 1] <= intr.height - 0.5))
+    if invert:
+        inside = ~inside
+    return pc.replace(mask=pc.mask & inside)
+
+
 @partial(jax.jit, static_argnames=("query_tile", "ref_tile"))
 def count_neighbors(pc: PointCloud, radius,
                     query_tile: int = 1024,

@@ -156,3 +156,40 @@ def test_count_neighbors_batched(rng):
     for b in range(3):
         want = count_neighbors_np(xyz[b], mask[b], 0.3)
         np.testing.assert_array_equal(counts[b], want)
+
+
+def test_frustum_cull_roundtrip_and_box():
+    """Every point deprojected from a camera is inside that camera's
+    frustum; points behind it or outside the image are not."""
+    import jax.numpy as jnp
+    from pointcloud_stitching_tpu import Intrinsics, PointCloud
+    from pointcloud_stitching_tpu.ops import deproject, frustum_cull
+    from oracle import synth_depth_frame, random_se3
+
+    h, w = 60, 106
+    intr = Intrinsics.create(fx=80.0, fy=80.0, ppx=w / 2, ppy=h / 2,
+                             width=w, height=h)
+    depth = synth_depth_frame(h, w, seed=0)
+    pc = deproject(jnp.asarray(depth), intr)
+    got = frustum_cull(pc, intr)
+    # the camera sees everything it produced (identity extrinsic)
+    np.testing.assert_array_equal(np.asarray(got.mask), np.asarray(pc.mask))
+
+    # world-frame variant: transform the cloud out, cull with the same cal
+    T = random_se3(seed=3, max_angle=0.5, max_trans=1.0)
+    from pointcloud_stitching_tpu.ops import se3_apply
+    world = pc.replace(xyz=se3_apply(jnp.asarray(T), pc.xyz))
+    got2 = frustum_cull(world, intr, extrinsic=jnp.asarray(T))
+    np.testing.assert_array_equal(np.asarray(got2.mask),
+                                  np.asarray(pc.mask))
+
+    # points clearly outside: behind the camera / beyond z_max / off-image
+    bad = PointCloud(
+        xyz=jnp.asarray(np.array([[0, 0, -1.0], [0, 0, 50.0],
+                                  [10.0, 0, 1.0]], np.float32)),
+        mask=jnp.ones((3,), bool))
+    m = np.asarray(frustum_cull(bad, intr, z_max=10.0).mask)
+    assert not m.any()
+    # invert keeps exactly the complement
+    mi = np.asarray(frustum_cull(bad, intr, z_max=10.0, invert=True).mask)
+    assert mi.all()
