@@ -10,6 +10,7 @@ from .kabsch import kabsch
 from .icp import (ICPResult, icp, icp_batched, icp_converge,
                   icp_point_to_plane_batched)
 from .normals import decode_normals, grid_normals
+from .fpfh import fpfh, match_fpfh
 from .sac import extract_plane, segment_plane
 from .cluster import cluster_stats, euclidean_clusters
 from .mls import estimate_normals, mls_smooth
@@ -31,7 +32,7 @@ __all__ = [
     "icp_point_to_plane_batched", "grid_normals", "decode_normals",
     "segment_plane", "extract_plane", "euclidean_clusters",
     "cluster_stats", "mls_smooth", "organized_mesh",
-    "estimate_normals",
+    "estimate_normals", "fpfh", "match_fpfh",
     "count_neighbors", "crop_box", "frustum_cull",
     "knn_mean_distance", "passthrough",
     "radius_outlier_removal", "statistical_outlier_removal",
