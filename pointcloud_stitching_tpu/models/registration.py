@@ -129,6 +129,47 @@ def _basis_alignments() -> np.ndarray:
 _ALIGN24 = _basis_alignments()
 
 
+def _fpfh_start_transforms(cs: PointCloud, cd: PointCloud, key: jax.Array,
+                           n_starts: int, leaf: float, k_corr: int = 8,
+                           normal_radius: Optional[float] = None,
+                           feature_radius: Optional[float] = None) -> jax.Array:
+    """Descriptor-seeded rigid hypotheses [n_starts, 4, 4].
+
+    The correspondence half of ``pcl::SampleConsensusInitialAlignment``:
+    FPFH descriptors on both skeletons, then ``n_starts`` sampled source
+    triples, each matched to one of its ``k_corr`` nearest target descriptors
+    (picked at random, like SAC-IA's similar-feature sampling), closed-form
+    Kabsch per triple — all batched; no serial RANSAC loop. The hypotheses
+    join register_global's common scoring pool, so a bad triple simply
+    loses; only descriptor-consistent ones can win.
+
+    Normals are estimated per cloud with viewpoint at that cloud's own
+    origin — each cloud lives in its own sensor frame during calibration, so
+    orientation is consistent across the pair without knowing the relative
+    pose.
+    """
+    from ..ops.fpfh import fpfh, match_fpfh
+    from ..ops.mls import estimate_normals
+
+    nr = 2.5 * leaf if normal_radius is None else normal_radius
+    fr = 5.0 * leaf if feature_radius is None else feature_radius
+    ns_, oks = estimate_normals(cs, nr)
+    nd_, okd = estimate_normals(cd, nr)
+    fs, vs = fpfh(cs, ns_, oks, radius=fr)
+    fd, vd = fpfh(cd, nd_, okd, radius=fr)
+    idx, _ = match_fpfh(fs, vs, fd, vd, k=k_corr)       # [N, k_corr]
+
+    k1, k2 = jax.random.split(key)
+    # -1e9, not -inf: with zero valid descriptors the categorical must stay
+    # finite (junk hypotheses lose in scoring; -inf would NaN the softmax)
+    logits = jnp.where(vs, 0.0, -1e9)
+    si = jax.random.categorical(k1, logits, shape=(n_starts, 3))
+    pick = jax.random.randint(k2, (n_starts, 3), 0, k_corr)
+    di = idx[si, pick]                                   # [n_starts, 3]
+    w = (vs[si] & vd[di]).astype(jnp.float32)
+    return jax.vmap(kabsch)(cs.xyz[si], cd.xyz[di], w)
+
+
 def register_global(src: PointCloud, dst: PointCloud, key: jax.Array,
                     num_starts: int = 64,
                     coarse_leaf: float = 0.05,
@@ -138,6 +179,7 @@ def register_global(src: PointCloud, dst: PointCloud, key: jax.Array,
                     coarse_trim: float = 0.1,
                     query_tile: int = 512, ref_tile: int = 1024,
                     refine: bool = True,
+                    fpfh_starts: int = 0, fpfh_k_corr: int = 8,
                     **refine_kw) -> RegistrationResult:
     """Automatic pairwise registration — no picked correspondences.
 
@@ -173,7 +215,11 @@ def register_global(src: PointCloud, dst: PointCloud, key: jax.Array,
 
     Suited to calibration scenes with substantial overlap (the rig case);
     like any geometry-only global method it can lock onto a symmetry of
-    the scene — check ``icp.mean_error`` / ``num_inliers`` as usual.
+    the scene — check ``icp.mean_error`` / ``num_inliers`` as usual. For
+    scenes where geometry alone is ambiguous, ``fpfh_starts > 0`` appends
+    that many FPFH-correspondence hypotheses (sampled descriptor-matched
+    triples + Kabsch — the pcl::SampleConsensusInitialAlignment role,
+    batched; see ``_fpfh_start_transforms``) to the same scoring pool.
     """
     from ..ops.voxel import voxel_downsample
 
@@ -195,6 +241,9 @@ def register_global(src: PointCloud, dst: PointCloud, key: jax.Array,
     m = num_starts
     ws = cs.mask.astype(jnp.float32)
     wd = cd.mask.astype(jnp.float32)
+    fkey = None
+    if fpfh_starts > 0:
+        key, fkey = jax.random.split(key)
     n_rand = max(m - 25, 1)
     q = jax.random.normal(key, (n_rand, 4), jnp.float32)
     rot_rand = _quat_rotations(q)
@@ -211,6 +260,11 @@ def register_global(src: PointCloud, dst: PointCloud, key: jax.Array,
                                  precision="highest")
     init_T = jnp.tile(jnp.eye(4, dtype=jnp.float32), (m, 1, 1))
     init_T = init_T.at[:, :3, :3].set(rot).at[:, :3, 3].set(t)
+    if fpfh_starts > 0:
+        init_T = jnp.concatenate([
+            init_T, _fpfh_start_transforms(cs, cd, fkey, fpfh_starts,
+                                           coarse_leaf, fpfh_k_corr)])
+        m = init_T.shape[0]
 
     tile = lambda a: jnp.broadcast_to(a[None], (m, *a.shape))
     bs = PointCloud(xyz=tile(cs.xyz), mask=tile(cs.mask))

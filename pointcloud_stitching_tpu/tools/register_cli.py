@@ -36,6 +36,10 @@ def main(argv=None):
                          "rotations, all batched), winner refined")
     ap.add_argument("--starts", type=int, default=64,
                     help="--global hypothesis count")
+    ap.add_argument("--fpfh-starts", type=int, default=0,
+                    help="--global: extra hypotheses seeded from FPFH "
+                         "descriptor correspondences (SAC-IA role) — for "
+                         "scenes whose geometry alone is ambiguous")
     ap.add_argument("--coarse-leaf", type=float, default=0.05,
                     help="--global skeleton resolution (auto-coarsens "
                          "to fit)")
@@ -81,6 +85,7 @@ def main(argv=None):
         from pointcloud_stitching_tpu.models import register_global
         res = register_global(src, dst, jax.random.key(0),
                               num_starts=args.starts,
+                              fpfh_starts=args.fpfh_starts,
                               coarse_leaf=args.coarse_leaf,
                               refine=not args.no_refine,
                               max_iterations=args.max_iter,

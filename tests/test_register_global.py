@@ -106,3 +106,22 @@ def test_pca_axes_always_right_handed():
                           * np.array([3.0, 2.0, 1.0], np.float32))
         v = _pca_axes(xyz, jnp.ones((200,), jnp.float32))
         assert float(jnp.linalg.det(v)) > 0.99
+
+
+def test_fpfh_starts_alone_recover_pose():
+    """SAC-IA role: with num_starts=1 (identity only — hopeless at this
+    misalignment) the FPFH-correspondence hypotheses must land the pose.
+    Heterogeneous scene so descriptors are point-distinctive; k_corr=2
+    keeps sampled triples mostly-true matches."""
+    from test_fpfh import _bumpy_surface
+    xyz, _ = _bumpy_surface(seed=9, n=800)
+    src = PointCloud(xyz=jnp.asarray(xyz), mask=jnp.ones(len(xyz), bool))
+    T_true = random_se3(seed=21, max_angle=2.5, max_trans=0.4)
+    dst = PointCloud(
+        xyz=jnp.asarray(transform_np(T_true, xyz).astype(np.float32)),
+        mask=src.mask)
+    res = register_global(src, dst, jax.random.key(3), num_starts=1,
+                          fpfh_starts=32, fpfh_k_corr=2,
+                          coarse_leaf=0.05, max_iterations=30)
+    err = _max_point_err(res.T, T_true, xyz[:200])
+    assert err < 0.01, err
