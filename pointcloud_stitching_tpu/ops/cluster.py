@@ -167,6 +167,101 @@ def euclidean_clusters(pc: PointCloud, tolerance, min_size: int = 1,
     return out_labels, num, jnp.where(keep, top_sizes, 0)
 
 
+@partial(jax.jit, static_argnames=("max_clusters", "rounds", "query_tile",
+                                   "ref_tile"))
+def euclidean_clusters_exact(pc: PointCloud, tolerance, min_size: int = 1,
+                             max_clusters: int = 16,
+                             rounds: int | None = None,
+                             query_tile: int = 512, ref_tile: int = 1024):
+    """Cluster by EXACT radius connectivity (PCL's precise semantics).
+
+    ``euclidean_clusters`` buys its data-parallel form by clustering over
+    voxel adjacency, which can merge clusters separated by less than
+    ``2*sqrt(3)*tolerance`` (its docstring, step 1). This variant keeps
+    pcl::EuclideanClusterExtraction's exact contract — points connect iff
+    ``|p_i - p_j| <= tolerance`` — by running the same min-label
+    propagation + pointer jumping over the exact radius graph, evaluated
+    as a blockwise all-pairs sweep each round (the ops/nn.py [tile, block]
+    pattern; no KD-tree, no neighbor lists).
+
+    Cost is O(N^2) per round (log-diameter rounds): for cluster-analysis
+    scale — voxel skeletons, plane-removed remainders, <= ~16k points.
+    Full fused outputs should use ``euclidean_clusters`` (linear) or
+    downsample first.
+
+    Same returns as ``euclidean_clusters``.
+    """
+    xyz, mask = pc.xyz, pc.mask
+    n = xyz.shape[0]
+    r2 = jnp.square(jnp.asarray(tolerance, jnp.float32))
+    qt, rt = min(query_tile, n), min(ref_tile, n)
+    nq, nr = -(-n // qt), -(-n // rt)
+    pad_n = max(nq * qt, nr * rt)
+    pxyz = jnp.pad(xyz, ((0, pad_n - n), (0, 0)))
+    pmask = jnp.pad(mask, (0, pad_n - n))
+
+    def pull(l):
+        pl = jnp.pad(l, (0, pad_n - n), constant_values=n - 1)
+
+        def query_block(qi):
+            q = jax.lax.dynamic_slice(pxyz, (qi * qt, 0), (qt, 3))
+            qv = jax.lax.dynamic_slice(pmask, (qi * qt,), (qt,))
+            own = jax.lax.dynamic_slice(pl, (qi * qt,), (qt,))
+
+            def ref_step(ri, best):
+                r = jax.lax.dynamic_slice(pxyz, (ri * rt, 0), (rt, 3))
+                rv = jax.lax.dynamic_slice(pmask, (ri * rt,), (rt,))
+                lb = jax.lax.dynamic_slice(pl, (ri * rt,), (rt,))
+                d = q[:, None, :] - r[None, :, :]
+                d2 = jnp.sum(d * d, axis=-1)
+                inside = (d2 <= r2) & qv[:, None] & rv[None, :]
+                cand = jnp.where(inside, lb[None, :], jnp.int32(n - 1))
+                return jnp.minimum(best, jnp.min(cand, axis=1))
+
+            return jax.lax.fori_loop(0, nr, ref_step, own)
+
+        out = jax.lax.map(query_block, jnp.arange(nq)).reshape(-1)[:n]
+        return jnp.where(mask, out, jnp.int32(n - 1))
+
+    labels0 = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), n - 1)
+    if rounds is None:
+        rounds = 64
+
+    def cond(state):
+        i, l, changed = state
+        return changed & (i < rounds)
+
+    def body(state):
+        i, l, _ = state
+        l2 = pull(l)
+        l2 = l2[l2]
+        l2 = l2[l2]
+        # re-mask after jumping: an invalid point's n-1 label would index
+        # point n-1's (possibly real) label and fake a change at fixpoint
+        l2 = jnp.where(mask, l2, jnp.int32(n - 1))
+        return i + 1, l2, jnp.any(l2 != l)
+
+    _, labels, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), pull(labels0), jnp.bool_(True)))
+
+    # size-filtered largest-first extraction — same tail contract as the
+    # voxel variant, but labels/roots live directly in point space
+    lab_pt = jnp.where(mask, labels, n - 1)
+    sizes_at_root = jax.ops.segment_sum(
+        mask.astype(jnp.int32), lab_pt, num_segments=n)
+    is_root = (labels == jnp.arange(n)) & mask
+    sizes_at_root = jnp.where(is_root, sizes_at_root, 0)
+    k = max_clusters
+    top_sizes, top_roots = jax.lax.top_k(sizes_at_root, k)
+    min_size = jnp.asarray(min_size, jnp.int32)
+    keep = top_sizes >= jnp.maximum(min_size, 1)
+    num = jnp.sum(keep.astype(jnp.int32))
+    rank_of_root = jnp.full((n,), -1, jnp.int32).at[top_roots].set(
+        jnp.where(keep, jnp.arange(k, dtype=jnp.int32), -1))
+    out_labels = jnp.where(mask, rank_of_root[lab_pt], -1)
+    return out_labels, num, jnp.where(keep, top_sizes, 0)
+
+
 @partial(jax.jit, static_argnames=("max_clusters",))
 def cluster_stats(pc: PointCloud, labels: jax.Array,
                   max_clusters: int = 16):

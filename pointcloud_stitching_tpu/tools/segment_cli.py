@@ -11,7 +11,7 @@ per cluster plus a summary table.
 Usage:
   python -m pointcloud_stitching_tpu.tools.segment_cli scene.ply out_dir \
       [--drop-plane 0.02 [--planes 1]] [--tolerance 0.05] \
-      [--min-size 30] [--max-clusters 16]
+      [--min-size 30] [--max-clusters 16] [--exact]
 """
 from __future__ import annotations
 
@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("--min-size", type=int, default=30,
                     help="drop clusters below this many points")
     ap.add_argument("--max-clusters", type=int, default=16)
+    ap.add_argument("--exact", action="store_true",
+                    help="exact-radius connectivity (PCL's precise "
+                         "semantics; O(N^2) per round — for analysis-"
+                         "scale clouds) instead of voxel adjacency")
     ap.add_argument("--mls", type=float, default=None, metavar="RADIUS",
                     help="moving-least-squares smooth the cloud first "
                          "(plane-projection MLS, pcl::MovingLeastSquares "
@@ -52,6 +56,7 @@ def main(argv=None):
     from pointcloud_stitching_tpu.io.plyio import save_ply
     from pointcloud_stitching_tpu.ops import (cluster_stats,
                                               euclidean_clusters,
+                                              euclidean_clusters_exact,
                                               extract_plane, segment_plane)
     from pointcloud_stitching_tpu.utils.types import round_up
 
@@ -79,7 +84,9 @@ def main(argv=None):
                   f"d={m[3]:+.3f}, {c} inliers removed", flush=True)
             pc = extract_plane(pc, model, args.drop_plane)
 
-    labels, num, sizes = euclidean_clusters(
+    cluster_fn = euclidean_clusters_exact if args.exact \
+        else euclidean_clusters
+    labels, num, sizes = cluster_fn(
         pc, args.tolerance, min_size=args.min_size,
         max_clusters=args.max_clusters)
     cent, lo, hi, cnt = cluster_stats(pc, labels,

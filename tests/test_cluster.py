@@ -188,3 +188,118 @@ def test_segment_cli_end_to_end(tmp_path):
     assert len(xyz0) >= len(xyz1) >= 100
     np.testing.assert_allclose(xyz0.mean(axis=0), obj1.mean(axis=0),
                                atol=0.05)
+
+
+# ---------------------------------------------------- exact-radius variant
+
+def _bfs_exact_np(xyz, mask, tol):
+    """Independent oracle: BFS over the exact radius graph."""
+    n = len(xyz)
+    d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+    adj = (d2 <= tol * tol) & mask[:, None] & mask[None, :]
+    comp = np.full(n, -1)
+    c = 0
+    for s in range(n):
+        if not mask[s] or comp[s] >= 0:
+            continue
+        stack = [s]
+        comp[s] = c
+        while stack:
+            i = stack.pop()
+            for j in np.nonzero(adj[i] & (comp < 0))[0]:
+                comp[j] = c
+                stack.append(j)
+        c += 1
+    return comp
+
+
+def _rank_np(comp, min_size, max_clusters):
+    """largest-first size-filtered relabel, matching the library contract."""
+    ids, sizes = np.unique(comp[comp >= 0], return_counts=True)
+    order = np.argsort(-sizes, kind="stable")
+    out = np.full(len(comp), -1)
+    rank = 0
+    for o in order[:max_clusters]:
+        if sizes[o] >= min_size:
+            out[comp == ids[o]] = rank
+            rank += 1
+    return out, rank
+
+
+def test_exact_matches_bfs_oracle():
+    from pointcloud_stitching_tpu.ops.cluster import euclidean_clusters_exact
+    rng = np.random.default_rng(7)
+    xyz = rng.uniform(0, 1.0, (300, 3)).astype(np.float32)
+    mask = rng.uniform(size=300) > 0.15
+    tol = 0.12
+    pc = PointCloud(xyz=jnp.asarray(xyz), mask=jnp.asarray(mask))
+    labels, num, sizes = euclidean_clusters_exact(
+        pc, tol, min_size=2, max_clusters=8, query_tile=64, ref_tile=64)
+    comp = _bfs_exact_np(xyz, mask, tol)
+    want, want_num = _rank_np(comp, 2, 8)
+    got = np.asarray(labels)
+    assert int(num) == want_num
+    # same partition: cluster ids must map 1:1 (sizes can tie-break
+    # differently, so compare as partitions of the point set)
+    for g in range(int(num)):
+        members = got == g
+        assert members.any()
+        w = want[members]
+        assert (w == w[0]).all() and w[0] >= 0
+        assert ((want == w[0]) == members).all()
+    assert ((got == -1) == (want == -1)).all()
+
+
+def test_exact_splits_what_voxel_adjacency_merges():
+    """Two clusters separated by MORE than tolerance but LESS than the
+    voxel variant's 2*sqrt(3)*tolerance worst case, placed diagonally so
+    they land in adjacent voxels: the voxel variant merges them (its
+    documented over-approximation), the exact variant must not."""
+    from pointcloud_stitching_tpu.ops.cluster import euclidean_clusters_exact
+    tol = 0.1
+    # two tight pancakes along the (1,1,1) diagonal, gap ~ 1.55*tol
+    a = _blob((0.049, 0.049, 0.049), 60, 0.004, 1)
+    b = _blob((0.139, 0.139, 0.139), 60, 0.004, 2)
+    pc = _cloud(np.concatenate([a, b]))
+    lab_v, num_v, _ = euclidean_clusters(pc, tol, max_clusters=4)
+    lab_e, num_e, _ = euclidean_clusters_exact(pc, tol, max_clusters=4,
+                                               query_tile=32, ref_tile=32)
+    assert int(num_v) == 1          # documents the approximation
+    assert int(num_e) == 2
+    got = np.asarray(lab_e)
+    assert (got[:60] == got[0]).all() and (got[60:] == got[60]).all()
+    assert got[0] != got[60]
+
+
+def test_exact_chain_and_all_invalid():
+    from pointcloud_stitching_tpu.ops.cluster import euclidean_clusters_exact
+    # 200-point chain at 0.9*tol spacing: one cluster, needs propagation
+    # to converge across the whole chain
+    tol = 0.05
+    pts = np.stack([np.arange(200) * 0.045, np.zeros(200),
+                    np.zeros(200)], 1)
+    pc = _cloud(pts)
+    lab, num, sizes = euclidean_clusters_exact(pc, tol, max_clusters=4,
+                                               query_tile=64, ref_tile=64)
+    assert int(num) == 1 and int(sizes[0]) == 200
+    assert (np.asarray(lab) == 0).all()
+    empty = PointCloud(xyz=pc.xyz, mask=jnp.zeros(200, bool))
+    lab, num, _ = euclidean_clusters_exact(empty, tol)
+    assert int(num) == 0 and (np.asarray(lab) == -1).all()
+
+
+def test_segment_cli_exact_flag(tmp_path):
+    """--exact drives the exact-radius variant through the same CLI."""
+    from pointcloud_stitching_tpu.io import load_ply
+    from pointcloud_stitching_tpu.io.plyio import save_ply
+    from pointcloud_stitching_tpu.tools import segment_cli
+    obj1 = _blob((0.5, 0.5, 0.3), 200, 0.05, 4)
+    obj2 = _blob((-0.8, 0.2, 0.4), 120, 0.05, 5)
+    inp = str(tmp_path / "scene.ply")
+    save_ply(inp, np.concatenate([obj1, obj2]).astype(np.float32))
+    out = str(tmp_path / "clusters")
+    n = segment_cli.main([inp, out, "--tolerance", "0.08",
+                          "--min-size", "20", "--exact"])
+    assert n == 2
+    xyz0, _ = load_ply(os.path.join(out, "cluster_00.ply"))
+    assert len(xyz0) == 200
