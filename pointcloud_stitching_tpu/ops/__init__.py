@@ -13,8 +13,8 @@ from .normals import decode_normals, grid_normals
 from .fpfh import fpfh, match_fpfh
 from .sac import extract_plane, segment_plane
 from .cluster import (cluster_stats, euclidean_clusters,
-                      euclidean_clusters_exact)
-from .mls import estimate_normals, mls_smooth
+                      euclidean_clusters_exact, region_growing)
+from .mls import estimate_curvature, estimate_normals, mls_smooth
 from .mesh import organized_mesh
 from .filters import (count_neighbors, crop_box, frustum_cull,
                       knn_mean_distance,
@@ -32,7 +32,8 @@ __all__ = [
     "ICPResult", "icp", "icp_batched", "icp_converge",
     "icp_point_to_plane_batched", "grid_normals", "decode_normals",
     "segment_plane", "extract_plane", "euclidean_clusters",
-    "cluster_stats", "euclidean_clusters_exact", "mls_smooth", "organized_mesh",
+    "cluster_stats", "euclidean_clusters_exact", "region_growing",
+    "estimate_curvature", "mls_smooth", "organized_mesh",
     "estimate_normals", "fpfh", "match_fpfh",
     "count_neighbors", "crop_box", "frustum_cull",
     "knn_mean_distance", "passthrough",

@@ -167,38 +167,22 @@ def euclidean_clusters(pc: PointCloud, tolerance, min_size: int = 1,
     return out_labels, num, jnp.where(keep, top_sizes, 0)
 
 
-@partial(jax.jit, static_argnames=("max_clusters", "rounds", "query_tile",
-                                   "ref_tile"))
-def euclidean_clusters_exact(pc: PointCloud, tolerance, min_size: int = 1,
-                             max_clusters: int = 16,
-                             rounds: int | None = None,
-                             query_tile: int = 512, ref_tile: int = 1024):
-    """Cluster by EXACT radius connectivity (PCL's precise semantics).
-
-    ``euclidean_clusters`` buys its data-parallel form by clustering over
-    voxel adjacency, which can merge clusters separated by less than
-    ``2*sqrt(3)*tolerance`` (its docstring, step 1). This variant keeps
-    pcl::EuclideanClusterExtraction's exact contract — points connect iff
-    ``|p_i - p_j| <= tolerance`` — by running the same min-label
-    propagation + pointer jumping over the exact radius graph, evaluated
-    as a blockwise all-pairs sweep each round (the ops/nn.py [tile, block]
-    pattern; no KD-tree, no neighbor lists).
-
-    Cost is O(N^2) per round (log-diameter rounds): for cluster-analysis
-    scale — voxel skeletons, plane-removed remainders, <= ~16k points.
-    Full fused outputs should use ``euclidean_clusters`` (linear) or
-    downsample first.
-
-    Same returns as ``euclidean_clusters``.
-    """
-    xyz, mask = pc.xyz, pc.mask
+def _propagate_exact(xyz, mask, r2, cos_thr, normals, rounds,
+                     query_tile, ref_tile):
+    """Min-label propagation + pointer jumping over the EXACT pairwise
+    graph: edge(i, j) iff |p_i - p_j|^2 <= r2 (and, when ``normals`` is
+    given, |n_i . n_j| >= cos_thr — the region-growing smoothness gate).
+    Each round is a blockwise all-pairs sweep (the ops/nn.py [tile, block]
+    pattern; no KD-tree, no neighbor lists). Returns per-point root labels
+    (n-1 for invalid points)."""
     n = xyz.shape[0]
-    r2 = jnp.square(jnp.asarray(tolerance, jnp.float32))
     qt, rt = min(query_tile, n), min(ref_tile, n)
     nq, nr = -(-n // qt), -(-n // rt)
     pad_n = max(nq * qt, nr * rt)
     pxyz = jnp.pad(xyz, ((0, pad_n - n), (0, 0)))
     pmask = jnp.pad(mask, (0, pad_n - n))
+    pnrm = None if normals is None else jnp.pad(
+        normals, ((0, pad_n - n), (0, 0)))
 
     def pull(l):
         pl = jnp.pad(l, (0, pad_n - n), constant_values=n - 1)
@@ -207,6 +191,8 @@ def euclidean_clusters_exact(pc: PointCloud, tolerance, min_size: int = 1,
             q = jax.lax.dynamic_slice(pxyz, (qi * qt, 0), (qt, 3))
             qv = jax.lax.dynamic_slice(pmask, (qi * qt,), (qt,))
             own = jax.lax.dynamic_slice(pl, (qi * qt,), (qt,))
+            qn = None if pnrm is None else jax.lax.dynamic_slice(
+                pnrm, (qi * qt, 0), (qt, 3))
 
             def ref_step(ri, best):
                 r = jax.lax.dynamic_slice(pxyz, (ri * rt, 0), (rt, 3))
@@ -215,6 +201,11 @@ def euclidean_clusters_exact(pc: PointCloud, tolerance, min_size: int = 1,
                 d = q[:, None, :] - r[None, :, :]
                 d2 = jnp.sum(d * d, axis=-1)
                 inside = (d2 <= r2) & qv[:, None] & rv[None, :]
+                if pnrm is not None:
+                    rn = jax.lax.dynamic_slice(pnrm, (ri * rt, 0), (rt, 3))
+                    cosang = jnp.abs(jnp.sum(qn[:, None, :] * rn[None, :, :],
+                                             axis=-1))
+                    inside = inside & (cosang >= cos_thr)
                 cand = jnp.where(inside, lb[None, :], jnp.int32(n - 1))
                 return jnp.minimum(best, jnp.min(cand, axis=1))
 
@@ -224,8 +215,6 @@ def euclidean_clusters_exact(pc: PointCloud, tolerance, min_size: int = 1,
         return jnp.where(mask, out, jnp.int32(n - 1))
 
     labels0 = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), n - 1)
-    if rounds is None:
-        rounds = 64
 
     def cond(state):
         i, l, changed = state
@@ -243,9 +232,14 @@ def euclidean_clusters_exact(pc: PointCloud, tolerance, min_size: int = 1,
 
     _, labels, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), pull(labels0), jnp.bool_(True)))
+    return labels
 
-    # size-filtered largest-first extraction — same tail contract as the
-    # voxel variant, but labels/roots live directly in point space
+
+def _rank_tail(labels, mask, min_size, max_clusters):
+    """Size-filtered largest-first relabel (shared extraction contract):
+    per-point root labels in point space -> (labels 0..k-1 / -1, num,
+    sizes)."""
+    n = labels.shape[0]
     lab_pt = jnp.where(mask, labels, n - 1)
     sizes_at_root = jax.ops.segment_sum(
         mask.astype(jnp.int32), lab_pt, num_segments=n)
@@ -260,6 +254,78 @@ def euclidean_clusters_exact(pc: PointCloud, tolerance, min_size: int = 1,
         jnp.where(keep, jnp.arange(k, dtype=jnp.int32), -1))
     out_labels = jnp.where(mask, rank_of_root[lab_pt], -1)
     return out_labels, num, jnp.where(keep, top_sizes, 0)
+
+
+@partial(jax.jit, static_argnames=("max_clusters", "rounds", "query_tile",
+                                   "ref_tile"))
+def euclidean_clusters_exact(pc: PointCloud, tolerance, min_size: int = 1,
+                             max_clusters: int = 16,
+                             rounds: int | None = None,
+                             query_tile: int = 512, ref_tile: int = 1024):
+    """Cluster by EXACT radius connectivity (PCL's precise semantics).
+
+    ``euclidean_clusters`` buys its data-parallel form by clustering over
+    voxel adjacency, which can merge clusters separated by less than
+    ``2*sqrt(3)*tolerance`` (its docstring, step 1). This variant keeps
+    pcl::EuclideanClusterExtraction's exact contract — points connect iff
+    ``|p_i - p_j| <= tolerance`` — via ``_propagate_exact``.
+
+    Cost is O(N^2) per round (log-diameter rounds): for cluster-analysis
+    scale — voxel skeletons, plane-removed remainders, <= ~16k points.
+    Full fused outputs should use ``euclidean_clusters`` (linear) or
+    downsample first.
+
+    Same returns as ``euclidean_clusters``.
+    """
+    r2 = jnp.square(jnp.asarray(tolerance, jnp.float32))
+    labels = _propagate_exact(pc.xyz, pc.mask, r2, None, None,
+                              64 if rounds is None else rounds,
+                              query_tile, ref_tile)
+    return _rank_tail(labels, pc.mask, min_size, max_clusters)
+
+
+@partial(jax.jit, static_argnames=("max_clusters", "rounds", "query_tile",
+                                   "ref_tile"))
+def region_growing(pc: PointCloud, normals: jax.Array, tolerance,
+                   angle_threshold, normals_valid: jax.Array | None = None,
+                   curvature: jax.Array | None = None,
+                   curvature_threshold=None,
+                   min_size: int = 1, max_clusters: int = 16,
+                   rounds: int | None = None,
+                   query_tile: int = 512, ref_tile: int = 1024):
+    """Smoothness-constrained segmentation (pcl::RegionGrowing role).
+
+    Splits a scene into smooth surface patches: two points join the same
+    region iff they are within ``tolerance`` AND their normals agree to
+    within ``angle_threshold`` (radians, traced; compared as |n_i . n_j|
+    so normal sign flips don't split a surface). PCL grows regions
+    serially from low-curvature seeds, comparing each neighbor's normal
+    to the current point's — i.e. smoothness is enforced pairwise along
+    the growth path, which is exactly the transitive closure of this
+    pairwise-gated graph, so the parallel min-label propagation form
+    (``_propagate_exact``) keeps PCL's smooth-mode semantics without the
+    serial queue.
+
+    PCL's secondary curvature test maps to the optional
+    ``curvature``/``curvature_threshold`` pair (``ops.estimate_curvature``):
+    high-curvature points (creases, edges) are excluded — they get label
+    -1 and stop regions from bleeding across sharp edges that happen to
+    have a smooth chain around them.
+
+    Same returns as ``euclidean_clusters``.
+    """
+    valid = pc.mask if normals_valid is None else pc.mask & normals_valid
+    if curvature is not None:
+        if curvature_threshold is None:
+            raise ValueError("curvature needs curvature_threshold")
+        valid = valid & (curvature <= jnp.asarray(curvature_threshold,
+                                                  jnp.float32))
+    r2 = jnp.square(jnp.asarray(tolerance, jnp.float32))
+    cos_thr = jnp.cos(jnp.asarray(angle_threshold, jnp.float32))
+    labels = _propagate_exact(pc.xyz, valid, r2, cos_thr, normals,
+                              64 if rounds is None else rounds,
+                              query_tile, ref_tile)
+    return _rank_tail(labels, valid, min_size, max_clusters)
 
 
 @partial(jax.jit, static_argnames=("max_clusters",))

@@ -122,6 +122,37 @@ def estimate_normals(pc: PointCloud, radius, viewpoint=(0.0, 0.0, 0.0),
 
 
 @partial(jax.jit, static_argnames=("query_tile", "ref_tile"))
+def estimate_curvature(pc: PointCloud, radius, sqr_gauss=None,
+                       min_neighbors: int | jax.Array = 3,
+                       query_tile: int = 512, ref_tile: int = 1024):
+    """Surface variation per point — PCL's NormalEstimation "curvature".
+
+    lambda_0 / (lambda_0 + lambda_1 + lambda_2) of the radius-neighborhood
+    covariance (kernel-weighted here, like estimate_normals — PCL's is
+    unweighted; both go to 0 on planes and grow toward 1/3 at corners and
+    isolated noise). The classic gate for region growing: crease/edge
+    points score high and can be excluded so regions don't bleed across
+    sharp edges (ops.region_growing's ``curvature`` input).
+
+    Returns (curvature [N] float32 in [0, ~1/3], valid [N]); zeros where
+    fewer than ``min_neighbors`` other points support the estimate.
+    """
+    xyz, mask = pc.xyz, pc.mask
+    r2 = jnp.square(jnp.asarray(radius, jnp.float32))
+    sg = r2 if sqr_gauss is None else jnp.asarray(sqr_gauss, jnp.float32)
+    sw, swp, swppt, cnt = _radius_moments(xyz, mask, radius, sg,
+                                          query_tile, ref_tile)
+    denom = jnp.maximum(sw, 1e-12)[:, None]
+    mu = swp / denom
+    cov = swppt / denom[..., None] - mu[:, :, None] * mu[:, None, :]
+    vals = jnp.linalg.eigvalsh(cov + 1e-12 * jnp.eye(3, dtype=jnp.float32))
+    vals = jnp.maximum(vals, 0.0)                  # clamp fp cancellation
+    curv = vals[..., 0] / jnp.maximum(jnp.sum(vals, axis=-1), 1e-12)
+    ok = mask & (cnt - 1 >= jnp.asarray(min_neighbors, jnp.int32))
+    return jnp.where(ok, curv, 0.0), ok
+
+
+@partial(jax.jit, static_argnames=("query_tile", "ref_tile"))
 def mls_smooth(pc: PointCloud, radius, sqr_gauss=None,
                min_neighbors: int | jax.Array = 3,
                query_tile: int = 512, ref_tile: int = 1024) -> PointCloud:

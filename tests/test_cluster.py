@@ -303,3 +303,105 @@ def test_segment_cli_exact_flag(tmp_path):
     assert n == 2
     xyz0, _ = load_ply(os.path.join(out, "cluster_00.ply"))
     assert len(xyz0) == 200
+
+
+# ------------------------------------------------------- region growing
+
+def _l_shape(step=0.02, extent=0.5):
+    """Two perpendicular planes sharing an edge (the y axis): the classic
+    region-growing scene. Returns (xyz, normals) with analytic normals."""
+    g = np.arange(step, extent, step, dtype=np.float32)
+    y = np.arange(0, extent, step, dtype=np.float32)
+    ax, ay = np.meshgrid(g, y, indexing="ij")
+    a = np.stack([ax.ravel(), ay.ravel(), np.zeros(ax.size)], 1)
+    bz, by = np.meshgrid(g, y, indexing="ij")
+    b = np.stack([np.zeros(bz.size), by.ravel(), bz.ravel()], 1)
+    edge = np.stack([np.zeros(len(y)), y, np.zeros(len(y))], 1)
+    xyz = np.concatenate([a, b, edge]).astype(np.float32)
+    nrm = np.concatenate([
+        np.tile([0.0, 0.0, 1.0], (len(a), 1)),
+        np.tile([1.0, 0.0, 0.0], (len(b), 1)),
+        np.tile([np.sqrt(0.5), 0.0, np.sqrt(0.5)], (len(edge), 1)),
+    ]).astype(np.float32)
+    return xyz, nrm, len(a), len(b)
+
+
+def test_region_growing_splits_at_crease():
+    """Euclidean connectivity sees ONE L-shaped component; the smoothness
+    gate must split it into the two planes."""
+    from pointcloud_stitching_tpu.ops.cluster import (
+        euclidean_clusters_exact, region_growing)
+    xyz, nrm, na, nb = _l_shape()
+    pc = _cloud(xyz)
+    _, num_e, _ = euclidean_clusters_exact(pc, 0.03, max_clusters=4,
+                                           query_tile=256, ref_tile=256)
+    assert int(num_e) == 1
+    lab, num, sizes = region_growing(pc, jnp.asarray(nrm), 0.03,
+                                     np.deg2rad(20.0), max_clusters=4,
+                                     query_tile=256, ref_tile=256)
+    # three regions: plane A, plane B, and the 45-degree edge line (its
+    # points all share the edge normal, so they connect to each other but
+    # to neither plane)
+    assert int(num) == 3
+    got = np.asarray(lab)
+    assert (got[:na] == got[0]).all()
+    assert (got[na:na + nb] == got[na]).all()
+    assert (got[na + nb:] == got[na + nb]).all()
+    assert len({got[0], got[na], got[na + nb]}) == 3
+    assert int(sizes[2]) == len(xyz) - na - nb
+
+
+def test_region_growing_sign_flip_invariant():
+    """|n_i . n_j| comparison: flipping random normal signs (orientation is
+    arbitrary for unoriented scans) must not change the segmentation."""
+    from pointcloud_stitching_tpu.ops.cluster import region_growing
+    xyz, nrm, na, nb = _l_shape(step=0.04)
+    rng = np.random.default_rng(0)
+    flip = np.where(rng.uniform(size=len(xyz)) > 0.5, -1.0, 1.0)[:, None]
+    pc = _cloud(xyz)
+    lab1, num1, _ = region_growing(pc, jnp.asarray(nrm), 0.06,
+                                   np.deg2rad(20.0), max_clusters=4)
+    lab2, num2, _ = region_growing(pc, jnp.asarray(nrm * flip), 0.06,
+                                   np.deg2rad(20.0), max_clusters=4)
+    assert int(num1) == int(num2) == 3
+    assert np.array_equal(np.asarray(lab1), np.asarray(lab2))
+
+
+def test_region_growing_chains_across_smooth_curvature():
+    """PCL smooth-mode semantics: smoothness is pairwise, so a gently
+    curved surface whose TOTAL normal variation far exceeds the threshold
+    still forms one region (adjacent normals agree)."""
+    from pointcloud_stitching_tpu.ops.cluster import region_growing
+    t = np.linspace(0, np.pi / 2, 80, dtype=np.float32)   # quarter cylinder
+    y = np.linspace(0, 0.3, 12, dtype=np.float32)
+    tt, yy = np.meshgrid(t, y, indexing="ij")
+    xyz = np.stack([np.cos(tt).ravel(), yy.ravel(),
+                    np.sin(tt).ravel()], 1).astype(np.float32)
+    nrm = np.stack([np.cos(tt).ravel(), np.zeros(tt.size),
+                    np.sin(tt).ravel()], 1).astype(np.float32)
+    pc = _cloud(xyz)
+    lab, num, sizes = region_growing(pc, jnp.asarray(nrm), 0.05,
+                                     np.deg2rad(10.0), max_clusters=4)
+    assert int(num) == 1 and int(sizes[0]) == len(xyz)
+
+
+def test_region_growing_curvature_gate():
+    """estimate_curvature scores the crease high; gating on it removes
+    crease points from every region (PCL's curvature test role)."""
+    from pointcloud_stitching_tpu.ops.cluster import region_growing
+    from pointcloud_stitching_tpu.ops.mls import estimate_curvature
+    xyz, nrm, na, nb = _l_shape()
+    pc = _cloud(xyz)
+    curv, okc = estimate_curvature(pc, 0.06)
+    c = np.asarray(curv)
+    # interior plane points are flat, crease-line points are not
+    interior = c[na // 2]           # deep inside plane A
+    crease = c[na + nb:]            # the shared-edge points
+    assert interior < 0.01, interior
+    assert crease.min() > 5 * max(interior, 1e-4), crease.min()
+    lab, num, _ = region_growing(pc, jnp.asarray(nrm), 0.03,
+                                 np.deg2rad(20.0), curvature=curv,
+                                 curvature_threshold=0.02, max_clusters=4)
+    got = np.asarray(lab)
+    assert int(num) == 2
+    assert (got[na + nb:] == -1).all()
