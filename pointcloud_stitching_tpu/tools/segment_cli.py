@@ -11,7 +11,8 @@ per cluster plus a summary table.
 Usage:
   python -m pointcloud_stitching_tpu.tools.segment_cli scene.ply out_dir \
       [--drop-plane 0.02 [--planes 1]] [--tolerance 0.05] \
-      [--min-size 30] [--max-clusters 16] [--exact]
+      [--min-size 30] [--max-clusters 16] [--exact] \
+      [--smooth-angle 20 [--max-curvature 0.02]]
 """
 from __future__ import annotations
 
@@ -37,6 +38,19 @@ def main(argv=None):
                     help="exact-radius connectivity (PCL's precise "
                          "semantics; O(N^2) per round — for analysis-"
                          "scale clouds) instead of voxel adjacency")
+    ap.add_argument("--smooth-angle", type=float, default=None,
+                    metavar="DEG",
+                    help="segment into smooth surface patches instead "
+                         "(pcl::RegionGrowing role): points join a region "
+                         "only when their estimated normals agree within "
+                         "DEG degrees (implies exact-radius connectivity)")
+    ap.add_argument("--normal-radius", type=float, default=None,
+                    help="--smooth-angle normal/curvature estimation "
+                         "radius (default 2x tolerance)")
+    ap.add_argument("--max-curvature", type=float, default=None,
+                    help="--smooth-angle: exclude points with surface "
+                         "variation above this (creases/edges; "
+                         "PCL's curvature test)")
     ap.add_argument("--mls", type=float, default=None, metavar="RADIUS",
                     help="moving-least-squares smooth the cloud first "
                          "(plane-projection MLS, pcl::MovingLeastSquares "
@@ -84,11 +98,28 @@ def main(argv=None):
                   f"d={m[3]:+.3f}, {c} inliers removed", flush=True)
             pc = extract_plane(pc, model, args.drop_plane)
 
-    cluster_fn = euclidean_clusters_exact if args.exact \
-        else euclidean_clusters
-    labels, num, sizes = cluster_fn(
-        pc, args.tolerance, min_size=args.min_size,
-        max_clusters=args.max_clusters)
+    if args.smooth_angle is not None:
+        from pointcloud_stitching_tpu.ops import (estimate_curvature,
+                                                  estimate_normals,
+                                                  region_growing)
+        nr = args.normal_radius or 2.0 * args.tolerance
+        nrm, okn = estimate_normals(pc, nr)
+        curv = okc = None
+        if args.max_curvature is not None:
+            curv, okc = estimate_curvature(pc, nr)
+        labels, num, sizes = region_growing(
+            pc, nrm, args.tolerance, np.deg2rad(args.smooth_angle),
+            normals_valid=okn, curvature=curv,
+            curvature_threshold=args.max_curvature,
+            min_size=args.min_size, max_clusters=args.max_clusters)
+        print(f"region growing: smoothness {args.smooth_angle} deg, "
+              f"normal radius {nr} m", flush=True)
+    else:
+        cluster_fn = euclidean_clusters_exact if args.exact \
+            else euclidean_clusters
+        labels, num, sizes = cluster_fn(
+            pc, args.tolerance, min_size=args.min_size,
+            max_clusters=args.max_clusters)
     cent, lo, hi, cnt = cluster_stats(pc, labels,
                                       max_clusters=args.max_clusters)
     n = int(num)

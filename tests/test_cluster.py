@@ -405,3 +405,25 @@ def test_region_growing_curvature_gate():
     got = np.asarray(lab)
     assert int(num) == 2
     assert (got[na + nb:] == -1).all()
+
+
+def test_segment_cli_smooth_angle(tmp_path):
+    """--smooth-angle segments an L-shape into its two planes through the
+    full estimated-normal region-growing path."""
+    from pointcloud_stitching_tpu.io import load_ply
+    from pointcloud_stitching_tpu.io.plyio import save_ply
+    from pointcloud_stitching_tpu.tools import segment_cli
+    xyz, _, na, nb = _l_shape()
+    inp = str(tmp_path / "l.ply")
+    save_ply(inp, xyz)
+    out = str(tmp_path / "regions")
+    n = segment_cli.main([inp, out, "--tolerance", "0.03",
+                          "--smooth-angle", "20",
+                          "--max-curvature", "0.02",
+                          "--min-size", "50"])
+    assert n == 2
+    xyz0, _ = load_ply(os.path.join(out, "cluster_00.ply"))
+    xyz1, _ = load_ply(os.path.join(out, "cluster_01.ply"))
+    # one flat-z plane, one flat-x plane (order by size is tied -> check set)
+    flat = {("z" if np.ptp(c[:, 2]) < 1e-4 else "x") for c in (xyz0, xyz1)}
+    assert flat == {"z", "x"}
