@@ -9,6 +9,7 @@ from .nn import nearest_neighbors
 from .kabsch import kabsch
 from .icp import (ICPResult, icp, icp_batched, icp_converge,
                   icp_point_to_plane_batched)
+from .gicp import gicp, gicp_covariances
 from .normals import decode_normals, grid_normals
 from .fpfh import fpfh, match_fpfh
 from .sac import extract_plane, segment_plane
@@ -30,7 +31,8 @@ __all__ = [
     "compact", "fuse", "fuse_batched",
     "nearest_neighbors", "kabsch",
     "ICPResult", "icp", "icp_batched", "icp_converge",
-    "icp_point_to_plane_batched", "grid_normals", "decode_normals",
+    "icp_point_to_plane_batched", "gicp", "gicp_covariances",
+    "grid_normals", "decode_normals",
     "segment_plane", "extract_plane", "euclidean_clusters",
     "cluster_stats", "euclidean_clusters_exact", "region_growing",
     "estimate_curvature", "mls_smooth", "organized_mesh",

@@ -130,10 +130,12 @@ def _blockwise(xyz, valid, extras, query_tile, ref_tile, step):
             re = [slc(e, ri, rt) for e in pex]
             return jax.tree.map(jnp.add, acc, step(q, qv, qe, r, rv, re))
 
+        # structure-only eval: a zeros_like over a real step() would burn
+        # one extra block sweep per query tile just to learn the shapes
         zero = jax.tree.map(
-            jnp.zeros_like,
-            step(q, qv, qe, pxyz[:rt], pvalid[:rt] & False,
-                 [e[:rt] for e in pex]))
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(step, q, qv, qe, pxyz[:rt], pvalid[:rt],
+                           [e[:rt] for e in pex]))
         return jax.lax.fori_loop(0, nr, ref_step, zero)
 
     out = jax.lax.map(query_block, jnp.arange(nq))

@@ -54,6 +54,12 @@ def main(argv=None):
                     help="key-range-pruned NN (exact; ~5x at 100k scale)")
     ap.add_argument("--voxel", type=float, default=None,
                     help="pre-downsample both clouds (meters)")
+    ap.add_argument("--gicp", action="store_true",
+                    help="finish with plane-to-plane Generalized ICP "
+                         "(pcl::GeneralizedICP role): registers the "
+                         "surfaces rather than the sample positions")
+    ap.add_argument("--gicp-normal-radius", type=float, default=0.05,
+                    help="--gicp normal-estimation radius (meters)")
     args = ap.parse_args(argv)
 
     from pointcloud_stitching_tpu.utils.platform import apply_platform_override
@@ -107,6 +113,25 @@ def main(argv=None):
                             transformation_epsilon=args.epsilon,
                             max_corr_dist=args.max_corr_dist,
                             trim_fraction=args.trim, prune=args.prune)
+    if args.gicp:
+        # plane-to-plane polish on top of whichever initialisation ran
+        # (picks / identity / --global winner): registers the surfaces,
+        # not the sample positions — the right final pass when the two
+        # scans don't share sample sites (they never exactly do)
+        from pointcloud_stitching_tpu.ops import estimate_normals
+        from pointcloud_stitching_tpu.ops.gicp import gicp
+        nr = args.gicp_normal_radius
+        ns, oks = estimate_normals(src, nr)
+        nd, okd = estimate_normals(dst, nr)
+        g = gicp(src, dst, ns, nd, oks, okd, init_T=res.T,
+                 max_iterations=args.max_iter,
+                 transformation_epsilon=args.epsilon,
+                 max_corr_dist=args.max_corr_dist,
+                 trim_fraction=args.trim)
+        print(f"GICP: {int(g.iterations)} iterations, "
+              f"mahalanobis={float(g.mean_error):.3e}, "
+              f"inliers={int(g.num_inliers)}", flush=True)
+        res = res._replace(T=g.T, icp=g)
     if res.icp is not None:
         print(f"ICP: {int(res.icp.iterations)} iterations, "
               f"mean_error={float(res.icp.mean_error):.3e}, "
