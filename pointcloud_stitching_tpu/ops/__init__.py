@@ -12,6 +12,7 @@ from .icp import (ICPResult, icp, icp_batched, icp_converge,
 from .gicp import gicp, gicp_covariances
 from .normals import decode_normals, grid_normals
 from .fpfh import fpfh, match_fpfh
+from .keypoints import iss_keypoints
 from .sac import extract_plane, segment_plane
 from .cluster import (cluster_stats, euclidean_clusters,
                       euclidean_clusters_exact, region_growing)
@@ -36,7 +37,7 @@ __all__ = [
     "segment_plane", "extract_plane", "euclidean_clusters",
     "cluster_stats", "euclidean_clusters_exact", "region_growing",
     "estimate_curvature", "mls_smooth", "organized_mesh",
-    "estimate_normals", "fpfh", "match_fpfh",
+    "estimate_normals", "fpfh", "match_fpfh", "iss_keypoints",
     "count_neighbors", "crop_box", "frustum_cull",
     "knn_mean_distance", "passthrough",
     "radius_outlier_removal", "statistical_outlier_removal",

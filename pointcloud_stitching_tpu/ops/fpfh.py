@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.types import PointCloud
+from .sweep import blockwise_accumulate as _blockwise
 
 FPFH_BINS = 11
 FPFH_DIM = 3 * FPFH_BINS
@@ -102,45 +103,6 @@ def _pair_hist_block(q, qn, qv, r, rn, rv, r2):
         _one_hot_hist(to_bin(theta, -jnp.pi, jnp.pi), wgt),
     ], axis=-1)                                          # [qt, 33]
     return hist, jnp.sum(wgt, axis=1)
-
-
-def _blockwise(xyz, valid, extras, query_tile, ref_tile, step):
-    """Shared [qt, rt] sweep driver: lax.map over query tiles, fori over ref
-    tiles. ``extras`` arrays (leading dim N) ride along sliced to BOTH the
-    query block and the ref block; ``step`` maps
-    (q, qv, q_extras, r, rv, r_extras) -> pytree of [qt, ...] accumulators,
-    summed over ref blocks."""
-    n = xyz.shape[0]
-    qt, rt = min(query_tile, n), min(ref_tile, n)
-    nq, nr = -(-n // qt), -(-n // rt)
-    pad_n = max(nq * qt, nr * rt)
-    pxyz = jnp.pad(xyz, ((0, pad_n - n), (0, 0)))
-    pvalid = jnp.pad(valid, (0, pad_n - n))
-    pex = [jnp.pad(e, ((0, pad_n - n),) + ((0, 0),) * (e.ndim - 1))
-           for e in extras]
-    slc = lambda a, i, w: jax.lax.dynamic_slice(
-        a, (i * w,) + (0,) * (a.ndim - 1), (w,) + a.shape[1:])
-
-    def query_block(qi):
-        q, qv = slc(pxyz, qi, qt), slc(pvalid, qi, qt)
-        qe = [slc(e, qi, qt) for e in pex]
-
-        def ref_step(ri, acc):
-            r, rv = slc(pxyz, ri, rt), slc(pvalid, ri, rt)
-            re = [slc(e, ri, rt) for e in pex]
-            return jax.tree.map(jnp.add, acc, step(q, qv, qe, r, rv, re))
-
-        # structure-only eval: a zeros_like over a real step() would burn
-        # one extra block sweep per query tile just to learn the shapes
-        zero = jax.tree.map(
-            lambda s: jnp.zeros(s.shape, s.dtype),
-            jax.eval_shape(step, q, qv, qe, pxyz[:rt], pvalid[:rt],
-                           [e[:rt] for e in pex]))
-        return jax.lax.fori_loop(0, nr, ref_step, zero)
-
-    out = jax.lax.map(query_block, jnp.arange(nq))
-    return jax.tree.map(
-        lambda a: a.reshape((nq * qt,) + a.shape[2:])[:n], out)
 
 
 @partial(jax.jit, static_argnames=("query_tile", "ref_tile"))
