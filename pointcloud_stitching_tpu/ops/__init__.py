@@ -10,6 +10,7 @@ from .kabsch import kabsch
 from .icp import (ICPResult, icp, icp_batched, icp_converge,
                   icp_point_to_plane_batched)
 from .gicp import gicp, gicp_covariances
+from .ndt import NDTMap, ndt, ndt_align, ndt_build
 from .normals import decode_normals, grid_normals
 from .fpfh import fpfh, match_fpfh
 from .keypoints import iss_keypoints
@@ -33,6 +34,7 @@ __all__ = [
     "nearest_neighbors", "kabsch",
     "ICPResult", "icp", "icp_batched", "icp_converge",
     "icp_point_to_plane_batched", "gicp", "gicp_covariances",
+    "NDTMap", "ndt", "ndt_align", "ndt_build",
     "grid_normals", "decode_normals",
     "segment_plane", "extract_plane", "euclidean_clusters",
     "cluster_stats", "euclidean_clusters_exact", "region_growing",

@@ -66,21 +66,28 @@ def se3_identity(dtype=jnp.float32) -> jax.Array:
 
 
 def so3_exp(omega: jax.Array) -> jax.Array:
-    """Rodrigues: rotation vector [..., 3] -> rotation matrix [..., 3, 3]."""
-    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
-    safe = jnp.maximum(theta, 1e-12)
-    k = omega / safe
-    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
-    zero = jnp.zeros_like(kx)
+    """Rodrigues: rotation vector [..., 3] -> rotation matrix [..., 3, 3].
+
+    Autodiff-safe AT omega = 0: R = I + A [w]_x + B [w]_x^2 with
+    A = sin(t)/t, B = (1-cos t)/t^2 series-guarded on t^2 — no norm() of
+    a zero vector anywhere (its gradient is NaN, and a trailing where()
+    cannot block it: NaN * 0 = NaN). NDT's optimizer takes jax.hessian
+    THROUGH this at exactly omega = 0 every iteration.
+    """
+    t2 = jnp.sum(omega * omega, axis=-1, keepdims=True)   # theta^2
+    small = t2 < 1e-12
+    t2s = jnp.where(small, 1.0, t2)       # finite primal for BOTH branches
+    th = jnp.sqrt(t2s)
+    A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(th) / th)
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(th)) / t2s)
+    wx, wy, wz = omega[..., 0], omega[..., 1], omega[..., 2]
+    zero = jnp.zeros_like(wx)
     K = jnp.stack([
-        jnp.stack([zero, -kz, ky], axis=-1),
-        jnp.stack([kz, zero, -kx], axis=-1),
-        jnp.stack([-ky, kx, zero], axis=-1)], axis=-2)
-    st = jnp.sin(theta)[..., None]
-    ct = (1.0 - jnp.cos(theta))[..., None]
+        jnp.stack([zero, -wz, wy], axis=-1),
+        jnp.stack([wz, zero, -wx], axis=-1),
+        jnp.stack([-wy, wx, zero], axis=-1)], axis=-2)    # [w]_x, unnormalized
     eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), K.shape)
-    R = eye + st * K + ct * mm(K, K)
-    return jnp.where(theta[..., None] < 1e-8, eye, R)
+    return eye + A[..., None] * K + B[..., None] * mm(K, K)
 
 
 def so3_log(R: jax.Array) -> jax.Array:
