@@ -48,7 +48,7 @@ from typing import NamedTuple, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..ops.se3 import mm, se3_from_rt, se3_inverse
+from ..ops.se3 import mm, se3_from_rt, se3_inverse, so3_exp
 
 
 class PoseGraphResult(NamedTuple):
@@ -58,33 +58,13 @@ class PoseGraphResult(NamedTuple):
     iterations: jax.Array     # scalar int32: GN iterations executed
 
 
-# Differentiable-safe SO(3) exp/log. ops.se3's so3_exp/so3_log are exact in
-# value but their `where(theta < eps, ...)` guards NaN out under jacrev at
-# exactly the point GN linearises (theta -> 0: norm() and arccos() have
-# non-finite derivatives, and `where` does not stop the NaN from the
-# untaken branch propagating through the cotangent). These variants use
-# squared-angle guards + Taylor branches so every branch is finite-valued
-# AND finite-derivative; values match so3_exp/so3_log to float tolerance.
-
-def _hat(w: jax.Array) -> jax.Array:
-    x, y, z = w[..., 0], w[..., 1], w[..., 2]
-    zero = jnp.zeros_like(x)
-    return jnp.stack([
-        jnp.stack([zero, -z, y], axis=-1),
-        jnp.stack([z, zero, -x], axis=-1),
-        jnp.stack([-y, x, zero], axis=-1)], axis=-2)
-
-
-def _so3_exp_diff(omega: jax.Array) -> jax.Array:
-    sq = jnp.sum(omega * omega, axis=-1, keepdims=True)     # theta^2
-    small = sq < 1e-12
-    sqs = jnp.where(small, 1.0, sq)                          # grad-safe sqrt
-    theta = jnp.sqrt(sqs)
-    a = jnp.where(small, 1.0 - sq / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - sq / 24.0, (1.0 - jnp.cos(theta)) / sqs)
-    k = _hat(omega)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), k.shape)
-    return eye + a[..., None] * k + b[..., None] * mm(k, k)
+# Differentiable-safe SO(3) log. ops.se3's so3_exp is autodiff-safe since
+# its NDT-round rewrite (squared-angle guard + Taylor branches) and is
+# used directly; so3_log's arccos() still has a non-finite derivative at
+# exactly the point GN linearises (theta -> 0, and `where` does not stop
+# the NaN from the untaken branch propagating through the cotangent), so
+# the log keeps this finite-derivative variant; values match so3_log to
+# float tolerance.
 
 
 def _so3_log_diff(R: jax.Array) -> jax.Array:
@@ -106,7 +86,7 @@ def _so3_log_diff(R: jax.Array) -> jax.Array:
 
 def _pseudo_exp(xi: jax.Array) -> jax.Array:
     """[..., 6] = [t(3), omega(3)] -> [..., 4, 4] (SO(3) x R^3 chart)."""
-    return se3_from_rt(_so3_exp_diff(xi[..., 3:]), xi[..., :3])
+    return se3_from_rt(so3_exp(xi[..., 3:]), xi[..., :3])
 
 
 def _pseudo_log(T: jax.Array) -> jax.Array:

@@ -157,7 +157,7 @@ def _fpfh_start_transforms(cs: PointCloud, cd: PointCloud, key: jax.Array,
     nd_, okd = estimate_normals(cd, nr)
     fs, vs = fpfh(cs, ns_, oks, radius=fr)
     fd, vd = fpfh(cd, nd_, okd, radius=fr)
-    idx, _ = match_fpfh(fs, vs, fd, vd, k=k_corr)       # [N, k_corr]
+    idx, md2 = match_fpfh(fs, vs, fd, vd, k=k_corr)      # [N, k_corr]
 
     k1, k2 = jax.random.split(key)
     # -1e9, not -inf: with zero valid descriptors the categorical must stay
@@ -166,7 +166,11 @@ def _fpfh_start_transforms(cs: PointCloud, cd: PointCloud, key: jax.Array,
     si = jax.random.categorical(k1, logits, shape=(n_starts, 3))
     pick = jax.random.randint(k2, (n_starts, 3), 0, k_corr)
     di = idx[si, pick]                                   # [n_starts, 3]
-    w = (vs[si] & vd[di]).astype(jnp.float32)
+    # match_fpfh pads unmatched k-NN slots with a clamped index + a ~1e12
+    # sentinel distance (e.g. fewer than k_corr valid target descriptors):
+    # zero-weight those, or Kabsch would fit fabricated correspondences
+    matched = md2[si, pick] < 1e11
+    w = (vs[si] & vd[di] & matched).astype(jnp.float32)
     return jax.vmap(kabsch)(cs.xyz[si], cd.xyz[di], w)
 
 

@@ -155,7 +155,18 @@ def euclidean_clusters(pc: PointCloud, tolerance, min_size: int = 1,
     # into n-1, so subtract them by masking: sizes at non-root slots are 0
     is_root = (labels == jnp.arange(n)) & uvalid
     sizes_at_root = jnp.where(is_root, sizes_at_root, 0)
+    return _rank_from_sizes(sizes_at_root, lab_pt, mask & valid,
+                            min_size, max_clusters)
 
+
+def _rank_from_sizes(sizes_at_root, lab_pt, active, min_size,
+                     max_clusters):
+    """Shared extraction tail: root-slot sizes -> size-filtered,
+    largest-first relabel (labels 0..k-1 / -1, num, sizes). Root "slots"
+    are voxel slots in the voxel variant and point indices in the exact
+    variants; only the caller knows which, so it supplies sizes_at_root
+    and the per-point root slot lab_pt."""
+    n = sizes_at_root.shape[0]
     k = max_clusters
     top_sizes, top_roots = jax.lax.top_k(sizes_at_root, k)
     min_size = jnp.asarray(min_size, jnp.int32)
@@ -163,7 +174,7 @@ def euclidean_clusters(pc: PointCloud, tolerance, min_size: int = 1,
     num = jnp.sum(keep.astype(jnp.int32))
     rank_of_root = jnp.full((n,), -1, jnp.int32).at[top_roots].set(
         jnp.where(keep, jnp.arange(k, dtype=jnp.int32), -1))
-    out_labels = jnp.where(mask & valid, rank_of_root[lab_pt], -1)
+    out_labels = jnp.where(active, rank_of_root[lab_pt], -1)
     return out_labels, num, jnp.where(keep, top_sizes, 0)
 
 
@@ -245,15 +256,8 @@ def _rank_tail(labels, mask, min_size, max_clusters):
         mask.astype(jnp.int32), lab_pt, num_segments=n)
     is_root = (labels == jnp.arange(n)) & mask
     sizes_at_root = jnp.where(is_root, sizes_at_root, 0)
-    k = max_clusters
-    top_sizes, top_roots = jax.lax.top_k(sizes_at_root, k)
-    min_size = jnp.asarray(min_size, jnp.int32)
-    keep = top_sizes >= jnp.maximum(min_size, 1)
-    num = jnp.sum(keep.astype(jnp.int32))
-    rank_of_root = jnp.full((n,), -1, jnp.int32).at[top_roots].set(
-        jnp.where(keep, jnp.arange(k, dtype=jnp.int32), -1))
-    out_labels = jnp.where(mask, rank_of_root[lab_pt], -1)
-    return out_labels, num, jnp.where(keep, top_sizes, 0)
+    return _rank_from_sizes(sizes_at_root, lab_pt, mask,
+                            min_size, max_clusters)
 
 
 @partial(jax.jit, static_argnames=("max_clusters", "rounds", "query_tile",

@@ -131,7 +131,9 @@ def main(argv=None):
         print(f"GICP: {int(g.iterations)} iterations, "
               f"mahalanobis={float(g.mean_error):.3e}, "
               f"inliers={int(g.num_inliers)}", flush=True)
-        res = res._replace(T=g.T, icp=g)
+        # keep res.icp = the initial stage's stats (meters^2 units); the
+        # GICP residual above is Mahalanobis and prints under its own name
+        res = res._replace(T=g.T)
     if res.icp is not None:
         print(f"ICP: {int(res.icp.iterations)} iterations, "
               f"mean_error={float(res.icp.mean_error):.3e}, "

@@ -102,11 +102,13 @@ def main(argv=None):
         from pointcloud_stitching_tpu.ops import (estimate_curvature,
                                                   estimate_normals,
                                                   region_growing)
-        nr = args.normal_radius or 2.0 * args.tolerance
+        nr = (2.0 * args.tolerance if args.normal_radius is None
+              else args.normal_radius)
         nrm, okn = estimate_normals(pc, nr)
-        curv = okc = None
+        curv = None
         if args.max_curvature is not None:
             curv, okc = estimate_curvature(pc, nr)
+            okn = okn & okc    # unsupported points carry curv 0: gate them
         labels, num, sizes = region_growing(
             pc, nrm, args.tolerance, np.deg2rad(args.smooth_angle),
             normals_valid=okn, curvature=curv,
