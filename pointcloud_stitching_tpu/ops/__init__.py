@@ -14,6 +14,7 @@ from .ndt import NDTMap, ndt, ndt_align, ndt_build
 from .normals import decode_normals, grid_normals
 from .fpfh import fpfh, match_fpfh
 from .keypoints import iss_keypoints
+from .vfh import vfh
 from .sac import extract_plane, segment_plane
 from .cluster import (cluster_stats, euclidean_clusters,
                       euclidean_clusters_exact, region_growing)
@@ -39,7 +40,7 @@ __all__ = [
     "segment_plane", "extract_plane", "euclidean_clusters",
     "cluster_stats", "euclidean_clusters_exact", "region_growing",
     "estimate_curvature", "mls_smooth", "organized_mesh",
-    "estimate_normals", "fpfh", "match_fpfh", "iss_keypoints",
+    "estimate_normals", "fpfh", "match_fpfh", "iss_keypoints", "vfh",
     "count_neighbors", "crop_box", "frustum_cull",
     "knn_mean_distance", "passthrough",
     "radius_outlier_removal", "statistical_outlier_removal",

@@ -60,6 +60,38 @@ def _one_hot_hist(bins: jax.Array, weight: jax.Array) -> jax.Array:
                    axis=1)
 
 
+def pair_angles(n_src, n_tgt, dp, d):
+    """Darboux-frame pair angles for a broadcast stack of point pairs.
+
+    Args (already broadcast to a common [..., 3] / [...] shape):
+      n_src, n_tgt: the two endpoints' unit normals.
+      dp: p_tgt - p_src; d: |dp| (positive; caller guards d ~ 0).
+
+    Applies the standard source-selection rule (the endpoint whose normal
+    makes the smaller angle with the connecting line becomes the Darboux
+    source) as a select, not a branch. Returns (alpha, phi, theta, ok)
+    where ok is False for degenerate frames (line parallel to the source
+    normal; |v| scales with d so the gate is on the ANGLE |v|/d = sin).
+    Shared by FPFH (all-pairs blocks) and VFH (centroid-to-point stack).
+    """
+    a1 = jnp.sum(n_src * dp, axis=-1) / d
+    a2 = jnp.sum(n_tgt * dp, axis=-1) / d
+    swap = jnp.abs(a1) < jnp.abs(a2)
+    ns = jnp.where(swap[..., None], n_tgt, n_src)
+    nt = jnp.where(swap[..., None], n_src, n_tgt)
+    dvec = jnp.where(swap[..., None], -dp, dp)           # source -> target
+    phi = jnp.where(swap, -a2, a1)                       # = ns . dvec / d
+
+    v = jnp.cross(dvec, ns)
+    vnorm = jnp.linalg.norm(v, axis=-1)
+    ok = vnorm > 1e-5 * d
+    v = v / jnp.maximum(vnorm, 1e-24)[..., None]
+    w = jnp.cross(ns, v)
+    alpha = jnp.sum(v * nt, axis=-1)
+    theta = jnp.arctan2(jnp.sum(w * nt, axis=-1), jnp.sum(ns * nt, axis=-1))
+    return alpha, phi, theta, ok
+
+
 def _pair_hist_block(q, qn, qv, r, rn, rv, r2):
     """SPFH histogram contributions of one [qt, rt] pair block.
 
@@ -72,25 +104,10 @@ def _pair_hist_block(q, qn, qv, r, rn, rv, r2):
     d = jnp.sqrt(jnp.maximum(d2, 1e-24))
     inside = (d2 <= r2) & (d2 > 1e-12) & qv[:, None] & rv[None, :]
 
-    a1 = jnp.sum(qn[:, None, :] * dp, axis=-1) / d       # cos(n_q, q->r)
-    a2 = jnp.sum(rn[None, :, :] * dp, axis=-1) / d       # cos(n_r, q->r)
-    swap = jnp.abs(a1) < jnp.abs(a2)                     # source = smaller angle
     qn_b = jnp.broadcast_to(qn[:, None, :], dp.shape)
     rn_b = jnp.broadcast_to(rn[None, :, :], dp.shape)
-    ns = jnp.where(swap[..., None], rn_b, qn_b)
-    nt = jnp.where(swap[..., None], qn_b, rn_b)
-    dvec = jnp.where(swap[..., None], -dp, dp)           # source -> target
-    phi = jnp.where(swap, -a2, a1)                       # = ns . dvec / d
-
-    v = jnp.cross(dvec, ns)
-    vnorm = jnp.linalg.norm(v, axis=-1)
-    # the frame degenerates when the line is parallel to n_s; |v| scales with
-    # d, so gate on the *angle* (|v|/d = sin), not the raw norm
-    ok = inside & (vnorm > 1e-5 * d)
-    v = v / jnp.maximum(vnorm, 1e-24)[..., None]
-    w = jnp.cross(ns, v)
-    alpha = jnp.sum(v * nt, axis=-1)
-    theta = jnp.arctan2(jnp.sum(w * nt, axis=-1), jnp.sum(ns * nt, axis=-1))
+    alpha, phi, theta, ok = pair_angles(qn_b, rn_b, dp, d)
+    ok = ok & inside
 
     nb = jnp.float32(FPFH_BINS)
     to_bin = lambda x, lo, hi: jnp.clip(
