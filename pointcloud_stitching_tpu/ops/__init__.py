@@ -20,6 +20,8 @@ from .cluster import (cluster_stats, euclidean_clusters,
                       euclidean_clusters_exact, region_growing)
 from .mls import estimate_curvature, estimate_normals, mls_smooth
 from .mesh import organized_mesh
+from .surface import (field_from_map, marching_tetrahedra,
+                      reconstruct_surface, weld_mesh)
 from .filters import (count_neighbors, crop_box, frustum_cull,
                       knn_mean_distance,
                       passthrough, radius_outlier_removal,
@@ -40,6 +42,8 @@ __all__ = [
     "segment_plane", "extract_plane", "euclidean_clusters",
     "cluster_stats", "euclidean_clusters_exact", "region_growing",
     "estimate_curvature", "mls_smooth", "organized_mesh",
+    "field_from_map", "marching_tetrahedra", "reconstruct_surface",
+    "weld_mesh",
     "estimate_normals", "fpfh", "match_fpfh", "iss_keypoints", "vfh",
     "count_neighbors", "crop_box", "frustum_cull",
     "knn_mean_distance", "passthrough",

@@ -7,10 +7,19 @@ depth .npy), deproject it on device, triangulate the organized grid
 (ops.organized_mesh — elementwise, no Delaunay), optionally transform to
 world frame with a .cal, and write a standard PLY mesh every viewer opens.
 
+A second input kind closes the scene-capture loop: give it a voxel-map
+checkpoint (``pcs-stitch --map-leaf ... --map-out scene.npz``) and it
+reconstructs the **isosurface of the accumulated scene** instead — the
+pcl::MarchingCubes role, via ops.surface's marching tetrahedra
+(crack-free by construction, welded + outward-wound on the way out).
+
 Usage:
   python -m pointcloud_stitching_tpu.tools.mesh_cli depth.npy out.ply \
       [--frame 0] [--intr cam0.intr.json] [--cal cam0.cal] \
       [--max-edge 0.05] [--z-min 0.1] [--z-max 10]
+  python -m pointcloud_stitching_tpu.tools.mesh_cli scene.npz out.ply \
+      [--iso 0.5] [--min-weight 0] [--saturate 1] [--smooth 1] \
+      [--max-nodes 256]
 """
 from __future__ import annotations
 
@@ -31,10 +40,24 @@ def main(argv=None):
                     help="cut triangles with edges past this (meters)")
     ap.add_argument("--z-min", type=float, default=0.1)
     ap.add_argument("--z-max", type=float, default=10.0)
+    g = ap.add_argument_group("voxel-map input (.npz checkpoints)")
+    g.add_argument("--iso", type=float, default=0.5,
+                   help="occupancy iso level (0..1)")
+    g.add_argument("--min-weight", type=float, default=0.0,
+                   help="ignore voxels below this evidence weight")
+    g.add_argument("--saturate", type=float, default=1.0,
+                   help="weight at which occupancy clips to 1")
+    g.add_argument("--smooth", type=int, default=1,
+                   help="3^3 box-filter passes over the field")
+    g.add_argument("--max-nodes", type=int, default=256,
+                   help="grid cap per axis when fitting the map bounds")
     args = ap.parse_args(argv)
 
     from pointcloud_stitching_tpu.utils.platform import apply_platform_override
     apply_platform_override()
+
+    if args.depth.endswith(".npz"):
+        return _mesh_map(args)
 
     import jax.numpy as jnp
     import numpy as np
@@ -66,6 +89,25 @@ def main(argv=None):
     save_mesh(args.out, verts, faces)
     print(f"{args.out}: {len(verts)} vertices, {len(faces)} triangles "
           f"(max edge {args.max_edge} m)", flush=True)
+    return len(faces)
+
+
+def _mesh_map(args):
+    """Voxel-map checkpoint -> isosurface mesh (reference has no surface
+    reconstruction at all; this is the pcl::MarchingCubes capability on
+    the persistent scene model)."""
+    from pointcloud_stitching_tpu.io.plyio import save_mesh
+    from pointcloud_stitching_tpu.models.voxel_map import load_map
+    from pointcloud_stitching_tpu.ops.surface import reconstruct_surface
+
+    vmap = load_map(args.depth)
+    verts, faces, n_active = reconstruct_surface(
+        vmap, iso=args.iso, min_weight=args.min_weight,
+        saturate=args.saturate, smooth_iters=args.smooth,
+        max_nodes=args.max_nodes)
+    save_mesh(args.out, verts, faces)
+    print(f"{args.out}: {len(verts)} vertices, {len(faces)} triangles "
+          f"({n_active} surface cells, iso {args.iso})", flush=True)
     return len(faces)
 
 
