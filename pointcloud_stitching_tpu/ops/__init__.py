@@ -15,15 +15,17 @@ from .normals import decode_normals, grid_normals
 from .fpfh import fpfh, match_fpfh
 from .keypoints import iss_keypoints
 from .vfh import vfh
-from .sac import extract_plane, segment_plane
+from .sac import extract_plane, project_plane, segment_plane
 from .cluster import (cluster_stats, euclidean_clusters,
-                      euclidean_clusters_exact, region_growing)
+                      euclidean_clusters_exact, oriented_bboxes,
+                      region_growing)
 from .mls import estimate_curvature, estimate_normals, mls_smooth
 from .mesh import organized_mesh
 from .surface import (field_from_map, marching_tetrahedra,
                       reconstruct_surface, weld_mesh)
-from .filters import (count_neighbors, crop_box, frustum_cull,
-                      knn_mean_distance,
+from .change import detect_changes, detect_changes_map
+from .filters import (bilateral_depth, count_neighbors, crop_box,
+                      frustum_cull, knn_mean_distance,
                       passthrough, radius_outlier_removal,
                       statistical_outlier_removal)
 
@@ -39,13 +41,15 @@ __all__ = [
     "icp_point_to_plane_batched", "gicp", "gicp_covariances",
     "NDTMap", "ndt", "ndt_align", "ndt_build",
     "grid_normals", "decode_normals",
-    "segment_plane", "extract_plane", "euclidean_clusters",
-    "cluster_stats", "euclidean_clusters_exact", "region_growing",
+    "segment_plane", "extract_plane", "project_plane",
+    "euclidean_clusters",
+    "cluster_stats", "euclidean_clusters_exact", "oriented_bboxes",
+    "region_growing",
     "estimate_curvature", "mls_smooth", "organized_mesh",
     "field_from_map", "marching_tetrahedra", "reconstruct_surface",
-    "weld_mesh",
+    "weld_mesh", "detect_changes", "detect_changes_map",
     "estimate_normals", "fpfh", "match_fpfh", "iss_keypoints", "vfh",
-    "count_neighbors", "crop_box", "frustum_cull",
+    "bilateral_depth", "count_neighbors", "crop_box", "frustum_cull",
     "knn_mean_distance", "passthrough",
     "radius_outlier_removal", "statistical_outlier_removal",
 ]

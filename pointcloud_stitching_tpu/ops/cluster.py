@@ -361,3 +361,63 @@ def cluster_stats(pc: PointCloud, labels: jax.Array,
             jnp.where(present[:, None], lo, zero),
             jnp.where(present[:, None], hi, zero),
             cnt[:k].astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("max_clusters",))
+def oriented_bboxes(pc: PointCloud, labels: jax.Array,
+                    max_clusters: int = 16):
+    """Per-cluster oriented bounding boxes from covariance eigenvectors.
+
+    TPU-native role of ``pcl::MomentOfInertiaEstimation::getOBB`` run per
+    extracted cluster (the object-analysis step after clustering: a tight
+    box even when the object is rotated, where the AABB of
+    ``cluster_stats`` over-covers). All clusters are solved at once: one
+    pass of segment sums builds every 3x3 second-moment matrix, one
+    batched ``eigh`` diagonalizes them, and the per-axis extents come from
+    segment min/max of each point projected into ITS OWN cluster's frame
+    (a gather of the axes by label — no per-cluster loop).
+
+    Returns ``(centers [K,3], axes [K,3,3], half [K,3], counts [K])``:
+    ``axes[k]`` rows are the box axes (major first, right-handed),
+    world-frame corner = ``centers[k] + axes[k].T @ (s * half[k])`` for
+    each sign vector s in {-1,1}^3. Zero rows for absent clusters;
+    degenerate (<3 point) clusters get well-defined axes from eigh's
+    orthonormal fallback.
+    """
+    k = max_clusters
+    lab = jnp.where((labels >= 0) & pc.mask, labels, k)
+    w = (lab < k).astype(jnp.float32)
+    xyz = pc.xyz * w[:, None]
+    cnt = jax.ops.segment_sum(w, lab, num_segments=k + 1)
+    mean = (jax.ops.segment_sum(xyz, lab, num_segments=k + 1)
+            / jnp.maximum(cnt[:, None], 1.0))                    # [k+1,3]
+    # second moments E[pp^T] - cc^T (f32 around the centroid would need a
+    # second pass; moments around the origin lose precision at range —
+    # subtract the PER-CLUSTER mean first via a gather, one extra read)
+    d = (pc.xyz - mean[lab]) * w[:, None]
+    outer = d[:, :, None] * d[:, None, :]                        # [N,3,3]
+    cov = (jax.ops.segment_sum(outer.reshape(-1, 9), lab,
+                               num_segments=k + 1)[:k]
+           / jnp.maximum(cnt[:k, None], 1.0)).reshape(k, 3, 3)
+    evals, evecs = jnp.linalg.eigh(cov)                          # ascending
+    axes = jnp.flip(evecs, axis=-1)                              # major first
+    axes = jnp.transpose(axes, (0, 2, 1))                        # rows = axes
+    # right-handed frame: minor axis = major x middle
+    axes = axes.at[:, 2].set(jnp.cross(axes[:, 0], axes[:, 1]))
+    # project each point into its own cluster's frame
+    pad_axes = jnp.concatenate([axes, jnp.eye(3)[None]], 0)      # [k+1,3,3]
+    q = jnp.einsum("nij,nj->ni", pad_axes[lab], d)               # [N,3]
+    big = jnp.float32(3.4e38)
+    lo = jax.ops.segment_min(jnp.where(w[:, None] > 0, q, big), lab,
+                             num_segments=k + 1)[:k]
+    hi = jax.ops.segment_max(jnp.where(w[:, None] > 0, q, -big), lab,
+                             num_segments=k + 1)[:k]
+    present = cnt[:k] > 0
+    half = jnp.where(present[:, None], (hi - lo) / 2.0, 0.0)
+    centers = jnp.where(
+        present[:, None],
+        mean[:k] + jnp.einsum("kij,kj->ki", jnp.transpose(axes, (0, 2, 1)),
+                              (hi + lo) / 2.0), 0.0)
+    axes = jnp.where(present[:, None, None], axes,
+                     jnp.zeros_like(axes))
+    return centers, axes, half, cnt[:k].astype(jnp.int32)

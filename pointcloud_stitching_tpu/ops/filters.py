@@ -217,3 +217,64 @@ def statistical_outlier_removal(pc: PointCloud, k: int = 50,
                   keepdims=True) / jnp.maximum(cnt - 1, 1)
     thresh = mean + std_ratio * jnp.sqrt(var)
     return pc.replace(mask=m & (md <= thresh))
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def bilateral_depth(depth: jax.Array, sigma_spatial=3.0, sigma_range=0.03,
+                    radius: int = 6, depth_scale: float = 0.001
+                    ) -> jax.Array:
+    """Edge-preserving smoothing of an organized depth image.
+
+    TPU-native role of ``pcl::FastBilateralFilter`` (PCL's organized-cloud
+    denoiser; the reference sends raw sensor depth — SURVEY.md §3.1 — and
+    D400 depth carries ~0.5-2% range noise that survives into the fused
+    cloud). PCL approximates the bilateral with a downsampled bilateral
+    grid because exact windows are slow on a CPU; on a TPU the direct
+    form IS the fast form — a (2*radius+1)^2 stack of statically shifted
+    image reads, each a fused multiply-add over the whole [H, W] plane on
+    the VPU, ~50 MB of HBM traffic per megapixel at the default radius.
+
+    Args:
+      depth: [..., H, W] uint16 raw units or float (any scale).
+      sigma_spatial: traced Gaussian width in PIXELS.
+      sigma_range: traced Gaussian width in METERS — edges deeper than a
+        few sigma_range never blend, which is the edge-preserving part.
+      radius: static window radius in pixels (support = 2*radius+1;
+        make it >= ~2*sigma_spatial).
+      depth_scale: meters per raw unit (only converts sigma_range's
+        units; the OUTPUT stays in the input's raw units).
+
+    Returns [..., H, W] float32 filtered depth in the input's raw units,
+    0 where the input pixel was invalid (depth 0) — feed it straight to
+    ``deproject`` with the same depth_scale.
+    """
+    z = depth.astype(jnp.float32)
+    valid = z > 0
+    inv2s = 0.5 / jnp.square(jnp.asarray(sigma_spatial, jnp.float32))
+    # range sigma in raw units so the kernel never rescales the image
+    sr = jnp.asarray(sigma_range, jnp.float32) / jnp.float32(depth_scale)
+    inv2r = 0.5 / jnp.square(sr)
+
+    r = radius
+    pad = [(0, 0)] * (z.ndim - 2) + [(r, r), (r, r)]
+    zp = jnp.pad(z, pad)
+    vp = jnp.pad(valid, pad)
+    h, w = z.shape[-2], z.shape[-1]
+
+    num = jnp.zeros_like(z)
+    den = jnp.zeros_like(z)
+    for di in range(-r, r + 1):
+        for dj in range(-r, r + 1):
+            zs = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(zp, r + di, r + di + h, axis=-2),
+                r + dj, r + dj + w, axis=-1)
+            vs = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(vp, r + di, r + di + h, axis=-2),
+                r + dj, r + dj + w, axis=-1)
+            ws = jnp.exp(-(di * di + dj * dj) * inv2s
+                         - jnp.square(zs - z) * inv2r)
+            ws = jnp.where(vs, ws, 0.0)
+            num = num + ws * zs
+            den = den + ws
+    out = num / jnp.maximum(den, 1e-12)
+    return jnp.where(valid, out, 0.0)

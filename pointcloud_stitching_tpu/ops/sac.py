@@ -150,3 +150,20 @@ def extract_plane(pc: PointCloud, model: jax.Array, threshold,
     on_plane = dist <= threshold
     keep = pc.mask & (~on_plane if negative else on_plane)
     return pc.replace(mask=keep)
+
+
+@jax.jit
+def project_plane(pc: PointCloud, model: jax.Array) -> PointCloud:
+    """Project every valid point onto a plane model.
+
+    TPU-native role of ``pcl::ProjectInliers`` with ``SACMODEL_PLANE``
+    (PCL's flatten-the-inliers step between segmentation and 2-D
+    processing like hull extraction): ``p' = p - (n.p + d) n`` with the
+    model normalized first. Mask and row order are preserved, so labels
+    and RGB stay aligned.
+    """
+    n = model[:3] / jnp.maximum(jnp.linalg.norm(model[:3]), 1e-12)
+    d = model[3] / jnp.maximum(jnp.linalg.norm(model[:3]), 1e-12)
+    dist = jnp.matmul(pc.xyz, n, precision="highest") + d
+    xyz = pc.xyz - dist[..., None] * n
+    return pc.replace(xyz=jnp.where(pc.mask[..., None], xyz, pc.xyz))

@@ -40,6 +40,12 @@ def main(argv=None):
                     help="cut triangles with edges past this (meters)")
     ap.add_argument("--z-min", type=float, default=0.1)
     ap.add_argument("--z-max", type=float, default=10.0)
+    ap.add_argument("--bilateral", type=float, default=None,
+                    metavar="SIGMA_R",
+                    help="edge-preserving bilateral smooth of the depth "
+                         "before meshing (pcl::FastBilateralFilter role; "
+                         "SIGMA_R in meters, e.g. 0.03; spatial sigma "
+                         "3 px)")
     g = ap.add_argument_group("voxel-map input (.npz checkpoints)")
     g.add_argument("--iso", type=float, default=0.5,
                    help="occupancy iso level (0..1)")
@@ -78,8 +84,11 @@ def main(argv=None):
     else:
         intr = Intrinsics.d435_default(width=w, height=h)
 
-    pc = deproject(jnp.asarray(depth), intr, z_min=args.z_min,
-                   z_max=args.z_max)
+    depth = jnp.asarray(depth)
+    if args.bilateral is not None:
+        from pointcloud_stitching_tpu.ops import bilateral_depth
+        depth = bilateral_depth(depth, sigma_range=args.bilateral)
+    pc = deproject(depth, intr, z_min=args.z_min, z_max=args.z_max)
     xyz = pc.xyz
     if args.cal:
         xyz = se3_apply(jnp.asarray(load_cal(args.cal)), xyz)

@@ -55,6 +55,20 @@ def main(argv=None):
                     help="moving-least-squares smooth the cloud first "
                          "(plane-projection MLS, pcl::MovingLeastSquares "
                          "role; RADIUS in meters)")
+    ap.add_argument("--changed-vs", default=None, metavar="REF",
+                    help="segment only what CHANGED vs a baseline "
+                         "(pcl::OctreePointCloudChangeDetector role): a "
+                         ".ply/.pcd cloud or a .npz voxel-map checkpoint; "
+                         "points in voxels the baseline occupies are "
+                         "dropped before analysis")
+    ap.add_argument("--change-leaf", type=float, default=0.05,
+                    help="--changed-vs voxel resolution in meters "
+                         "(ignored for .npz baselines: the map's own "
+                         "leaf applies)")
+    ap.add_argument("--obb", action="store_true",
+                    help="also print each cluster's oriented bounding "
+                         "box (pcl::MomentOfInertiaEstimation getOBB "
+                         "role: covariance-eigenvector axes)")
     ap.add_argument("--seed", type=int, default=0,
                     help="plane-RANSAC key (deterministic per seed)")
     args = ap.parse_args(argv)
@@ -78,6 +92,26 @@ def main(argv=None):
                 else load_ply(args.cloud))
     pc = PointCloud.from_points(xyz, capacity=round_up(len(xyz), 1024))
     print(f"{args.cloud}: {int(pc.count())} points", flush=True)
+
+    if args.changed_vs is not None:
+        from pointcloud_stitching_tpu.ops.change import (detect_changes,
+                                                         detect_changes_map)
+        if args.changed_vs.endswith(".npz"):
+            from pointcloud_stitching_tpu.models.voxel_map import load_map
+            vmap = load_map(args.changed_vs)
+            changed = detect_changes_map(vmap, pc)
+            leaf_used = float(np.asarray(vmap.leaf))
+        else:
+            rxyz, _ = (load_pcd(args.changed_vs)
+                       if args.changed_vs.endswith(".pcd")
+                       else load_ply(args.changed_vs))
+            ref = PointCloud.from_points(rxyz,
+                                         capacity=round_up(len(rxyz), 1024))
+            changed = detect_changes(ref, pc, args.change_leaf)
+            leaf_used = args.change_leaf
+        pc = pc.replace(mask=pc.mask & changed)
+        print(f"changed vs {args.changed_vs} (leaf {leaf_used} m): "
+              f"{int(pc.count())} points remain", flush=True)
 
     if args.mls is not None:
         from pointcloud_stitching_tpu.ops import mls_smooth
@@ -124,6 +158,10 @@ def main(argv=None):
             max_clusters=args.max_clusters)
     cent, lo, hi, cnt = cluster_stats(pc, labels,
                                       max_clusters=args.max_clusters)
+    obb = None
+    if args.obb:
+        from pointcloud_stitching_tpu.ops import oriented_bboxes
+        obb = oriented_bboxes(pc, labels, max_clusters=args.max_clusters)
     n = int(num)
     print(f"{n} clusters (tolerance {args.tolerance} m, "
           f"min size {args.min_size}):", flush=True)
@@ -143,6 +181,13 @@ def main(argv=None):
               f"centroid ({ck[0]:+.3f}, {ck[1]:+.3f}, {ck[2]:+.3f})  "
               f"size ({hk[0]-lk[0]:.3f} x {hk[1]-lk[1]:.3f} x "
               f"{hk[2]-lk[2]:.3f}) m -> {path}", flush=True)
+        if obb is not None:
+            hf = np.asarray(obb[2])[k]
+            ax = np.asarray(obb[1])[k]
+            yaw = np.degrees(np.arctan2(ax[0, 1], ax[0, 0]))
+            print(f"       obb {2*hf[0]:.3f} x {2*hf[1]:.3f} x "
+                  f"{2*hf[2]:.3f} m (major-axis yaw {yaw:+.1f} deg)",
+                  flush=True)
     return n
 
 

@@ -427,3 +427,78 @@ def test_segment_cli_smooth_angle(tmp_path):
     # one flat-z plane, one flat-x plane (order by size is tied -> check set)
     flat = {("z" if np.ptp(c[:, 2]) < 1e-4 else "x") for c in (xyz0, xyz1)}
     assert flat == {"z", "x"}
+
+
+# --- oriented bounding boxes (pcl::MomentOfInertiaEstimation getOBB role)
+
+def _rot(seed):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array([
+        [1 - 2*(y*y + z*z), 2*(x*y - w*z), 2*(x*z + w*y)],
+        [2*(x*y + w*z), 1 - 2*(x*x + z*z), 2*(y*z - w*x)],
+        [2*(x*z - w*y), 2*(y*z + w*x), 1 - 2*(x*x + y*y)]])
+
+
+def test_obb_recovers_rotated_boxes():
+    from pointcloud_stitching_tpu.ops.cluster import oriented_bboxes
+    rng = np.random.default_rng(7)
+    true_half = [np.array([0.5, 0.2, 0.05]), np.array([0.3, 0.25, 0.1])]
+    offs = [np.array([0.0, 0.0, 1.0]), np.array([5.0, 0.0, 1.0])]
+    pts, labels = [], []
+    rots = [_rot(1), _rot(2)]
+    for k in range(2):
+        p = rng.uniform(-1, 1, (4000, 3)) * true_half[k]
+        pts.append(p @ rots[k].T + offs[k])
+        labels.append(np.full(4000, k))
+    pc = _cloud(np.concatenate(pts))
+    labels = jnp.asarray(np.concatenate(labels).astype(np.int32))
+    centers, axes, half, cnt = oriented_bboxes(pc, labels, max_clusters=4)
+    centers, axes, half, cnt = (np.asarray(centers), np.asarray(axes),
+                                np.asarray(half), np.asarray(cnt))
+    assert cnt.tolist() == [4000, 4000, 0, 0]
+    assert np.all(half[2:] == 0) and np.all(centers[2:] == 0)
+    for k in range(2):
+        # orthonormal right-handed frame
+        np.testing.assert_allclose(axes[k] @ axes[k].T, np.eye(3),
+                                   atol=1e-5)
+        assert np.linalg.det(axes[k]) > 0.99
+        # every point inside, extents achieved
+        q = (pc.xyz[labels == k] - centers[k]) @ axes[k].T
+        assert np.all(np.abs(q) <= half[k] + 1e-4)
+        np.testing.assert_allclose(np.abs(q).max(0), half[k], atol=1e-4)
+        # dense uniform fill: recovered box ~= the true box (sorted)
+        np.testing.assert_allclose(np.sort(half[k]),
+                                   np.sort(true_half[k]), rtol=0.06)
+        # major axis aligns with the true long axis (up to sign)
+        major_true = rots[k][:, np.argmax(true_half[k])]
+        assert abs(axes[k, 0] @ major_true) > 0.99
+
+
+def test_obb_tighter_than_aabb_when_rotated():
+    from pointcloud_stitching_tpu.ops.cluster import (cluster_stats,
+                                                      oriented_bboxes)
+    rng = np.random.default_rng(3)
+    p = rng.uniform(-1, 1, (3000, 3)) * [0.6, 0.1, 0.02]
+    r = _rot(9)
+    pc = _cloud(p @ r.T + [1.0, 2.0, 3.0])
+    labels = jnp.zeros((3000,), jnp.int32)
+    _, lo, hi, _ = cluster_stats(pc, labels, max_clusters=1)
+    _, _, half, _ = oriented_bboxes(pc, labels, max_clusters=1)
+    vol_aabb = float(np.prod(np.asarray(hi[0]) - np.asarray(lo[0])))
+    vol_obb = float(np.prod(2 * np.asarray(half[0])))
+    assert vol_obb < 0.7 * vol_aabb
+
+
+def test_obb_degenerate_single_point():
+    from pointcloud_stitching_tpu.ops.cluster import oriented_bboxes
+    pc = _cloud([[1.0, 2.0, 3.0]])
+    labels = jnp.zeros((1,), jnp.int32)
+    centers, axes, half, cnt = oriented_bboxes(pc, labels, max_clusters=2)
+    assert int(cnt[0]) == 1
+    np.testing.assert_allclose(np.asarray(centers[0]), [1, 2, 3], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(half[0]), 0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(axes[0]) @ np.asarray(axes[0]).T, np.eye(3), atol=1e-5)

@@ -193,3 +193,67 @@ def test_frustum_cull_roundtrip_and_box():
     # invert keeps exactly the complement
     mi = np.asarray(frustum_cull(bad, intr, z_max=10.0, invert=True).mask)
     assert mi.all()
+
+
+# --- bilateral depth filter (pcl::FastBilateralFilter role) -------------
+
+def bilateral_np(depth, sigma_s, sigma_r_raw, radius):
+    """Direct O(HW k^2) oracle in float64."""
+    z = depth.astype(np.float64)
+    valid = z > 0
+    h, w = z.shape
+    out = np.zeros_like(z)
+    for i in range(h):
+        for j in range(w):
+            if not valid[i, j]:
+                continue
+            num = den = 0.0
+            for di in range(-radius, radius + 1):
+                for dj in range(-radius, radius + 1):
+                    ii, jj = i + di, j + dj
+                    if not (0 <= ii < h and 0 <= jj < w):
+                        continue
+                    if not valid[ii, jj]:
+                        continue
+                    wgt = np.exp(-(di * di + dj * dj) / (2 * sigma_s ** 2)
+                                 - (z[ii, jj] - z[i, j]) ** 2
+                                 / (2 * sigma_r_raw ** 2))
+                    num += wgt * z[ii, jj]
+                    den += wgt
+            out[i, j] = num / den
+    return out
+
+
+def test_bilateral_matches_oracle(rng):
+    from pointcloud_stitching_tpu.ops import bilateral_depth
+    depth = (1000 + rng.normal(0, 8, (12, 16))).astype(np.uint16)
+    depth[3:5, 6:9] = 0                      # holes
+    depth[:, 10:] = 2000                     # a hard step
+    got = np.asarray(bilateral_depth(depth, sigma_spatial=2.0,
+                                     sigma_range=0.02, radius=3))
+    want = bilateral_np(depth, 2.0, 0.02 / 0.001, 3)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=0.02)
+    assert np.all(got[3:5, 6:9] == 0)        # holes stay holes
+
+
+def test_bilateral_smooths_but_keeps_edges(rng):
+    from pointcloud_stitching_tpu.ops import bilateral_depth
+    depth = np.full((40, 60), 1000.0, np.float32)
+    depth[:, 30:] = 1500.0                   # 0.5 m step >> sigma_range
+    noisy = depth + rng.normal(0, 5, depth.shape).astype(np.float32)
+    out = np.asarray(bilateral_depth(noisy, sigma_spatial=3.0,
+                                     sigma_range=0.02, radius=6))
+    # noise drops by >3x away from borders/edge...
+    inner = (slice(8, 32), slice(8, 22))
+    assert out[inner].std() < noisy[inner].std() / 3
+    # ...and the step survives un-blended (no mid values near the edge)
+    assert np.all(np.abs(out[:, 28:32] - depth[:, 28:32]) < 25)
+
+
+def test_bilateral_batched_and_uint16(rng):
+    from pointcloud_stitching_tpu.ops import bilateral_depth
+    d = (1000 + rng.normal(0, 5, (2, 10, 12))).astype(np.uint16)
+    out = np.asarray(bilateral_depth(d, radius=2))
+    assert out.shape == (2, 10, 12) and out.dtype == np.float32
+    single = np.asarray(bilateral_depth(d[1], radius=2))
+    np.testing.assert_allclose(out[1], single, rtol=1e-6)

@@ -131,3 +131,21 @@ def test_on_pipeline_output():
     assert int(count) > 0.95 * int(out.metrics.points_out)
     rest = extract_plane(out.cloud, jnp.asarray(model), 0.005)
     assert int(jnp.sum(rest.mask)) < 0.05 * int(out.metrics.points_out)
+
+
+def test_project_plane():
+    from pointcloud_stitching_tpu.ops.sac import project_plane
+    rng = np.random.default_rng(11)
+    xyz = rng.uniform(-2, 2, (500, 3)).astype(np.float32)
+    pc = PointCloud(xyz=jnp.asarray(xyz),
+                    mask=jnp.asarray(rng.random(500) > 0.2))
+    model = jnp.asarray([2.0, 0.0, 0.0, -1.0])  # un-normalized: x = 0.5
+    out = project_plane(pc, model)
+    got = np.asarray(out.xyz)
+    m = np.asarray(pc.mask)
+    # valid points land exactly on the plane, y/z untouched
+    np.testing.assert_allclose(got[m, 0], 0.5, atol=1e-6)
+    np.testing.assert_allclose(got[m, 1:], xyz[m, 1:], atol=1e-6)
+    # masked rows are untouched (labels/rgb alignment contract)
+    np.testing.assert_array_equal(got[~m], xyz[~m])
+    assert np.array_equal(np.asarray(out.mask), m)
