@@ -28,14 +28,18 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.types import PointCloud
 from .voxel import _SENTINEL
 
 # the voxel-map bias/bounds (models/voxel_map.py): absolute grid covering
-# ±163 m in x and ±327 m in y/z at a 1 cm leaf
-_BIAS = jnp.array([16384, 32768, 32768], jnp.int32)
-_BOUND = jnp.array([32766, 65534, 65534], jnp.int32)
+# ±163 m in x and ±327 m in y/z at a 1 cm leaf. Plain numpy, NOT jnp:
+# module-level jnp arrays initialise the XLA backend at import time, which
+# breaks late jax.distributed.initialize in the multihost children (the
+# same rule voxel_map.py and surface.py follow).
+_BIAS = np.array([16384, 32768, 32768], np.int32)
+_BOUND = np.array([32766, 65534, 65534], np.int32)
 
 
 def _abs_keys(xyz: jax.Array, mask: jax.Array, leaf) -> tuple[jax.Array,

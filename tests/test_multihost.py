@@ -24,6 +24,26 @@ def _free_port() -> int:
     return port
 
 
+def test_package_import_does_not_initialize_backend():
+    """jax.distributed.initialize must run BEFORE any backend init, so the
+    package (every module the __init__ chain pulls in) may not create jax
+    arrays at import time. Regression guard: ops/change.py once held
+    module-level jnp constants and silently broke the 2-process rig."""
+    code = (
+        "import os; os.environ.setdefault('JAX_PLATFORMS', 'cpu')\n"
+        "import jax._src.xla_bridge as xb\n"
+        "import pointcloud_stitching_tpu\n"
+        "import pointcloud_stitching_tpu.parallel\n"
+        "import pointcloud_stitching_tpu.runtime.wire\n"
+        "assert not xb._backends, 'package import initialized the backend'\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
 def test_two_process_dcn_allgather():
     port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu",
