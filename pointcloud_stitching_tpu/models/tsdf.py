@@ -1,0 +1,658 @@
+"""Dense TSDF volume: KinectFusion-style scene fusion on the TPU.
+
+The reference system fuses *point sets* per frame and throws them away
+(reference: src/pcs-multicamera-client.cpp render loop, SURVEY.md §3.2);
+`models/voxel_map.py` already upgrades that to a persistent sparse
+centroid map. This module adds the third representation a capture rig
+wants — a **truncated signed distance field** (Curless–Levoy / KinFu,
+the `pcl::gpu::kinfu::TsdfVolume` role) — because it is the one that
+supports watertight surface extraction, free-space carving (a removed
+object actually disappears instead of fading), view synthesis by ray
+casting, and drift-free *frame-to-model* camera tracking.
+
+TPU-first design — the volume is a **dense [X, Y, Z] grid**, not a
+voxel hash:
+
+  * Integration is one elementwise map over the grid: every voxel center
+    is projected into every camera (a [V,3]x[3,3] matmul + the pinhole
+    division) and samples the depth image with one gather. No scatter,
+    no atomics, no hash probes — the scatter direction ("which voxels
+    does this pixel touch?") becomes a gather direction ("which pixel
+    does this voxel see?"), which is exactly the transposition TPUs
+    want. Cameras accumulate in a `fori_loop` so peak memory stays at a
+    few V-sized f32 temporaries (a 256³ grid is 67 MB per temporary).
+  * Ray casting is a fixed-step `lax.scan` march (nearest-voxel samples
+    while marching, trilinear refinement + gradient normals at the hit):
+    [rays] is the vector axis, steps are the loop — no data-dependent
+    trip counts under jit.
+  * Tracking is projective point-to-plane ICP against the ray-cast model
+    map — correspondence is a *projection* (one gather per pixel), not a
+    nearest-neighbour search, so a whole tracking iteration is a couple
+    of fused elementwise passes plus a 6×6 solve.
+  * Fixed shapes everywhere: one compiled integrate program serves the
+    volume's entire life; `max_weight` caps per-voxel evidence so the
+    volume keeps adapting (running weighted average, the Curless–Levoy
+    update).
+
+Mesh extraction reuses `ops/surface.py`'s marching tetrahedra on the
+(negated) TSDF field at iso 0 — the same crack-free Kuhn split the
+occupancy path uses, with unobserved nodes masked out so occlusion
+boundaries don't grow fake walls.
+
+Measured steady states (one TPU v5e, 256³ volume, 1 cm leaf; analytic
+scene, scratch/verify_tsdf3.py): integrate 4×848×480 frames 503 ms
+(126 ms/camera — almost entirely the 16.7M-element random depth-image
+gather, which alone measures 123 ms in isolation; the projection math
+is ~4 ms), raycast 848×480 1.17 s full / 278 ms at stride 2, track
+(2 rounds × 6 Gauss-Newton iters, stride 2) 572 ms, extract_cloud
+175 ms, extract_mesh 626 ms at 262k cell capacity. Accuracy against
+the analytic scene: raycast median |Δdepth| 0.03 mm, tracking recovers
+a perturbed pose to 0.7 mm / 0.06°, mesh vertices p99 2.3 mm from the
+true surface. The volume is a scene-model/mapping layer, not a
+per-frame streaming stage — integrate at a keyframe cadence (or on a
+cropped volume) alongside the 12 ms stitching path.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops.deproject import deproject, project
+from ..ops.se3 import mm, se3_apply, se3_compose, se3_from_rt, se3_inverse, so3_exp
+from ..utils.types import Intrinsics, PointCloud
+
+
+@struct.dataclass
+class TSDFVolume:
+    """Dense truncated signed distance volume (see module docstring).
+
+    tsdf:   [X, Y, Z] f32 in [-1, 1] (distance / trunc; +1 = free space)
+    weight: [X, Y, Z] f32 accumulated evidence (0 = never observed)
+    origin: [3] f32 world position of voxel (0, 0, 0)'s CENTER
+    leaf:   scalar f32 voxel edge (meters)
+    trunc:  scalar f32 truncation band (meters; typically 3-6 leaves)
+    rgb:    [X, Y, Z, 3] f32 running-average color in [0, 255], or None
+    """
+
+    tsdf: jax.Array
+    weight: jax.Array
+    origin: jax.Array
+    leaf: jax.Array
+    trunc: jax.Array
+    rgb: Optional[jax.Array] = None
+
+    @property
+    def shape(self) -> tuple[int, int, int]:
+        return self.tsdf.shape
+
+    @classmethod
+    def create(cls, shape: tuple[int, int, int], leaf: float,
+               origin=(0.0, 0.0, 0.0), trunc: float | None = None,
+               with_rgb: bool = False) -> "TSDFVolume":
+        """An empty volume: ``shape`` voxels of edge ``leaf`` anchored so
+        voxel (0,0,0)'s center sits at ``origin``. ``trunc`` defaults to
+        4 leaves (the usual KinFu band: wide enough that several noisy
+        observations overlap, narrow enough not to blur thin structure).
+        """
+        X, Y, Z = shape
+        t = 4.0 * leaf if trunc is None else trunc
+        return cls(
+            tsdf=jnp.ones((X, Y, Z), jnp.float32),
+            weight=jnp.zeros((X, Y, Z), jnp.float32),
+            origin=jnp.asarray(origin, jnp.float32),
+            leaf=jnp.asarray(leaf, jnp.float32),
+            trunc=jnp.asarray(t, jnp.float32),
+            rgb=jnp.zeros((X, Y, Z, 3), jnp.float32) if with_rgb else None,
+        )
+
+
+def _voxel_centers(shape, origin, leaf) -> jax.Array:
+    """[V, 3] world positions of every voxel center (V = X·Y·Z)."""
+    X, Y, Z = shape
+    gi = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 0)
+    gj = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 1)
+    gk = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 2)
+    g = jnp.stack([gi, gj, gk], axis=-1).reshape(-1, 3)
+    return origin + g * leaf
+
+
+def _cam_slice(intr: Intrinsics, c) -> Intrinsics:
+    """Select camera ``c`` from batched Intrinsics (traced index ok)."""
+    return jax.tree_util.tree_map(lambda a: a[c], intr)
+
+
+def integrate(vol: TSDFVolume, depth: jax.Array, intr: Intrinsics,
+              extrinsics: jax.Array, depth_scale: float = 0.001,
+              max_weight: float | jax.Array = 64.0,
+              color: Optional[jax.Array] = None,
+              cam_mask: Optional[jax.Array] = None,
+              z_min: float | jax.Array = 0.0,
+              z_max: float | jax.Array = jnp.inf) -> TSDFVolume:
+    """Fuse one multi-camera depth frame into the volume (pure; donated).
+
+    The Curless–Levoy projective update: every voxel center projects into
+    each camera; the signed distance along the ray is approximated by
+    ``depth(pixel) - z_cam`` and folded into a truncated running weighted
+    average. Voxels more than ``trunc`` *behind* the observed surface are
+    left untouched (occluded — no evidence either way); voxels in front
+    accumulate free-space evidence (+1), which is what lets the volume
+    *carve*: geometry that vanishes from the scene gets overwritten by
+    free space instead of lingering (compare voxel_map's decay, which
+    only forgets).
+
+    Args:
+      vol: current state (donated — updated in place on device).
+      depth: [ncam, H, W] (or [H, W]) u16 raw units or float meters.
+      intr: per-camera Intrinsics (batched to match, or single).
+      extrinsics: [ncam, 4, 4] (or [4, 4]) camera→world transforms (the
+        same .cal matrices the stitcher uses).
+      depth_scale: meters per raw unit for integer depth (0.001 = D400).
+      max_weight: evidence cap — bounds how slowly a long-observed voxel
+        adapts to change (KinFu uses 64-128 at 30 Hz).
+      color: [ncam, H, W, 3] (or [H, W, 3]) uint8/float color aligned to
+        the depth stream, required iff the volume was built with_rgb.
+      cam_mask: [ncam] bool — False drops a camera (a dead slot in the
+        streaming runtime) without recompiling.
+      z_min/z_max: per-camera depth validity range (meters).
+
+    Returns the new volume.
+    """
+    if (color is not None) != (vol.rgb is not None):
+        raise ValueError("color presence must match the volume's with_rgb")
+    if depth.ndim == 2:
+        depth = depth[None]
+        extrinsics = jnp.asarray(extrinsics)[None] \
+            if jnp.asarray(extrinsics).ndim == 2 else extrinsics
+        if color is not None and color.ndim == 3:
+            color = color[None]
+        intr = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a)[None], intr) \
+            if jnp.asarray(intr.fx).ndim == 0 else intr
+    if cam_mask is None:
+        cam_mask = jnp.ones((depth.shape[0],), bool)
+    # canonical f32 scalars: avoids one recompile per distinct python
+    # float (same cache-hygiene rule as voxel_map_update)
+    return _integrate_jit(vol, depth, intr, jnp.asarray(extrinsics),
+                          jnp.asarray(depth_scale, jnp.float32),
+                          jnp.asarray(max_weight, jnp.float32),
+                          color, cam_mask,
+                          jnp.asarray(z_min, jnp.float32),
+                          jnp.asarray(z_max, jnp.float32))
+
+
+@partial(jax.jit, donate_argnames=("vol",))
+def _integrate_jit(vol: TSDFVolume, depth, intr, extrinsics, depth_scale,
+                   max_weight, color, cam_mask, z_min, z_max) -> TSDFVolume:
+    shape = vol.shape
+    V = shape[0] * shape[1] * shape[2]
+    ncam, H, W = depth.shape
+    has_rgb = vol.rgb is not None
+
+    p_w = _voxel_centers(shape, vol.origin, vol.leaf)         # [V, 3]
+    depth_m = depth.astype(jnp.float32) * depth_scale         # [ncam, H, W]
+    inv_ext = se3_inverse(extrinsics)                         # world→cam
+
+    # rgb needs its own weight channel (the near-surface gate differs from
+    # the tsdf gate), so accumulate [V, 4]: rgb-sum + rgb-weight
+    def body_full(c, acc):
+        sum_wt, sum_w, sum_rgb = acc
+        p_c = se3_apply(inv_ext[c], p_w)
+        uv, in_front = project(p_c, _cam_slice(intr, c))
+        ui = jnp.round(uv[:, 0]).astype(jnp.int32)
+        vi = jnp.round(uv[:, 1]).astype(jnp.int32)
+        pix_ok = in_front & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+        flat = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
+        d = depth_m[c].reshape(-1)[flat]
+        d_ok = pix_ok & (d > z_min) & (d > 0.0) & (d < z_max)
+        sdf = d - p_c[:, 2]
+        obs = d_ok & (sdf > -vol.trunc) & cam_mask[c]
+        t_obs = jnp.minimum(sdf / vol.trunc, 1.0)
+        w_obs = obs.astype(jnp.float32)
+        sum_wt = sum_wt + w_obs * t_obs
+        sum_w = sum_w + w_obs
+        if has_rgb:
+            near = obs & (jnp.abs(sdf) <= vol.trunc)
+            wc = near.astype(jnp.float32)
+            rgb_px = color[c].reshape(-1, 3)[flat].astype(jnp.float32)
+            sum_rgb = sum_rgb + jnp.concatenate(
+                [wc[:, None] * rgb_px, wc[:, None]], axis=-1)
+        return sum_wt, sum_w, sum_rgb
+
+    init_rgb = jnp.zeros((V, 4), jnp.float32) if has_rgb \
+        else jnp.zeros((1, 4), jnp.float32)
+    sum_wt, sum_w, sum_rgb = jax.lax.fori_loop(
+        0, ncam, body_full,
+        (jnp.zeros((V,), jnp.float32), jnp.zeros((V,), jnp.float32),
+         init_rgb))
+
+    w_old = vol.weight.reshape(-1)
+    w_new = w_old + sum_w
+    t_new = jnp.where(w_new > 0.0,
+                      (vol.tsdf.reshape(-1) * w_old + sum_wt)
+                      / jnp.maximum(w_new, 1e-12),
+                      1.0)
+    new_rgb = None
+    if has_rgb:
+        # rgb has its own (near-band) weight; reuse the volume's weight as
+        # the prior mass so colors track the same evidence cap
+        rw_old = jnp.minimum(w_old, max_weight)
+        rgb_new = (vol.rgb.reshape(-1, 3) * rw_old[:, None]
+                   + sum_rgb[:, :3])
+        rw_new = rw_old + sum_rgb[:, 3]
+        new_rgb = jnp.where(rw_new[:, None] > 0.0,
+                            rgb_new / jnp.maximum(rw_new, 1e-12)[:, None],
+                            0.0).reshape(*shape, 3)
+    return TSDFVolume(
+        tsdf=t_new.reshape(shape),
+        weight=jnp.minimum(w_new, max_weight).reshape(shape),
+        origin=vol.origin, leaf=vol.leaf, trunc=vol.trunc, rgb=new_rgb)
+
+
+# --------------------------------------------------------------------------
+# sampling helpers
+# --------------------------------------------------------------------------
+
+def _sample_nearest(field, p, origin, leaf):
+    """Nearest-voxel sample of [X,Y,Z] ``field`` at world points [R,3].
+
+    Returns (values [R], inside [R] bool). Out-of-volume points clamp to
+    the border voxel and report inside=False.
+    """
+    X, Y, Z = field.shape
+    g = (p - origin) / leaf
+    idx = jnp.round(g).astype(jnp.int32)
+    inside = jnp.all((idx >= 0) & (idx < jnp.asarray([X, Y, Z])), axis=-1)
+    ic = jnp.clip(idx, 0, jnp.asarray([X - 1, Y - 1, Z - 1]))
+    flat = (ic[:, 0] * Y + ic[:, 1]) * Z + ic[:, 2]
+    return field.reshape(-1)[flat], inside
+
+
+def _sample_trilinear(field, weight, p, origin, leaf):
+    """Trilinear sample of ``field`` at world points [R, 3] (or [R,3]-
+    leading channels if field is [X,Y,Z,C]).
+
+    Returns (values [R] or [R,C], valid [R]) — valid requires all 8
+    support voxels observed (weight > 0) and in bounds.
+    """
+    X, Y, Z = field.shape[:3]
+    chan = field.ndim == 4
+    g = (p - origin) / leaf
+    g0 = jnp.floor(g)
+    f = g - g0
+    i0 = g0.astype(jnp.int32)
+    ok = jnp.all((i0 >= 0) & (i0 < jnp.asarray([X - 1, Y - 1, Z - 1])),
+                 axis=-1)
+    i0c = jnp.clip(i0, 0, jnp.asarray([X - 2, Y - 2, Z - 2]))
+    vals = 0.0
+    wmin = jnp.inf
+    ff = field.reshape(-1, field.shape[-1]) if chan else field.reshape(-1)
+    wf = weight.reshape(-1)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                flat = ((i0c[:, 0] + dx) * Y + (i0c[:, 1] + dy)) * Z \
+                    + (i0c[:, 2] + dz)
+                wgt = (jnp.where(dx, f[:, 0], 1 - f[:, 0])
+                       * jnp.where(dy, f[:, 1], 1 - f[:, 1])
+                       * jnp.where(dz, f[:, 2], 1 - f[:, 2]))
+                v = ff[flat]
+                vals = vals + (wgt[:, None] * v if chan else wgt * v)
+                wmin = jnp.minimum(wmin, wf[flat])
+    return vals, ok & (wmin > 0.0)
+
+
+# --------------------------------------------------------------------------
+# ray casting
+# --------------------------------------------------------------------------
+
+class RaycastResult(NamedTuple):
+    """Per-pixel model view rendered from the volume (world frame)."""
+
+    depth: jax.Array            # [h, w] f32 z-depth in the camera frame
+    vertex: jax.Array           # [h, w, 3] f32 world-frame hit points
+    normal: jax.Array           # [h, w, 3] f32 world-frame surface normals
+    valid: jax.Array            # [h, w] bool — ray found a surface
+    rgb: Optional[jax.Array] = None  # [h, w, 3] f32 if the volume has color
+
+
+def raycast(vol: TSDFVolume, intr: Intrinsics, extrinsics: jax.Array,
+            t_min: float = 0.2, t_max: float = 8.0,
+            step: float | None = None, stride: int = 1) -> RaycastResult:
+    """Render the volume from a camera by marching rays to the zero level.
+
+    Fixed-step march (nearest-voxel samples) + linear refinement at the
+    sign change + trilinear-gradient normals — the KinFu renderer, with
+    the per-ray while-loop turned into a masked `lax.scan` so one program
+    serves every frame.
+
+    Args:
+      vol: the volume (concrete arrays — `t_min/t_max/step` fix the
+        static trip count, so this wrapper reads `leaf` off-device once).
+      intr: ONE camera's Intrinsics (unbatched).
+      extrinsics: [4, 4] camera→world.
+      t_min/t_max: march range along the ray (meters, static).
+      step: march step (meters, static; default 0.5·trunc — half the
+        band, so a crossing can't be stepped over).
+      stride: render every ``stride``-th pixel (cheap preview / tracking
+        resolution; the returned maps are [H/stride, W/stride]).
+
+    Returns a RaycastResult.
+    """
+    if step is None:
+        step = 0.5 * float(vol.trunc)
+    n_steps = max(2, int(np.ceil((t_max - t_min) / step)))
+    return _raycast_jit(vol, intr, jnp.asarray(extrinsics),
+                        jnp.float32(t_min), jnp.float32(step),
+                        n_steps=n_steps, stride=int(stride))
+
+
+@partial(jax.jit, static_argnames=("n_steps", "stride"))
+def _raycast_jit(vol: TSDFVolume, intr: Intrinsics, extrinsics,
+                 t_min, step, n_steps: int, stride: int) -> RaycastResult:
+    h = -(-intr.height // stride)
+    w = -(-intr.width // stride)
+    intr_s = _strided_intr(intr, stride, h, w)
+    # unit-depth deprojection = per-pixel ray direction incl. distortion
+    dirs_cam = deproject(jnp.ones((h, w), jnp.float32), intr_s,
+                         depth_scale=1.0).xyz                 # [h*w, 3]
+    dir_norm = jnp.linalg.norm(dirs_cam, axis=-1, keepdims=True)
+    dirs_cam_n = dirs_cam / dir_norm                          # unit length
+    R = extrinsics[:3, :3]
+    o_w = extrinsics[:3, 3]
+    dirs_w = jnp.einsum("ij,nj->ni", R, dirs_cam_n,
+                        precision="highest")                  # [h*w, 3]
+    nray = h * w
+
+    def march(carry, k):
+        prev_val, prev_obs, hit_t, found = carry
+        t = t_min + step * k.astype(jnp.float32)
+        p = o_w + dirs_w * t
+        val, inside = _sample_nearest(vol.tsdf, p, vol.origin, vol.leaf)
+        wgt, _ = _sample_nearest(vol.weight, p, vol.origin, vol.leaf)
+        obs = inside & (wgt > 0.0)
+        cross = prev_obs & obs & (prev_val > 0.0) & (val <= 0.0) & ~found
+        frac = prev_val / jnp.maximum(prev_val - val, 1e-12)
+        t_cross = (t - step) + step * jnp.clip(frac, 0.0, 1.0)
+        hit_t = jnp.where(cross, t_cross, hit_t)
+        found = found | cross
+        return (val, obs, hit_t, found), None
+
+    init = (jnp.zeros((nray,), jnp.float32), jnp.zeros((nray,), bool),
+            jnp.zeros((nray,), jnp.float32), jnp.zeros((nray,), bool))
+    (_, _, hit_t, found), _ = jax.lax.scan(
+        march, init, jnp.arange(n_steps, dtype=jnp.int32))
+
+    p_hit = o_w + dirs_w * hit_t[:, None]                     # [h*w, 3]
+    # one trilinear secant refinement: the linear interp above used
+    # nearest-voxel values; re-solve the crossing with trilinear samples
+    # half a step either side (sub-voxel accuracy on smooth fields)
+    hs = 0.5 * step
+    v_a, ok_a = _sample_trilinear(vol.tsdf, vol.weight,
+                                  p_hit - dirs_w * hs, vol.origin, vol.leaf)
+    v_b, ok_b = _sample_trilinear(vol.tsdf, vol.weight,
+                                  p_hit + dirs_w * hs, vol.origin, vol.leaf)
+    denom = v_a - v_b
+    tr = jnp.clip(v_a / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom),
+                  0.0, 1.0)
+    refine_ok = ok_a & ok_b & (v_a >= v_b)
+    t_ref = hit_t - hs + 2.0 * hs * tr
+    hit_t = jnp.where(found & refine_ok, t_ref, hit_t)
+    p_hit = o_w + dirs_w * hit_t[:, None]
+
+    # normals: central differences of trilinear samples, one leaf apart
+    eps = vol.leaf
+    grads = []
+    gvalid = found
+    for ax in range(3):
+        d = jnp.zeros((3,), jnp.float32).at[ax].set(eps)
+        va, oa = _sample_trilinear(vol.tsdf, vol.weight, p_hit + d,
+                                   vol.origin, vol.leaf)
+        vb, ob = _sample_trilinear(vol.tsdf, vol.weight, p_hit - d,
+                                   vol.origin, vol.leaf)
+        grads.append(va - vb)
+        gvalid = gvalid & oa & ob
+    n = jnp.stack(grads, axis=-1)
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.maximum(nn, 1e-12)
+    # the TSDF grows along +outward (free space is +1), so the gradient
+    # already points out of the surface; flip any stragglers toward the
+    # camera so downstream point-to-plane sees a consistent hemisphere
+    n = jnp.where(jnp.sum(n * dirs_w, -1, keepdims=True) > 0, -n, n)
+    valid = found & gvalid & (nn[:, 0] > 1e-9)
+
+    z_cam = hit_t * dirs_cam_n[:, 2]                          # z-depth
+    rgb = None
+    if vol.rgb is not None:
+        rgb_v, _ = _sample_trilinear(vol.rgb, vol.weight, p_hit,
+                                     vol.origin, vol.leaf)
+        rgb = jnp.where(valid[:, None], rgb_v, 0.0).reshape(h, w, 3)
+    zero3 = jnp.zeros_like(p_hit)
+    return RaycastResult(
+        depth=jnp.where(valid, z_cam, 0.0).reshape(h, w),
+        vertex=jnp.where(valid[:, None], p_hit, zero3).reshape(h, w, 3),
+        normal=jnp.where(valid[:, None], n, zero3).reshape(h, w, 3),
+        valid=valid.reshape(h, w),
+        rgb=rgb)
+
+
+def _strided_intr(intr: Intrinsics, stride: int, h: int, w: int
+                  ) -> Intrinsics:
+    """Intrinsics for the every-``stride``-th-pixel image: u' = u/stride
+    maps through x = (u - ppx)/fx ⇔ fx' = fx/stride, ppx' = ppx/stride."""
+    if stride == 1 and (h, w) == (intr.height, intr.width):
+        return intr
+    s = jnp.float32(stride)
+    return Intrinsics(fx=intr.fx / s, fy=intr.fy / s,
+                      ppx=intr.ppx / s, ppy=intr.ppy / s,
+                      coeffs=intr.coeffs, model_ids=intr.model_ids,
+                      width=w, height=h, model=intr.model)
+
+
+# --------------------------------------------------------------------------
+# frame-to-model tracking (projective point-to-plane ICP)
+# --------------------------------------------------------------------------
+
+class TrackResult(NamedTuple):
+    T: jax.Array                # [4, 4] refined camera→world
+    rms: jax.Array              # point-to-plane RMS over inliers (m)
+    n_matched: jax.Array        # inlier count at the last iteration
+
+
+def track(vol: TSDFVolume, depth: jax.Array, intr: Intrinsics,
+          T_init: jax.Array, iterations: int = 6, rounds: int = 2,
+          depth_scale: float = 0.001, dist_gate: float = 0.1,
+          normal_gate: float = 0.5, stride: int = 2,
+          t_min: float = 0.2, t_max: float = 8.0) -> TrackResult:
+    """Refine a camera pose against the volume (KinFu frame-to-model).
+
+    Ray-casts the model from the current estimate, then runs projective
+    point-to-plane ICP: each live pixel's 3-D point projects into the
+    model view (one gather — no NN search), pairs with the model vertex +
+    normal there, and a 6-DoF twist is solved from the normal-projected
+    residuals. Tracking against the *model* (not the previous frame)
+    is what keeps per-frame drift from accumulating. ``rounds`` re-casts
+    the model view from the refined pose and repeats — the model's
+    self-occlusions and gating follow the estimate in, which removes most
+    of the single-cast residual (measured: a 1.7° init error converges to
+    0.65° with one round, 0.1° with two).
+
+    Args:
+      vol: the volume (concrete; ray-cast statics read off-device).
+      depth: [H, W] live depth (u16 raw units or float meters).
+      intr: the camera's Intrinsics.
+      T_init: [4, 4] initial camera→world (previous frame's pose).
+      iterations: fixed Gauss-Newton iterations per round (static).
+      rounds: raycast-then-iterate passes (static; 2 is the sweet spot —
+        at 30 Hz frame-to-frame motion one is usually enough, keep 2 for
+        relocalization-sized jumps).
+      dist_gate: reject pairs further than this along the normal (m).
+      normal_gate: reject pairs whose live/model normals disagree beyond
+        ``acos`` of this dot product (live normals from the depth grid).
+      stride: tracking resolution (2 = quarter of the pixels; KinFu
+        tracks on a pyramid — one strided level is the flat equivalent).
+
+    Returns TrackResult(T, rms, n_matched).
+    """
+    T = jnp.asarray(T_init, jnp.float32)
+    res = None
+    for _ in range(max(1, int(rounds))):
+        model = raycast(vol, intr, T, t_min=t_min, t_max=t_max,
+                        stride=stride)
+        res = _track_jit(vol, depth, intr, T, model,
+                         jnp.float32(depth_scale),
+                         jnp.float32(dist_gate), jnp.float32(normal_gate),
+                         iterations=int(iterations), stride=int(stride))
+        T = res.T
+    return res
+
+
+@partial(jax.jit, static_argnames=("iterations", "stride"))
+def _track_jit(vol: TSDFVolume, depth, intr, T_init, model: RaycastResult,
+               depth_scale, dist_gate, normal_gate,
+               iterations: int, stride: int) -> TrackResult:
+    h, w = model.depth.shape
+    intr_s = _strided_intr(intr, stride, h, w)
+    d_live = depth[::stride, ::stride][:h, :w]
+    live = deproject(d_live, intr_s, depth_scale=depth_scale)  # cam frame
+    p_live = live.xyz                                          # [h*w, 3]
+    live_ok = live.mask & (p_live[:, 2] > 1e-6)
+
+    # live normals from the organized grid (cross of image-axis tangents)
+    pg = p_live.reshape(h, w, 3)
+    du = jnp.diff(pg, axis=1, append=pg[:, -1:, :])
+    dv = jnp.diff(pg, axis=0, append=pg[-1:, :, :])
+    n_live = jnp.cross(du, dv).reshape(-1, 3)
+    n_norm = jnp.linalg.norm(n_live, axis=-1, keepdims=True)
+    n_live = n_live / jnp.maximum(n_norm, 1e-12)
+    # orient toward the camera (origin in the camera frame) — the model's
+    # ray-cast normals face the viewer, so the agreement gate needs live
+    # normals on the same hemisphere
+    n_live = jnp.where(jnp.sum(n_live * p_live, -1, keepdims=True) > 0,
+                       -n_live, n_live)
+    n_ok = n_norm[:, 0] > 1e-12
+
+    v_m = model.vertex.reshape(-1, 3)
+    n_m = model.normal.reshape(-1, 3)
+    m_ok = model.valid.reshape(-1)
+    inv_init = se3_inverse(T_init)
+
+    def gn_step(T, _):
+        p_w = se3_apply(T, p_live[None])[0]                    # [R, 3]
+        R_cur = T[:3, :3]
+        n_w = jnp.einsum("ij,nj->ni", R_cur, n_live,
+                         precision="highest")
+        # project into the model view, gather its vertex+normal there
+        q_c = se3_apply(inv_init, p_w[None])[0]
+        uv, in_front = project(q_c, intr_s)
+        ui = jnp.round(uv[:, 0]).astype(jnp.int32)
+        vi = jnp.round(uv[:, 1]).astype(jnp.int32)
+        pix_ok = in_front & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+        flat = jnp.clip(vi, 0, h - 1) * w + jnp.clip(ui, 0, w - 1)
+        vm = v_m[flat]
+        nm = n_m[flat]
+        ok = (live_ok & n_ok & pix_ok & m_ok[flat]
+              & (jnp.sum(n_w * nm, -1) > normal_gate))
+        r = jnp.sum(nm * (p_w - vm), -1)
+        ok = ok & (jnp.abs(r) < dist_gate)
+        wgt = ok.astype(jnp.float32)
+        J = jnp.concatenate([jnp.cross(p_w, nm), nm], axis=-1)  # [R, 6]
+        A = mm((J * wgt[:, None]).T, J)                         # [6, 6]
+        b = -jnp.sum(J * (wgt * r)[:, None], axis=0)
+        n_in = jnp.sum(wgt)
+        # Levenberg damping keeps the solve sane when the scene is
+        # geometrically thin (single plane: 3 unconstrained DoF)
+        A = A + jnp.eye(6, dtype=jnp.float32) * (1e-6 * jnp.trace(A) + 1e-9)
+        xi = jnp.linalg.solve(A, b)
+        dT = se3_from_rt(so3_exp(xi[:3]), xi[3:])
+        T_new = se3_compose(dT, T)
+        rms = jnp.sqrt(jnp.sum(wgt * r * r) / jnp.maximum(n_in, 1.0))
+        return T_new, (rms, n_in)
+
+    T_fin, (rmss, nins) = jax.lax.scan(gn_step, T_init,
+                                       jnp.arange(iterations))
+    return TrackResult(T=T_fin, rms=rmss[-1],
+                       n_matched=nins[-1].astype(jnp.int32))
+
+
+# --------------------------------------------------------------------------
+# extraction / persistence
+# --------------------------------------------------------------------------
+
+def extract_cloud(vol: TSDFVolume, capacity: int,
+                  band: float = 0.5, min_weight: float = 1.0
+                  ) -> PointCloud:
+    """Near-surface voxels as a PointCloud (for feeding existing NN/ICP/
+    analysis machinery). ``band`` is the |tsdf| threshold in truncation
+    units (0.5 = within half the band of the surface)."""
+    return _extract_cloud_jit(vol, jnp.float32(band),
+                              jnp.float32(min_weight), capacity=capacity)
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def _extract_cloud_jit(vol: TSDFVolume, band, min_weight,
+                       capacity: int) -> PointCloud:
+    near = ((jnp.abs(vol.tsdf) <= band)
+            & (vol.weight >= min_weight)).reshape(-1)
+    (sel,) = jnp.nonzero(near, size=capacity, fill_value=0)
+    n = jnp.sum(near.astype(jnp.int32))
+    ok = jnp.arange(capacity) < n
+    p = _voxel_centers(vol.shape, vol.origin, vol.leaf)[sel]
+    rgb = None
+    if vol.rgb is not None:
+        rgb = jnp.where(ok[:, None], vol.rgb.reshape(-1, 3)[sel], 0.0)
+    return PointCloud(xyz=jnp.where(ok[:, None], p, 0.0), mask=ok, rgb=rgb)
+
+
+def extract_mesh(vol: TSDFVolume, cell_capacity: int,
+                 min_weight: float = 1.0):
+    """Marching-tetrahedra mesh of the TSDF zero level.
+
+    Reuses ops/surface.py's crack-free Kuhn-split extractor with the
+    negated field (its convention is inside = field > iso; TSDF inside is
+    tsdf < 0) and unobserved nodes masked so occlusion boundaries don't
+    grow walls. Returns ``(verts, valid, n_active)`` as
+    ``marching_tetrahedra`` does (verts in its [3, 3, T] coordinate-major
+    layout — convert with ``ops.surface.soup_triangles`` or weld with
+    ``ops.surface.weld_mesh``, which accepts it directly).
+    """
+    from ..ops.surface import marching_tetrahedra
+    field = -vol.tsdf
+    node_valid = vol.weight >= jnp.float32(min_weight)
+    return marching_tetrahedra(field, 0.0, cell_capacity,
+                               origin=vol.origin, leaf=vol.leaf,
+                               node_valid=node_valid)
+
+
+def save_volume(path: str, vol: TSDFVolume) -> None:
+    """Persist the volume (resumable checkpoint, ``.npz``)."""
+    arrs = dict(tsdf=np.asarray(vol.tsdf), weight=np.asarray(vol.weight),
+                origin=np.asarray(vol.origin), leaf=np.asarray(vol.leaf),
+                trunc=np.asarray(vol.trunc), version=np.int32(1))
+    if vol.rgb is not None:
+        arrs["rgb"] = np.asarray(vol.rgb)
+    if not path.endswith(".npz"):
+        path += ".npz"
+    np.savez_compressed(path, **arrs)
+
+
+def load_volume(path: str) -> TSDFVolume:
+    """Load a ``save_volume`` checkpoint."""
+    if not path.endswith(".npz"):
+        path += ".npz"
+    with np.load(path) as z:
+        if int(z["version"]) != 1:
+            raise ValueError(
+                f"unknown tsdf checkpoint version {z['version']}")
+        rgb = jnp.asarray(z["rgb"], jnp.float32) if "rgb" in z else None
+        return TSDFVolume(
+            tsdf=jnp.asarray(z["tsdf"], jnp.float32),
+            weight=jnp.asarray(z["weight"], jnp.float32),
+            origin=jnp.asarray(z["origin"], jnp.float32),
+            leaf=jnp.asarray(z["leaf"], jnp.float32),
+            trunc=jnp.asarray(z["trunc"], jnp.float32),
+            rgb=rgb)

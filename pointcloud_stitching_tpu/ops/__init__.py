@@ -22,7 +22,7 @@ from .cluster import (cluster_stats, euclidean_clusters,
 from .mls import estimate_curvature, estimate_normals, mls_smooth
 from .mesh import organized_mesh
 from .surface import (field_from_map, marching_tetrahedra,
-                      reconstruct_surface, weld_mesh)
+                      reconstruct_surface, soup_triangles, weld_mesh)
 from .change import detect_changes, detect_changes_map
 from .filters import (bilateral_depth, count_neighbors, crop_box,
                       frustum_cull, knn_mean_distance,
@@ -47,7 +47,7 @@ __all__ = [
     "region_growing",
     "estimate_curvature", "mls_smooth", "organized_mesh",
     "field_from_map", "marching_tetrahedra", "reconstruct_surface",
-    "weld_mesh", "detect_changes", "detect_changes_map",
+    "soup_triangles", "weld_mesh", "detect_changes", "detect_changes_map",
     "estimate_normals", "fpfh", "match_fpfh", "iss_keypoints", "vfh",
     "bilateral_depth", "count_neighbors", "crop_box", "frustum_cull",
     "knn_mean_distance", "passthrough",

@@ -89,9 +89,10 @@ _TET_EDGE_B = _TETS[:, _EDGE_V[:, 1]]
 TRIS_PER_CELL = 12
 
 
-@partial(jax.jit, static_argnames=("cell_capacity",))
+@partial(jax.jit, static_argnames=("cell_capacity", "chunk"))
 def marching_tetrahedra(field: jax.Array, iso, cell_capacity: int,
-                        origin=None, leaf=1.0):
+                        origin=None, leaf=1.0, node_valid=None,
+                        chunk: int = 4096):
     """Extract the ``field == iso`` surface as a triangle soup.
 
     Args:
@@ -104,11 +105,24 @@ def marching_tetrahedra(field: jax.Array, iso, cell_capacity: int,
         grid budget O(n²·k), and check the returned count for saturation.
       origin: world position of grid node (0,0,0) ([3] f32, default 0).
       leaf: grid node spacing in meters (traced scalar).
+      node_valid: optional [X, Y, Z] bool — nodes where the field value
+        is meaningful. Cells touching any invalid node are skipped
+        entirely (a TSDF volume passes ``weight > 0`` so occlusion
+        boundaries — observed surface meeting never-observed space —
+        don't grow fake walls).
+      chunk: static cells processed per ``lax.map`` step. Bounds the
+        padded size of the per-cell geometry temporaries (TPU tiles the
+        two minor dims to (8, 128), so tiny-trailing-dim shapes like
+        [cells, 6, 2, 3, 3] occupy ~42× their logical bytes in HBM —
+        measured: unchunked extraction at 2^19 cells asks for 27 GB).
 
     Returns ``(verts, valid, n_active)``:
-      verts: [cell_capacity·12, 3, 3] — per triangle, 3 world-frame
-        vertices. Triangles wind so normals point outward (away from the
-        inside region).
+      verts: [3, 3, cell_capacity·12] f32 — ``verts[i, j, t]`` is world
+        coordinate j of corner i of triangle t (coordinate-major SoA:
+        the triangle axis is minor so the buffer tiles cleanly on TPU;
+        the AoS [T, 3, 3] layout would pad 42×). Host code converts with
+        ``soup_triangles(verts, valid)``. Triangles wind so normals
+        point outward (away from the inside region).
       valid: [cell_capacity·12] bool — real triangles.
       n_active: scalar int32 — active cells found; if this exceeds
         ``cell_capacity`` the surface is truncated (raise the capacity).
@@ -125,81 +139,113 @@ def marching_tetrahedra(field: jax.Array, iso, cell_capacity: int,
     # -- per-cell corner straddle test: fold max/min over the 8 shifted
     # views rather than stacking them (a 256³ grid stacked 8x is 536 MB)
     cmax = cmin = None
+    all_ok = None
     for ox, oy, oz in _CORNER:
         s = field[ox:cx + ox, oy:cy + oy, oz:cz + oz]
         cmax = s if cmax is None else jnp.maximum(cmax, s)
         cmin = s if cmin is None else jnp.minimum(cmin, s)
+        if node_valid is not None:
+            m = node_valid[ox:cx + ox, oy:cy + oy, oz:cz + oz]
+            all_ok = m if all_ok is None else (all_ok & m)
     straddle = (cmax > iso) & (cmin <= iso)
+    if all_ok is not None:
+        straddle = straddle & all_ok
     active = straddle.reshape(-1)
     n_active = jnp.sum(active.astype(jnp.int32))
 
-    # -- compact active cells to the static capacity
-    (sel,) = jnp.nonzero(active, size=cell_capacity, fill_value=0)
-    cell_ok = jnp.arange(cell_capacity) < n_active
+    # -- compact active cells to the static capacity (padded to a whole
+    # number of chunks; the tail is sliced off the outputs, so behavior
+    # at saturation — truncate, report the count — is unchanged)
+    chunk = max(1, min(int(chunk), cell_capacity))
+    n_chunks = -(-cell_capacity // chunk)
+    cap_pad = n_chunks * chunk
+    (sel,) = jnp.nonzero(active, size=cap_pad, fill_value=0)
+    cell_ok = jnp.arange(cap_pad) < n_active
 
-    ci = sel // (cy * cz)
-    cj = (sel // cz) % cy
-    ck = sel % cz
-    cell_ijk = jnp.stack([ci, cj, ck], -1).astype(jnp.float32)  # [cap,3]
-
-    # -- 8 corner values per active cell (flat gathers)
+    fflat = field.reshape(-1)
     off = jnp.asarray(_CORNER)                                # [8,3]
-    idx8 = ((ci[:, None] + off[:, 0]) * (Y * Z)
-            + (cj[:, None] + off[:, 1]) * Z
-            + (ck[:, None] + off[:, 2]))                      # [cap,8]
-    vals8 = field.reshape(-1)[idx8]                           # [cap,8]
-
-    # -- tet cases
+    offf = off.astype(jnp.float32)
     tets = jnp.asarray(_TETS)                                 # [6,4]
-    tvals = vals8[:, tets]                                    # [cap,6,4]
-    inside = tvals > iso
-    case = jnp.sum(inside.astype(jnp.int32)
-                   * jnp.asarray([1, 2, 4, 8], jnp.int32), -1)  # [cap,6]
+    tri_table = jnp.asarray(_TRI_TABLE)
+    tea = jnp.asarray(_TET_EDGE_A).reshape(-1)
+    teb = jnp.asarray(_TET_EDGE_B).reshape(-1)
 
-    # -- triangle edge ids from the case table
-    tri_e = jnp.asarray(_TRI_TABLE)[case]                     # [cap,6,2,3]
-    tri_valid = (tri_e[..., 0] >= 0) & cell_ok[:, None, None]  # [cap,6,2]
-    e = jnp.maximum(tri_e, 0)                                 # clamp pads
+    def cell_geom(args):
+        sel_c, ok_c = args                                    # [chunk]
+        ci = sel_c // (cy * cz)
+        cj = (sel_c // cz) % cy
+        ck = sel_c % cz
+        cell_ijk = jnp.stack([ci, cj, ck], -1).astype(jnp.float32)
 
-    # -- edge endpoints as cube corner ids: table[tet, edge]
-    tet_id = jnp.arange(6, dtype=jnp.int32)[None, :, None, None]
-    ca = jnp.asarray(_TET_EDGE_A).reshape(-1)[tet_id * 6 + e]  # [cap,6,2,3]
-    cb = jnp.asarray(_TET_EDGE_B).reshape(-1)[tet_id * 6 + e]
+        # 8 corner values per active cell (flat gathers)
+        idx8 = ((ci[:, None] + off[:, 0]) * (Y * Z)
+                + (cj[:, None] + off[:, 1]) * Z
+                + (ck[:, None] + off[:, 2]))                  # [chunk,8]
+        vals8 = fflat[idx8]                                   # [chunk,8]
 
-    def corner_gather(tab, c):                                # vals8 by id
-        flat = c.reshape(cell_capacity, -1)
-        return jnp.take_along_axis(tab, flat, axis=1).reshape(c.shape)
+        # tet cases
+        tvals = vals8[:, tets]                                # [chunk,6,4]
+        inside = tvals > iso
+        case = jnp.sum(inside.astype(jnp.int32)
+                       * jnp.asarray([1, 2, 4, 8], jnp.int32), -1)
 
-    va = corner_gather(vals8, ca)
-    vb = corner_gather(vals8, cb)
-    offf = off.astype(jnp.float32)                            # [8,3]
-    pa = cell_ijk[:, None, None, None, :] + offf[ca]          # [cap,6,2,3,3]
-    pb = cell_ijk[:, None, None, None, :] + offf[cb]
+        # triangle edge ids from the case table
+        tri_e = tri_table[case]                               # [chunk,6,2,3]
+        tri_valid = (tri_e[..., 0] >= 0) & ok_c[:, None, None]
+        e = jnp.maximum(tri_e, 0)                             # clamp pads
 
-    # -- interpolate the crossing; a used edge always straddles iso so the
-    # denominator is nonzero, but guard the padded slots
-    denom = vb - va
-    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    t = jnp.clip((iso - va) / denom, 0.0, 1.0)
-    verts = origin + leaf * (pa + t[..., None] * (pb - pa))   # [cap,6,2,3,3]
+        # edge endpoints as cube corner ids: table[tet, edge]
+        tet_id = jnp.arange(6, dtype=jnp.int32)[None, :, None, None]
+        ca = tea[tet_id * 6 + e]                              # [chunk,6,2,3]
+        cb = teb[tet_id * 6 + e]
 
-    # -- orient: normal away from the tet's inside-corner centroid
-    pcorn = (origin + leaf
-             * (cell_ijk[:, None, None, :] + offf[tets]))     # [cap,6,4,3]
-    w_in = inside.astype(jnp.float32)[..., None]
-    pin = (jnp.sum(pcorn * w_in, 2)
-           / jnp.maximum(jnp.sum(w_in, 2), 1e-12))            # [cap,6,3]
-    v0, v1, v2 = verts[..., 0, :], verts[..., 1, :], verts[..., 2, :]
-    n = jnp.cross(v1 - v0, v2 - v0)
-    cen = (v0 + v1 + v2) / 3.0
-    flip = jnp.sum(n * (cen - pin[:, :, None, :]), -1) < 0    # [cap,6,2]
-    v1f = jnp.where(flip[..., None], v2, v1)
-    v2f = jnp.where(flip[..., None], v1, v2)
-    verts = jnp.stack([v0, v1f, v2f], axis=-2)                # [cap,6,2,3,3]
+        def corner_gather(tab, c):                            # vals8 by id
+            flat = c.reshape(chunk, -1)
+            return jnp.take_along_axis(tab, flat, axis=1).reshape(c.shape)
 
-    return (verts.reshape(cell_capacity * TRIS_PER_CELL, 3, 3),
-            tri_valid.reshape(cell_capacity * TRIS_PER_CELL),
-            n_active)
+        va = corner_gather(vals8, ca)
+        vb = corner_gather(vals8, cb)
+        pa = cell_ijk[:, None, None, None, :] + offf[ca]      # [chunk,6,2,3,3]
+        pb = cell_ijk[:, None, None, None, :] + offf[cb]
+
+        # interpolate the crossing; a used edge always straddles iso so
+        # the denominator is nonzero, but guard the padded slots
+        denom = vb - va
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        t = jnp.clip((iso - va) / denom, 0.0, 1.0)
+        verts = origin + leaf * (pa + t[..., None] * (pb - pa))
+
+        # orient: normal away from the tet's inside-corner centroid
+        pcorn = (origin + leaf
+                 * (cell_ijk[:, None, None, :] + offf[tets]))  # [chunk,6,4,3]
+        w_in = inside.astype(jnp.float32)[..., None]
+        pin = (jnp.sum(pcorn * w_in, 2)
+               / jnp.maximum(jnp.sum(w_in, 2), 1e-12))        # [chunk,6,3]
+        v0, v1, v2 = verts[..., 0, :], verts[..., 1, :], verts[..., 2, :]
+        n = jnp.cross(v1 - v0, v2 - v0)
+        cen = (v0 + v1 + v2) / 3.0
+        flip = jnp.sum(n * (cen - pin[:, :, None, :]), -1) < 0
+        v1f = jnp.where(flip[..., None], v2, v1)
+        v2f = jnp.where(flip[..., None], v1, v2)
+        verts = jnp.stack([v0, v1f, v2f], axis=-2)            # [chunk,6,2,3,3]
+
+        # (corner, axis)-major SoA: the big triangle axis goes minor
+        soa = verts.reshape(chunk * TRIS_PER_CELL, 9).T
+        return (soa.reshape(3, 3, chunk * TRIS_PER_CELL),
+                tri_valid.reshape(chunk * TRIS_PER_CELL))
+
+    if n_chunks == 1:
+        verts_soa, tri_valid = cell_geom((sel, cell_ok))
+    else:
+        verts_c, valid_c = jax.lax.map(
+            cell_geom, (sel.reshape(n_chunks, chunk),
+                        cell_ok.reshape(n_chunks, chunk)))
+        verts_soa = jnp.moveaxis(verts_c, 0, 2).reshape(
+            3, 3, cap_pad * TRIS_PER_CELL)
+        tri_valid = valid_c.reshape(-1)
+
+    ntri = cell_capacity * TRIS_PER_CELL
+    return verts_soa[..., :ntri], tri_valid[:ntri], n_active
 
 
 @partial(jax.jit, static_argnames=("shape", "smooth_iters"))
@@ -313,15 +359,33 @@ def reconstruct_surface(vmap, iso: float = 0.5, min_weight: float = 0.0,
     return v, f, n_active
 
 
+def soup_triangles(verts, valid=None) -> np.ndarray:
+    """Device triangle soup → host [n, 3, 3] f32 (triangle-major AoS).
+
+    Accepts either ``marching_tetrahedra``'s coordinate-major [3, 3, T]
+    layout or a triangle-major [T, 3, 3] array; ``valid`` (if given)
+    selects the real triangles.
+    """
+    v = np.asarray(verts, np.float32)
+    if v.ndim != 3:
+        raise ValueError(f"expected a triangle soup, got shape {v.shape}")
+    if v.shape[0] == 3 and v.shape[1] == 3 and v.shape[2] != 3:
+        v = np.moveaxis(v, 2, 0)
+    if valid is not None:
+        v = v[np.asarray(valid, bool)]
+    return np.ascontiguousarray(v)
+
+
 def weld_mesh(verts: np.ndarray, valid: np.ndarray, decimals: int = 6):
     """Host-side soup → indexed mesh: dedup shared vertices, drop
     degenerate triangles. Marching-tet neighbours emit bit-identical
     crossing coordinates (same edge, same two field values), so welding
     on rounded coordinates closes the mesh exactly.
 
-    Returns ``(vertices [V,3] f32, faces [F,3] int32)``.
+    Accepts either soup layout (see ``soup_triangles``). Returns
+    ``(vertices [V,3] f32, faces [F,3] int32)``.
     """
-    tris = np.asarray(verts, np.float32)[np.asarray(valid, bool)]
+    tris = soup_triangles(verts, valid)
     if tris.size == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
     flat = tris.reshape(-1, 3)

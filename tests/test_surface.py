@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from pointcloud_stitching_tpu.models.voxel_map import TemporalAccumulator
 from pointcloud_stitching_tpu.ops.surface import (
     field_from_map, map_grid_bounds, marching_tetrahedra,
-    reconstruct_surface, weld_mesh)
+    reconstruct_surface, soup_triangles, weld_mesh)
 from pointcloud_stitching_tpu.utils.types import PointCloud
 
 
@@ -54,7 +54,7 @@ class TestMarchingTetrahedra:
         verts, valid, n_active = marching_tetrahedra(
             field, 0.0, cell_capacity=8192, origin=origin, leaf=leaf)
         assert int(n_active) <= 8192 and int(n_active) > 0
-        tri = np.asarray(verts)[np.asarray(valid)]
+        tri = soup_triangles(verts, valid)
         # every emitted vertex sits on the linear-interp level set; for an
         # exact SDF sampled on nodes that is within O(leaf^2 curvature)
         r = np.linalg.norm(tri.reshape(-1, 3), axis=-1)
@@ -81,7 +81,7 @@ class TestMarchingTetrahedra:
         shift = np.array([10.0, -5.0, 2.0], np.float32)
         verts, valid, _ = marching_tetrahedra(
             field, 0.2, cell_capacity=8192, origin=origin + shift, leaf=leaf)
-        tri = np.asarray(verts)[np.asarray(valid)].reshape(-1, 3)
+        tri = soup_triangles(verts, valid).reshape(-1, 3)
         r = np.linalg.norm(tri - shift, axis=-1)
         assert np.all(np.abs(r - (radius - 0.2)) < 0.15 * leaf)
 

@@ -1,0 +1,420 @@
+"""TSDF volume: integration oracle, ray casting, tracking, extraction.
+
+The scene renderer here is independent numpy (analytic ray/plane and
+ray/sphere intersections), so every check is against geometry the TSDF
+code never saw — same oracle discipline as tests/oracle.py.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pointcloud_stitching_tpu import Intrinsics
+from pointcloud_stitching_tpu.models import tsdf as M
+from pointcloud_stitching_tpu.ops.se3 import se3_inverse
+from pointcloud_stitching_tpu.ops.surface import soup_triangles, weld_mesh
+
+
+# ---------------------------------------------------------------------------
+# numpy scene renderer (analytic, independent of the jax code under test)
+# ---------------------------------------------------------------------------
+
+def _intr(w=64, h=48, f=50.0):
+    return Intrinsics.create(fx=f, fy=f, ppx=w / 2.0, ppy=h / 2.0,
+                             width=w, height=h)
+
+
+def _ray_grid(intr):
+    """Per-pixel unnormalized camera-frame directions with z = 1."""
+    u, v = np.meshgrid(np.arange(intr.width, dtype=np.float64),
+                       np.arange(intr.height, dtype=np.float64))
+    x = (u - float(intr.ppx)) / float(intr.fx)
+    y = (v - float(intr.ppy)) / float(intr.fy)
+    return np.stack([x, y, np.ones_like(x)], axis=-1)  # [h, w, 3]
+
+
+def render_depth(intr, T_cam_to_world, spheres=(), planes=(),
+                 z_clip=(0.05, 50.0)):
+    """Analytic z-depth of the nearest surface along each pixel ray.
+
+    spheres: list of (center [3], radius); planes: list of (normal [3],
+    offset) with the surface at n·p = off. Returns [h, w] float32 meters
+    (0 = no hit).
+    """
+    T = np.asarray(T_cam_to_world, np.float64)
+    R, t = T[:3, :3], T[:3, 3]
+    d = _ray_grid(intr) @ R.T                       # world dirs, z_cam = 1
+    o = t
+    best = np.full(d.shape[:2], np.inf)
+    for c, r in spheres:
+        c = np.asarray(c, np.float64)
+        a = np.sum(d * d, -1)
+        b = 2.0 * np.sum(d * (o - c), -1)
+        cc = np.sum((o - c) ** 2) - r * r
+        disc = b * b - 4 * a * cc
+        ok = disc >= 0
+        z = np.where(ok, (-b - np.sqrt(np.maximum(disc, 0.0))) / (2 * a),
+                     np.inf)
+        best = np.minimum(best, np.where(ok & (z > z_clip[0]), z, np.inf))
+    for n, off in planes:
+        n = np.asarray(n, np.float64)
+        denom = d @ n
+        z = np.where(np.abs(denom) > 1e-12, (off - o @ n) / denom, np.inf)
+        best = np.minimum(best, np.where(z > z_clip[0], z, np.inf))
+    best = np.where(np.isfinite(best) & (best < z_clip[1]), best, 0.0)
+    return best.astype(np.float32)
+
+
+def integrate_oracle(vol_shape, origin, leaf, trunc, depth, intr, T,
+                     tsdf0=None, w0=None, max_weight=64.0):
+    """Independent numpy Curless–Levoy update (nearest-pixel sampling)."""
+    X, Y, Z = vol_shape
+    gi, gj, gk = np.meshgrid(np.arange(X), np.arange(Y), np.arange(Z),
+                             indexing="ij")
+    p_w = origin + np.stack([gi, gj, gk], -1).reshape(-1, 3) * leaf
+    Tinv = np.linalg.inv(np.asarray(T, np.float64))
+    p_c = p_w @ Tinv[:3, :3].T + Tinv[:3, 3]
+    z = p_c[:, 2]
+    zs = np.where(np.abs(z) > 1e-12, z, 1.0)
+    u = p_c[:, 0] / zs * float(intr.fx) + float(intr.ppx)
+    v = p_c[:, 1] / zs * float(intr.fy) + float(intr.ppy)
+    ui = np.round(u).astype(np.int64)
+    vi = np.round(v).astype(np.int64)
+    ok = (z > 1e-9) & (ui >= 0) & (ui < intr.width) & (vi >= 0) \
+        & (vi < intr.height)
+    d = np.zeros_like(z)
+    d[ok] = depth[vi[ok], ui[ok]]
+    sdf = d - z
+    obs = ok & (d > 0) & (sdf > -trunc)
+    t_obs = np.minimum(sdf / trunc, 1.0)
+    t0 = np.ones(X * Y * Z) if tsdf0 is None else tsdf0.reshape(-1)
+    w_old = np.zeros(X * Y * Z) if w0 is None else w0.reshape(-1)
+    w_new = w_old + obs
+    t_new = np.where(w_new > 0,
+                     (t0 * w_old + np.where(obs, t_obs, 0.0))
+                     / np.maximum(w_new, 1e-12), 1.0)
+    return (t_new.reshape(vol_shape).astype(np.float32),
+            np.minimum(w_new, max_weight).reshape(vol_shape)
+            .astype(np.float32))
+
+
+def _plane_vol(leaf=0.02, n=64):
+    return M.TSDFVolume.create((n, n, n), leaf,
+                               origin=(-n / 2 * leaf, -n / 2 * leaf, 0.0))
+
+
+I4 = np.eye(4, dtype=np.float32)
+
+# a well-conditioned tracking scene: a back wall + two spheres (breaks
+# every translation/rotation degeneracy a single plane leaves open)
+SCENE = dict(
+    spheres=[((-0.15, 0.05, 0.55), 0.12), ((0.18, -0.08, 0.65), 0.10)],
+    planes=[((0.0, 0.0, -1.0), -0.9)],     # wall at z = 0.9, facing camera
+)
+
+
+# ---------------------------------------------------------------------------
+# integration
+# ---------------------------------------------------------------------------
+
+def test_integrate_plane_profile():
+    """TSDF along the optical axis matches clip((d - z)/trunc, -1, 1) in
+    the observed band and stays untouched behind it."""
+    vol = _plane_vol()
+    intr = _intr()
+    depth = render_depth(intr, I4, planes=SCENE["planes"])  # wall at 0.9
+    vol = M.integrate(vol, jnp.asarray(depth), intr, I4, depth_scale=1.0)
+    tsdf = np.asarray(vol.tsdf)
+    w = np.asarray(vol.weight)
+    trunc = float(vol.trunc)
+    # voxels straight down the optical axis: x = y = 0 -> i = j = 32
+    zs = np.arange(64) * 0.02  # voxel k centers
+    expect = np.clip((0.9 - zs) / trunc, -1.0, 1.0)
+    # z = 0 is the camera plane itself (not in front of the pinhole); the
+    # exact band edge (sdf == -trunc) is f32-rounding dependent — exclude
+    # a hair around it from both sides
+    seen = ((0.9 - zs) > -trunc + 1e-6) & (zs > 0)
+    unseen = ((0.9 - zs) < -trunc - 1e-6) | (zs == 0)
+    line = tsdf[32, 32, :]
+    assert np.allclose(line[seen], expect[seen], atol=1e-5)
+    assert np.all(w[32, 32, :][seen] == 1.0)
+    assert np.all(w[32, 32, :][unseen] == 0.0)
+    assert np.all(line[unseen] == 1.0)  # untouched initialization
+
+
+def test_integrate_matches_numpy_oracle():
+    """Bitwise-level agreement with an independent numpy projective
+    update, from a non-trivial camera pose, two frames deep."""
+    rng = np.random.default_rng(0)
+    intr = _intr()
+    # modest rotation + offset pose
+    ang = 0.15
+    Rx = np.array([[1, 0, 0],
+                   [0, np.cos(ang), -np.sin(ang)],
+                   [0, np.sin(ang), np.cos(ang)]])
+    T2 = np.eye(4, dtype=np.float32)
+    T2[:3, :3] = Rx
+    T2[:3, 3] = [0.05, -0.04, 0.02]
+    vol = _plane_vol(n=48)
+    shape, origin = vol.shape, np.asarray(vol.origin)
+    leaf, trunc = float(vol.leaf), float(vol.trunc)
+
+    d1 = render_depth(intr, I4, **SCENE)
+    d2 = render_depth(intr, T2, **SCENE)
+    vol = M.integrate(vol, jnp.asarray(d1), intr, I4, depth_scale=1.0)
+    vol = M.integrate(vol, jnp.asarray(d2), intr, T2, depth_scale=1.0)
+
+    t_ref, w_ref = integrate_oracle(shape, origin, leaf, trunc, d1, intr, I4)
+    t_ref, w_ref = integrate_oracle(shape, origin, leaf, trunc, d2, intr,
+                                    T2, tsdf0=t_ref, w0=w_ref)
+    # nearest-pixel rounding can disagree for rays landing exactly between
+    # pixels; demand exact agreement on >99.9% of voxels and close
+    # weights everywhere else
+    diff = np.abs(np.asarray(vol.tsdf) - t_ref)
+    assert (diff < 1e-5).mean() > 0.999
+    assert np.abs(np.asarray(vol.weight) - w_ref).max() <= 1.0
+
+
+def test_integrate_multicamera_batch_equals_sequential():
+    """One batched [ncam, H, W] integrate == sequential per-camera
+    integrates (the camera loop is order-free summation)."""
+    intr1 = _intr()
+    T2 = np.eye(4, dtype=np.float32)
+    T2[:3, 3] = [0.1, 0.0, -0.05]
+    d1 = render_depth(intr1, I4, **SCENE)
+    d2 = render_depth(intr1, T2, **SCENE)
+
+    vol_a = _plane_vol(n=48)
+    batched = jnp.stack([jnp.asarray(d1), jnp.asarray(d2)])
+    intr_b = intr1.stack([intr1])
+    ext_b = jnp.stack([jnp.asarray(I4), jnp.asarray(T2)])
+    vol_a = M.integrate(vol_a, batched, intr_b, ext_b, depth_scale=1.0)
+
+    vol_b = _plane_vol(n=48)
+    vol_b = M.integrate(vol_b, jnp.asarray(d1), intr1, I4, depth_scale=1.0)
+    vol_b = M.integrate(vol_b, jnp.asarray(d2), intr1, T2, depth_scale=1.0)
+
+    assert np.allclose(np.asarray(vol_a.weight), np.asarray(vol_b.weight))
+    assert np.allclose(np.asarray(vol_a.tsdf), np.asarray(vol_b.tsdf),
+                       atol=1e-5)
+
+
+def test_integrate_cam_mask_drops_camera():
+    intr = _intr()
+    d1 = render_depth(intr, I4, **SCENE)
+    garbage = np.full_like(d1, 0.3)
+    vol = _plane_vol(n=48)
+    batched = jnp.stack([jnp.asarray(d1), jnp.asarray(garbage)])
+    intr_b = intr.stack([intr])
+    ext_b = jnp.stack([jnp.asarray(I4), jnp.asarray(I4)])
+    vol = M.integrate(vol, batched, intr_b, ext_b, depth_scale=1.0,
+                      cam_mask=jnp.asarray([True, False]))
+    ref = _plane_vol(n=48)
+    ref = M.integrate(ref, jnp.asarray(d1), intr, I4, depth_scale=1.0)
+    assert np.allclose(np.asarray(vol.tsdf), np.asarray(ref.tsdf))
+    assert np.allclose(np.asarray(vol.weight), np.asarray(ref.weight))
+
+
+def test_free_space_carving():
+    """Geometry that disappears is overwritten by free-space evidence —
+    the capability decay-based maps fundamentally lack."""
+    intr = _intr()
+    vol = _plane_vol()
+    near = render_depth(intr, I4, planes=[((0, 0, -1.0), -0.5)])  # z=0.5
+    far = render_depth(intr, I4, planes=[((0, 0, -1.0), -0.9)])   # z=0.9
+    vol = M.integrate(vol, jnp.asarray(near), intr, I4, depth_scale=1.0,
+                      max_weight=8.0)
+    # surface initially at 0.5 on the optical axis
+    line = np.asarray(vol.tsdf)[32, 32, :]
+    zs = np.arange(64) * 0.02
+    z_cross = zs[np.argmax(line <= 0.0)]
+    assert abs(z_cross - 0.5) < 0.03
+    for _ in range(16):  # object removed; wall behind becomes visible
+        vol = M.integrate(vol, jnp.asarray(far), intr, I4, depth_scale=1.0,
+                          max_weight=8.0)
+    line = np.asarray(vol.tsdf)[32, 32, :]
+    z_cross = zs[np.argmax(line <= 0.0)]
+    assert abs(z_cross - 0.9) < 0.03, "stale surface not carved away"
+
+
+# ---------------------------------------------------------------------------
+# ray casting
+# ---------------------------------------------------------------------------
+
+def test_raycast_matches_analytic_depth():
+    intr = _intr()
+    vol = _plane_vol()
+    # integrate from two poses for better coverage
+    T2 = np.eye(4, dtype=np.float32)
+    T2[:3, 3] = [0.08, 0.0, 0.0]
+    for T in (I4, T2):
+        d = render_depth(intr, T, **SCENE)
+        vol = M.integrate(vol, jnp.asarray(d), intr, T, depth_scale=1.0)
+
+    view = np.eye(4, dtype=np.float32)
+    view[:3, 3] = [0.03, -0.02, 0.0]
+    rc = M.raycast(vol, intr, view, t_min=0.2, t_max=1.4)
+    ref = render_depth(intr, view, **SCENE)
+    got = np.asarray(rc.depth)
+    ok = np.asarray(rc.valid) & (ref > 0)
+    assert ok.mean() > 0.8  # most rays hit the integrated surfaces
+    err = np.abs(got[ok] - ref[ok])
+    # surface position is good to a voxel (2 cm leaf, trilinear refine)
+    assert np.median(err) < 0.01
+    assert np.quantile(err, 0.9) < 0.025
+
+
+def test_raycast_normals_plane():
+    intr = _intr()
+    vol = _plane_vol()
+    d = render_depth(intr, I4, planes=SCENE["planes"])
+    vol = M.integrate(vol, jnp.asarray(d), intr, I4, depth_scale=1.0)
+    rc = M.raycast(vol, intr, I4, t_min=0.2, t_max=1.2)
+    n = np.asarray(rc.normal)[np.asarray(rc.valid)]
+    assert n.shape[0] > 100
+    # wall faces the camera: normals ~ (0, 0, -1) in world frame
+    assert np.median(n[:, 2]) < -0.98
+
+
+def test_raycast_stride_and_rgb():
+    intr = _intr()
+    n = 64
+    leaf = 0.02
+    vol = M.TSDFVolume.create((n, n, n), leaf,
+                              origin=(-0.64, -0.64, 0.0), with_rgb=True)
+    d = render_depth(intr, I4, planes=SCENE["planes"])
+    # left half red, right half green
+    color = np.zeros((*d.shape, 3), np.uint8)
+    color[:, : intr.width // 2, 0] = 200
+    color[:, intr.width // 2:, 1] = 180
+    vol = M.integrate(vol, jnp.asarray(d), intr, I4, depth_scale=1.0,
+                      color=jnp.asarray(color))
+    rc = M.raycast(vol, intr, I4, t_min=0.2, t_max=1.2, stride=2)
+    assert rc.depth.shape == (intr.height // 2, intr.width // 2)
+    valid = np.asarray(rc.valid)
+    rgb = np.asarray(rc.rgb)
+    mid = intr.width // 4
+    left = valid.copy()
+    left[:, mid - 2:] = False
+    right = valid.copy()
+    right[:, : mid + 2] = False
+    assert rgb[left][:, 0].mean() > 150 and rgb[left][:, 1].mean() < 30
+    assert rgb[right][:, 1].mean() > 130 and rgb[right][:, 0].mean() < 30
+
+
+# ---------------------------------------------------------------------------
+# frame-to-model tracking
+# ---------------------------------------------------------------------------
+
+def test_track_recovers_perturbed_pose():
+    intr = _intr(w=96, h=72, f=75.0)
+    vol = _plane_vol(n=72, leaf=0.018)
+    d0 = render_depth(intr, I4, **SCENE)
+    vol = M.integrate(vol, jnp.asarray(d0), intr, I4, depth_scale=1.0)
+
+    # true new pose: small rotation + translation off the map-build pose
+    ang = 0.03
+    Rz = np.array([[np.cos(ang), -np.sin(ang), 0],
+                   [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+    T_true = np.eye(4, dtype=np.float32)
+    T_true[:3, :3] = Rz
+    T_true[:3, 3] = [0.02, -0.015, 0.01]
+    d_live = render_depth(intr, T_true, **SCENE)
+
+    res = M.track(vol, jnp.asarray(d_live), intr, jnp.asarray(I4),
+                  iterations=10, depth_scale=1.0, stride=1,
+                  t_min=0.2, t_max=1.4)
+    T_got = np.asarray(res.T)
+    dt = np.linalg.norm(T_got[:3, 3] - T_true[:3, 3])
+    dR = np.degrees(np.arccos(np.clip(
+        (np.trace(T_got[:3, :3].T @ T_true[:3, :3]) - 1) / 2, -1, 1)))
+    assert int(res.n_matched) > 500
+    assert dt < 0.01, f"translation error {dt}"
+    assert dR < 0.5, f"rotation error {dR} deg"
+    assert float(res.rms) < 0.01
+
+
+def test_track_identity_is_stable():
+    """Tracking a frame rendered at the init pose must stay at the init."""
+    intr = _intr()
+    vol = _plane_vol()
+    d0 = render_depth(intr, I4, **SCENE)
+    vol = M.integrate(vol, jnp.asarray(d0), intr, I4, depth_scale=1.0)
+    res = M.track(vol, jnp.asarray(d0), intr, jnp.asarray(I4),
+                  iterations=5, depth_scale=1.0, stride=1,
+                  t_min=0.2, t_max=1.4)
+    T = np.asarray(res.T)
+    assert np.linalg.norm(T[:3, 3]) < 5e-3
+    assert np.abs(T[:3, :3] - np.eye(3)).max() < 5e-3
+
+
+# ---------------------------------------------------------------------------
+# extraction + persistence
+# ---------------------------------------------------------------------------
+
+def test_extract_mesh_on_surface():
+    intr = _intr()
+    vol = _plane_vol()
+    d = render_depth(intr, I4, planes=SCENE["planes"])
+    vol = M.integrate(vol, jnp.asarray(d), intr, I4, depth_scale=1.0)
+    verts, valid, n_active = M.extract_mesh(vol, cell_capacity=8192)
+    assert int(n_active) > 0 and int(n_active) <= 8192
+    assert verts.shape[:2] == (3, 3)  # coordinate-major SoA contract
+    v = soup_triangles(verts, valid)
+    assert v.shape[0] > 100
+    # every vertex sits on the wall plane z = 0.9 (within interpolation)
+    assert np.abs(v[..., 2] - 0.9).max() < 0.021
+    # and welds into a consistent indexed mesh
+    vw, faces = weld_mesh(np.asarray(verts), np.asarray(valid))
+    assert faces.shape[0] > 0
+
+
+def test_extract_mesh_skips_unobserved_boundary():
+    """Without node_valid masking, the observed band's edge (observed
+    negative tsdf meeting unobserved +1 init) would grow a fake back
+    wall. All mesh vertices must lie near the real surface."""
+    intr = _intr()
+    vol = _plane_vol()
+    d = render_depth(intr, I4, **SCENE)
+    vol = M.integrate(vol, jnp.asarray(d), intr, I4, depth_scale=1.0)
+    verts, valid, _ = M.extract_mesh(vol, cell_capacity=16384)
+    v = soup_triangles(verts, valid).reshape(-1, 3)
+    ref = np.zeros(v.shape[0])
+    # distance to nearest scene surface (analytic)
+    dists = [np.abs(v[:, 2] - 0.9)]
+    for c, r in SCENE["spheres"]:
+        dists.append(np.abs(np.linalg.norm(v - np.asarray(c), axis=1) - r))
+    dmin = np.min(np.stack(dists), axis=0)
+    assert np.quantile(dmin, 0.99) < 0.03, "fake walls at occlusion bounds"
+
+
+def test_extract_cloud_near_surface():
+    intr = _intr()
+    vol = _plane_vol()
+    d = render_depth(intr, I4, planes=SCENE["planes"])
+    vol = M.integrate(vol, jnp.asarray(d), intr, I4, depth_scale=1.0)
+    pc = M.extract_cloud(vol, capacity=16384, band=0.5)
+    pts = np.asarray(pc.xyz)[np.asarray(pc.mask)]
+    assert pts.shape[0] > 100
+    assert np.abs(pts[:, 2] - 0.9).max() < float(vol.trunc) * 0.5 + 0.011
+
+
+def test_save_load_roundtrip(tmp_path):
+    intr = _intr()
+    vol = _plane_vol(n=32)
+    d = render_depth(intr, I4, planes=SCENE["planes"])
+    vol = M.integrate(vol, jnp.asarray(d), intr, I4, depth_scale=1.0)
+    p = str(tmp_path / "vol")
+    M.save_volume(p, vol)
+    vol2 = M.load_volume(p)
+    assert np.allclose(np.asarray(vol.tsdf), np.asarray(vol2.tsdf))
+    assert np.allclose(np.asarray(vol.weight), np.asarray(vol2.weight))
+    assert float(vol2.leaf) == float(vol.leaf)
+    assert float(vol2.trunc) == float(vol.trunc)
+
+
+def test_integrate_rejects_mismatched_color():
+    vol = _plane_vol(n=32)
+    intr = _intr()
+    d = jnp.zeros((48, 64), jnp.float32)
+    with pytest.raises(ValueError):
+        M.integrate(vol, d, intr, I4, color=jnp.zeros((48, 64, 3)))
