@@ -24,6 +24,8 @@ from .mesh import organized_mesh
 from .surface import (field_from_map, marching_tetrahedra,
                       reconstruct_surface, soup_triangles, weld_mesh)
 from .change import detect_changes, detect_changes_map
+from .hull import (ConcaveHullResult, ConvexHullResult, concave_hull,
+                   convex_hull, crop_hull)
 from .filters import (bilateral_depth, count_neighbors, crop_box,
                       frustum_cull, knn_mean_distance,
                       passthrough, radius_outlier_removal,
@@ -48,6 +50,8 @@ __all__ = [
     "estimate_curvature", "mls_smooth", "organized_mesh",
     "field_from_map", "marching_tetrahedra", "reconstruct_surface",
     "soup_triangles", "weld_mesh", "detect_changes", "detect_changes_map",
+    "ConcaveHullResult", "ConvexHullResult", "concave_hull",
+    "convex_hull", "crop_hull",
     "estimate_normals", "fpfh", "match_fpfh", "iss_keypoints", "vfh",
     "bilateral_depth", "count_neighbors", "crop_box", "frustum_cull",
     "knn_mean_distance", "passthrough",

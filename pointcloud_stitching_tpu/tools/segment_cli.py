@@ -69,6 +69,16 @@ def main(argv=None):
                     help="also print each cluster's oriented bounding "
                          "box (pcl::MomentOfInertiaEstimation getOBB "
                          "role: covariance-eigenvector axes)")
+    ap.add_argument("--hull", action="store_true",
+                    help="also write each cluster's convex hull mesh "
+                         "(pcl::ConvexHull role, exact qhull over the "
+                         "cluster) as cluster_%%02d_hull.ply and print "
+                         "its area/volume")
+    ap.add_argument("--hull-alpha", type=float, default=None,
+                    metavar="ALPHA",
+                    help="with --hull: alpha-shape concave hull instead "
+                         "(pcl::ConcaveHull setAlpha role; ALPHA = "
+                         "circumradius bound in meters)")
     ap.add_argument("--seed", type=int, default=0,
                     help="plane-RANSAC key (deterministic per seed)")
     args = ap.parse_args(argv)
@@ -181,6 +191,24 @@ def main(argv=None):
               f"centroid ({ck[0]:+.3f}, {ck[1]:+.3f}, {ck[2]:+.3f})  "
               f"size ({hk[0]-lk[0]:.3f} x {hk[1]-lk[1]:.3f} x "
               f"{hk[2]-lk[2]:.3f}) m -> {path}", flush=True)
+        if args.hull:
+            from pointcloud_stitching_tpu.io.plyio import save_mesh
+            from pointcloud_stitching_tpu.ops import (concave_hull,
+                                                      convex_hull)
+            try:
+                cpc = PointCloud.from_points(xyz_np[sel])
+                h = (concave_hull(cpc, args.hull_alpha)
+                     if args.hull_alpha is not None
+                     else convex_hull(cpc, exact=True))
+                hp = os.path.join(args.out_dir,
+                                  f"cluster_{k:02d}_hull.ply")
+                save_mesh(hp, h.vertices, h.faces)
+                print(f"       hull {len(h.vertices)} verts, "
+                      f"area {h.area:.4f} m^2, "
+                      f"volume {h.volume * 1000:.2f} L -> {hp}",
+                      flush=True)
+            except ValueError as e:
+                print(f"       hull: skipped ({e})", flush=True)
         if obb is not None:
             hf = np.asarray(obb[2])[k]
             ax = np.asarray(obb[1])[k]

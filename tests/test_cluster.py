@@ -190,6 +190,25 @@ def test_segment_cli_end_to_end(tmp_path):
                                atol=0.05)
 
 
+def test_segment_cli_hull_flag(tmp_path):
+    """--hull writes a per-cluster convex hull mesh alongside the cloud."""
+    from pointcloud_stitching_tpu.tools import segment_cli
+    rng = np.random.default_rng(3)
+    cube = rng.uniform(0, 0.2, (400, 3)).astype(np.float32)
+    inp = str(tmp_path / "scene.ply")
+    from pointcloud_stitching_tpu.io.plyio import save_ply
+    save_ply(inp, cube)
+    out = str(tmp_path / "clusters")
+    n = segment_cli.main([inp, out, "--tolerance", "0.08",
+                          "--min-size", "20", "--hull"])
+    assert n == 1
+    hull_path = os.path.join(out, "cluster_00_hull.ply")
+    assert os.path.exists(hull_path)
+    from pointcloud_stitching_tpu.io import load_ply
+    verts, _ = load_ply(hull_path)
+    assert len(verts) >= 4
+
+
 # ---------------------------------------------------- exact-radius variant
 
 def _bfs_exact_np(xyz, mask, tol):
