@@ -26,6 +26,7 @@ from .surface import (field_from_map, marching_tetrahedra,
 from .change import detect_changes, detect_changes_map
 from .hull import (ConcaveHullResult, ConvexHullResult, concave_hull,
                    convex_hull, crop_hull)
+from .search import knn_search, radius_search
 from .filters import (bilateral_depth, count_neighbors, crop_box,
                       frustum_cull, knn_mean_distance,
                       passthrough, radius_outlier_removal,
@@ -52,6 +53,7 @@ __all__ = [
     "soup_triangles", "weld_mesh", "detect_changes", "detect_changes_map",
     "ConcaveHullResult", "ConvexHullResult", "concave_hull",
     "convex_hull", "crop_hull",
+    "knn_search", "radius_search",
     "estimate_normals", "fpfh", "match_fpfh", "iss_keypoints", "vfh",
     "bilateral_depth", "count_neighbors", "crop_box", "frustum_cull",
     "knn_mean_distance", "passthrough",
