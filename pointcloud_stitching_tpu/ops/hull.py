@@ -213,7 +213,10 @@ def _chain_rings(edges: np.ndarray) -> list:
             prev, cur = cur, cand[0]
             ring.append(cur)
             seen.add(cur)
-        if len(ring) >= 3:
+        # A ring must close: at a non-manifold (pinched) boundary vertex
+        # the greedy walk can terminate early, leaving an open chain —
+        # drop it rather than hand downstream a fake polygon.
+        if len(ring) >= 3 and ring[0] in nxt[ring[-1]]:
             rings.append(np.asarray(ring, np.int32))
     return rings
 
@@ -309,17 +312,25 @@ def concave_hull(pc: PointCloud, alpha: float,
 
 
 def crop_hull(pc: PointCloud, hull, invert: bool = False,
-              eps: float = 1e-6) -> PointCloud:
+              eps: float | None = None) -> PointCloud:
     """Keep points inside the hull (pcl::CropHull role), as a mask-only op.
 
     ``hull`` is a ConvexHullResult or a raw [F, 4] plane array (outward
     normals, n.x + d <= 0 inside); passing planes keeps the op fully
     traceable under jit. One [N,3]x[3,F] matmul + an all-reduce — the
     convex hull IS its half-space intersection, so no ray casting.
+
+    ``eps`` is an ABSOLUTE slack on the signed plane distance; the
+    default scales with the hull's extent (1e-6 x (1 + max |plane d|),
+    unit normals make |d| the plane's distance from the origin) so the
+    hull's own vertices survive f32 plane-equation rounding at any
+    coordinate magnitude.
     """
     planes = jnp.asarray(getattr(hull, "equations", hull), jnp.float32)
+    tol = (jnp.float32(eps) if eps is not None
+           else 1e-6 * (1.0 + jnp.max(jnp.abs(planes[:, 3]))))
     d = jnp.dot(pc.xyz, planes[:, :3].T,
                 precision=jax.lax.Precision.HIGHEST) + planes[:, 3]
-    inside = jnp.all(d <= eps, axis=-1)
+    inside = jnp.all(d <= tol, axis=-1)
     keep = jnp.logical_xor(inside, invert)
     return pc.replace(mask=pc.mask & keep)

@@ -88,10 +88,17 @@ def radius_search(query: PointCloud, ref: PointCloud, radius, max_nn: int,
 
     Returns ``(d2, idx, count)``: [N, max_nn] squared distances / ref
     indices (ascending, -1 / +inf beyond ``count``) and the per-query
-    neighbor count (capped at max_nn — PCL's radiusSearch contract).
-    ``radius`` is a traced operand; for exact UNCAPPED counts use
-    ops.count_neighbors. ``exclude_self`` as in knn_search.
+    neighbor count (capped at max_nn — PCL's radiusSearch contract for
+    max_nn >= 1).  Deviation from pcl::KdTreeFLANN: PCL treats
+    ``max_nn=0`` as "return ALL neighbors in radius"; fixed on-device
+    shapes cannot express an unbounded result, so max_nn < 1 raises
+    instead (use ops.count_neighbors for exact uncapped counts).
+    ``radius`` is a traced operand. ``exclude_self`` as in knn_search.
     """
+    if max_nn < 1:
+        raise ValueError(
+            "radius_search needs max_nn >= 1 (PCL's max_nn=0 'unlimited' "
+            "has no fixed-shape equivalent; use ops.count_neighbors)")
     d2, idx = knn_search(query, ref, max_nn, exclude_self=exclude_self,
                          query_tile=query_tile, ref_tile=ref_tile)
     within = (idx >= 0) & (d2 <= jnp.square(jnp.float32(radius)))

@@ -76,12 +76,14 @@ def main(argv=None):
                          "its area/volume")
     ap.add_argument("--hull-alpha", type=float, default=None,
                     metavar="ALPHA",
-                    help="with --hull: alpha-shape concave hull instead "
+                    help="alpha-shape concave hull instead of convex "
                          "(pcl::ConcaveHull setAlpha role; ALPHA = "
-                         "circumradius bound in meters)")
+                         "circumradius bound in meters); implies --hull")
     ap.add_argument("--seed", type=int, default=0,
                     help="plane-RANSAC key (deterministic per seed)")
     args = ap.parse_args(argv)
+    if args.hull_alpha is not None:
+        args.hull = True
 
     from pointcloud_stitching_tpu.utils.platform import apply_platform_override
     apply_platform_override()

@@ -111,21 +111,24 @@ def test_crop_hull_against_plane_oracle():
     rng = np.random.default_rng(5)
     probe = rng.uniform(-0.5, 1.5, (2000, 3)).astype(np.float32)
     pc = PointCloud.from_points(probe)
-    kept = crop_hull(pc, hull)
+    kept = crop_hull(pc, hull, eps=1e-6)
     # oracle: inside iff every qhull plane reports n.x + d <= eps
     d = probe @ hull.equations[:, :3].T + hull.equations[:, 3]
     inside = (d <= 1e-6).all(axis=1)
     np.testing.assert_array_equal(np.asarray(kept.mask), inside)
-    inv = crop_hull(pc, hull, invert=True)
+    inv = crop_hull(pc, hull, invert=True, eps=1e-6)
     np.testing.assert_array_equal(np.asarray(inv.mask), ~inside)
 
 
 def test_crop_hull_keeps_own_points():
-    xyz = _cube_cloud(300, seed=6)
-    pc = PointCloud.from_points(xyz)
-    hull = convex_hull(pc, exact=True)
-    kept = crop_hull(pc, hull, eps=1e-5)
-    assert bool(np.asarray(kept.mask).all())
+    # default eps scales with hull extent: the hull's own vertices must
+    # survive f32 plane rounding both at the origin and far from it
+    for offset in (0.0, 37.0):
+        xyz = _cube_cloud(300, seed=6) + np.float32(offset)
+        pc = PointCloud.from_points(xyz)
+        hull = convex_hull(pc, exact=True)
+        kept = crop_hull(pc, hull)
+        assert bool(np.asarray(kept.mask).all()), f"offset={offset}"
 
 
 def _l_shape_cloud(step=0.05):
@@ -216,3 +219,13 @@ def test_crop_hull_traceable_with_planes():
     ref = crop_hull(pc, hull)
     np.testing.assert_array_equal(np.asarray(got.mask),
                                   np.asarray(ref.mask))
+
+
+def test_chain_rings_drops_open_chains():
+    from pointcloud_stitching_tpu.ops.hull import _chain_rings
+    # closed square 0-1-2-3 plus a dangling open path 4-5-6: only the
+    # square may come back as a ring
+    edges = np.array([[0, 1], [1, 2], [2, 3], [3, 0],
+                      [4, 5], [5, 6]], np.int32)
+    rings = _chain_rings(edges)
+    assert len(rings) == 1 and sorted(rings[0].tolist()) == [0, 1, 2, 3]

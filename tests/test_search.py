@@ -110,3 +110,13 @@ def test_radius_is_traced_no_recompile():
     c2 = np.asarray(jf(0.9))
     assert len(calls) == 1  # one trace serves every radius
     assert c2.sum() >= c1.sum()
+
+
+def test_radius_search_rejects_max_nn_zero():
+    # PCL's max_nn=0 means "unlimited"; fixed shapes cannot express that,
+    # so the deviation is an explicit error, not a silent [N,0] result.
+    import pytest
+    q, r = _clouds(8, 16, seed=5)
+    with pytest.raises(ValueError, match="max_nn"):
+        radius_search(PointCloud.from_points(q),
+                      PointCloud.from_points(r), 0.5, 0)
