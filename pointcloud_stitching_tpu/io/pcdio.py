@@ -3,11 +3,18 @@
 The reference's registration tool loads .ply/.pcd clouds (SURVEY.md §3.4);
 PCL tooling defaults to .pcd, so calibration workflows that started in PCL
 land bring these files along. Implemented from the public PCD v0.7 spec:
-ascii and binary DATA sections, x/y/z float fields plus either a packed
-float `rgb` (PCL's PointXYZRGB layout: u8 b,g,r in the float's low bytes)
-or separate r/g/b fields.
+ascii, binary, and binary_compressed DATA sections, x/y/z float fields
+plus either a packed float `rgb` (PCL's PointXYZRGB layout: u8 b,g,r in
+the float's low bytes) or separate r/g/b fields.
+
+binary_compressed is PCL's default compact mode: a u32 compressed-size /
+u32 uncompressed-size pair followed by an LZF stream of the point data
+TRANSPOSED to field-major (all x, then all y, ...) — the SoA layout is
+part of the format, chosen upstream for compressibility.
 """
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 
@@ -17,7 +24,9 @@ _TYPE = {("F", 4): "<f4", ("F", 8): "<f8",
 
 
 def save_pcd(path: str, xyz: np.ndarray, rgb: np.ndarray | None = None,
-             binary: bool = True) -> None:
+             binary: bool = True, compressed: bool = False) -> None:
+    """Write a PCD v0.7 file. ``compressed=True`` selects PCL's
+    ``binary_compressed`` DATA mode (implies binary)."""
     xyz = np.asarray(xyz, np.float32).reshape(-1, 3)
     n = len(xyz)
     has_rgb = rgb is not None
@@ -34,6 +43,8 @@ def save_pcd(path: str, xyz: np.ndarray, rgb: np.ndarray | None = None,
     count = "1 1 1 1" if has_rgb else "1 1 1"
     size = "4 4 4 4" if has_rgb else "4 4 4"
     types = "F F F F" if has_rgb else "F F F"
+    mode = ("binary_compressed" if compressed
+            else "binary" if binary else "ascii")
     header = (
         "# .PCD v0.7 - Point Cloud Data file format\n"
         "VERSION 0.7\n"
@@ -42,10 +53,20 @@ def save_pcd(path: str, xyz: np.ndarray, rgb: np.ndarray | None = None,
         f"TYPE {types}\n"
         f"COUNT {count}\n"
         f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
-        f"DATA {'binary' if binary else 'ascii'}\n")
+        f"DATA {mode}\n")
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
-        if binary:
+        if compressed:
+            from ..native.lzf import compress
+            # field-major (SoA): all x, all y, all z[, all packed rgb]
+            cols = [np.ascontiguousarray(xyz[:, i], "<f4") for i in range(3)]
+            if has_rgb:
+                cols.append(np.ascontiguousarray(packed, "<f4"))
+            raw = b"".join(c.tobytes() for c in cols)
+            comp = compress(raw)
+            f.write(struct.pack("<II", len(comp), len(raw)))
+            f.write(comp)
+        elif binary:
             if has_rgb:
                 rec = np.empty((n, 4), np.float32)
                 rec[:, :3] = xyz
@@ -98,6 +119,22 @@ def load_pcd(path: str):
         rec = np.frombuffer(data[pos:pos + npoints * dt.itemsize], dt,
                             count=npoints)
         cols = {name: rec[name] for name in fields}
+    elif mode == "binary_compressed":
+        from ..native.lzf import decompress
+        comp_size, raw_size = struct.unpack_from("<II", data, pos)
+        pos += 8
+        raw = decompress(data[pos:pos + comp_size], raw_size)
+        want = npoints * sum(sizes)
+        if raw_size != want:
+            raise ValueError(
+                f"binary_compressed size mismatch: header implies {want} "
+                f"bytes, stream carries {raw_size}")
+        # field-major: each field's npoints values are contiguous
+        cols, off = {}, 0
+        for name, t, s in zip(fields, types, sizes):
+            cols[name] = np.frombuffer(raw, _TYPE[(t, s)], count=npoints,
+                                       offset=off)
+            off += npoints * s
     elif mode == "ascii":
         arr = np.array(data[pos:].split(), dtype=np.float64)
         arr = arr.reshape(npoints, len(fields))

@@ -23,13 +23,14 @@ _lib = None
 
 def build(force: bool = False) -> str:
     """Compile the native library. Returns the .so path."""
-    src = os.path.join(_SRC_DIR, "snappy.cc")
-    if force or not os.path.exists(_LIB_PATH) or (
-            os.path.exists(src)
-            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)):
+    srcs = [os.path.join(_SRC_DIR, f) for f in ("snappy.cc", "lzf.cc")]
+    srcs = [s for s in srcs if os.path.exists(s)]
+    stale = force or not os.path.exists(_LIB_PATH) or any(
+        os.path.getmtime(s) > os.path.getmtime(_LIB_PATH) for s in srcs)
+    if stale:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-             "-o", _LIB_PATH, src],
+             "-o", _LIB_PATH] + srcs,
             check=True, capture_output=True)
     return _LIB_PATH
 
@@ -51,6 +52,14 @@ def load() -> ctypes.CDLL:
                 ctypes.c_char_p, ctypes.c_size_t]
             lib.pcs_snappy_decompress.restype = ctypes.c_int
             lib.pcs_snappy_decompress.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+                ctypes.c_size_t]
+            lib.pcs_lzf_compress.restype = ctypes.c_size_t
+            lib.pcs_lzf_compress.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+                ctypes.c_size_t]
+            lib.pcs_lzf_decompress.restype = ctypes.c_size_t
+            lib.pcs_lzf_decompress.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
                 ctypes.c_size_t]
             _lib = lib
