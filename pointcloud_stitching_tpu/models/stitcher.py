@@ -191,13 +191,15 @@ def _ring_drift_correction(cfg: StitchConfig, clouds: PointCloud,
             src, dst, dst_n, iterations=cfg.icp_iterations,
             max_corr_dist=cfg.icp_max_corr_dist,
             query_tile=cfg.icp_query_tile, ref_tile=cfg.icp_ref_tile,
-            nn_impl=cfg.kernel_impl, trim_fraction=cfg.icp_trim_fraction)
+            nn_impl=cfg.kernel_impl, trim_fraction=cfg.icp_trim_fraction,
+            nn_interpret=cfg.kernel_interpret)
     else:
         res = icp_batched(src, dst, iterations=cfg.icp_iterations,
                           max_corr_dist=cfg.icp_max_corr_dist,
                           query_tile=cfg.icp_query_tile,
                           ref_tile=cfg.icp_ref_tile,
                           nn_impl=cfg.kernel_impl,
+                          nn_interpret=cfg.kernel_interpret,
                           trim_fraction=cfg.icp_trim_fraction)
     if closure:
         deltas = res.T                              # [ncam, 4, 4]
@@ -224,7 +226,8 @@ def _stitch_tail(cfg: StitchConfig, raw: PointCloud, extrinsics: jax.Array,
     if cfg.icp_enabled and ncam > 1:
         icp_clouds = voxel_downsample(sub, cfg.icp_voxel_leaf,
                                       capacity=cfg.icp_capacity,
-                                      impl=cfg.kernel_impl)
+                                      impl=cfg.kernel_impl,
+                                      interpret=cfg.kernel_interpret)
         extrinsics, icp_err, icp_inl, loop_err = _ring_drift_correction(
             cfg, icp_clouds, extrinsics)
 
@@ -234,7 +237,8 @@ def _stitch_tail(cfg: StitchConfig, raw: PointCloud, extrinsics: jax.Array,
         # and fused points must cross ICI)
         clouds = voxel_downsample(clouds, cfg.cam_voxel_leaf,
                                   capacity=cfg.cam_capacity,
-                                  impl=cfg.kernel_impl)
+                                  impl=cfg.kernel_impl,
+                                  interpret=cfg.kernel_interpret)
     world = clouds.replace(xyz=se3_apply(extrinsics, clouds.xyz))
     if cfg.with_normals and clouds.rgb is not None:
         # normals rotate with the refined extrinsics (translation-free),
@@ -256,7 +260,8 @@ def _stitch_tail(cfg: StitchConfig, raw: PointCloud, extrinsics: jax.Array,
     # recompile.
     leaf = cfg.out_voxel_leaf if out_leaf is None else out_leaf
     out = voxel_downsample(fused, leaf,
-                           capacity=cfg.out_capacity, impl=cfg.kernel_impl)
+                           capacity=cfg.out_capacity, impl=cfg.kernel_impl,
+                           interpret=cfg.kernel_interpret)
 
     metrics = StitchMetrics(points_in=points_in, points_out=out.count(),
                             icp_mean_error=icp_err, icp_inliers=icp_inl,

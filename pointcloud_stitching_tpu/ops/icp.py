@@ -58,13 +58,15 @@ def _trim_weights(w, d2, trim_fraction):
 
 
 @partial(jax.jit, static_argnames=("iterations", "query_tile", "ref_tile",
-                                   "nn_impl", "trim_fraction"))
+                                   "nn_impl", "trim_fraction",
+                                   "nn_interpret"))
 def icp_batched(src: PointCloud, dst: PointCloud,
                 init_T: jax.Array | None = None, iterations: int = 5,
                 max_corr_dist: float | jax.Array = 0.1,
                 query_tile: int = 1024, ref_tile: int = 4096,
                 nn_impl: str = "auto",
-                trim_fraction: float = 0.0) -> ICPResult:
+                trim_fraction: float = 0.0,
+                nn_interpret: bool = False) -> ICPResult:
     """Fixed-iteration ICP over B independent cloud pairs at once.
 
     src/dst are batched PointClouds ([B, N, 3] xyz). All B correspondence
@@ -100,7 +102,8 @@ def icp_batched(src: PointCloud, dst: PointCloud,
         rb = 2048 if dst.xyz.shape[1] <= 8192 else 1024
         rT, rsq = prepare_ref_batched(dst.xyz, dst.mask, ref_block=rb)
         nn = lambda p: nn_batched_prepared(p, rT, rsq, ref_block=rb,
-                                           num_ref=dst.xyz.shape[1])
+                                           num_ref=dst.xyz.shape[1],
+                                           interpret=nn_interpret)
     else:
         nn = lambda p: _nn_batched_xla(p, dst.xyz, dst.mask,
                                        query_tile, ref_tile)
@@ -135,7 +138,8 @@ def _exp_se3(x: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("iterations", "query_tile", "ref_tile",
-                                   "nn_impl", "trim_fraction"))
+                                   "nn_impl", "trim_fraction",
+                                   "nn_interpret"))
 def icp_point_to_plane_batched(src: PointCloud, dst: PointCloud,
                                dst_normals: jax.Array,
                                init_T: jax.Array | None = None,
@@ -143,7 +147,8 @@ def icp_point_to_plane_batched(src: PointCloud, dst: PointCloud,
                                max_corr_dist: float | jax.Array = 0.1,
                                query_tile: int = 1024, ref_tile: int = 4096,
                                nn_impl: str = "auto",
-                               trim_fraction: float = 0.0) -> ICPResult:
+                               trim_fraction: float = 0.0,
+                               nn_interpret: bool = False) -> ICPResult:
     """Point-to-plane ICP over B cloud pairs (Chen & Medioni formulation).
 
     Minimises sum w ((R p + t - q) . n_q)^2 per iteration via the linearised
@@ -170,7 +175,8 @@ def icp_point_to_plane_batched(src: PointCloud, dst: PointCloud,
         rb = 2048 if dst.xyz.shape[1] <= 8192 else 1024
         rT, rsq = prepare_ref_batched(dst.xyz, dst.mask, ref_block=rb)
         nn = lambda p: nn_batched_prepared(p, rT, rsq, ref_block=rb,
-                                           num_ref=dst.xyz.shape[1])
+                                           num_ref=dst.xyz.shape[1],
+                                           interpret=nn_interpret)
     else:
         nn = lambda p: _nn_batched_xla(p, dst.xyz, dst.mask,
                                        query_tile, ref_tile)

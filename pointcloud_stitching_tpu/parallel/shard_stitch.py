@@ -87,7 +87,8 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
                          mask=sub_mask.reshape(ncl, -1), rgb=sub_rgb)
         icp_clouds = voxel_downsample(sub, cfg.icp_voxel_leaf,
                                       capacity=cfg.icp_capacity,
-                                      impl=cfg.kernel_impl)
+                                      impl=cfg.kernel_impl,
+                                      interpret=cfg.kernel_interpret)
 
         ext_full = ext_l  # [ncl, 4, 4] local extrinsics
         world = icp_clouds.replace(xyz=se3_apply(ext_full, icp_clouds.xyz))
@@ -124,6 +125,7 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
                 max_corr_dist=cfg.icp_max_corr_dist,
                 query_tile=cfg.icp_query_tile, ref_tile=cfg.icp_ref_tile,
                 nn_impl=cfg.kernel_impl,
+                nn_interpret=cfg.kernel_interpret,
                 trim_fraction=cfg.icp_trim_fraction)
         else:
             res = icp_batched(src_world, dst_world,
@@ -132,6 +134,7 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
                               query_tile=cfg.icp_query_tile,
                               ref_tile=cfg.icp_ref_tile,
                               nn_impl=cfg.kernel_impl,
+                              nn_interpret=cfg.kernel_interpret,
                               trim_fraction=cfg.icp_trim_fraction)
         # gather every chip's deltas; all chips compute the same composition
         # (deltas[0] is the ring-closing pair — identity when closure is off,
@@ -155,7 +158,8 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
         global voxel -> metrics."""
         cam_clouds = voxel_downsample(raw, cfg.cam_voxel_leaf,
                                       capacity=cfg.cam_capacity,
-                                      impl=cfg.kernel_impl)
+                                      impl=cfg.kernel_impl,
+                                      interpret=cfg.kernel_interpret)
         world_cams = cam_clouds.replace(
             xyz=se3_apply(ext_local, cam_clouds.xyz))
         g_xyz = jax.lax.all_gather(world_cams.xyz, axis).reshape(-1, 3)
@@ -163,7 +167,8 @@ def make_shardmap_stitch(cfg: StitchConfig, mesh: Mesh, axis: str = "cam"):
         fused = PointCloud(xyz=g_xyz, mask=g_mask)
         out = voxel_downsample(fused, cfg.out_voxel_leaf,
                                capacity=cfg.out_capacity,
-                               impl=cfg.kernel_impl)
+                               impl=cfg.kernel_impl,
+                               interpret=cfg.kernel_interpret)
         metrics = StitchMetrics(points_in=points_in,
                                 points_out=out.count(),
                                 icp_mean_error=err, icp_inliers=inl,

@@ -121,11 +121,16 @@ class StitchConfig:
     icp_query_tile: int = 1024
     icp_ref_tile: int = 4096
 
-    # kernel backend: 'auto' (Pallas on TPU), 'xla', 'pallas'. The sharded
-    # multi-chip path forces 'xla' — Pallas custom calls have no GSPMD
-    # partitioning rule, so under pjit they would replicate; a future
-    # shard_map wrapper can lift that.
+    # kernel backend: 'auto' (Pallas on TPU), 'xla', 'pallas'. The GSPMD
+    # sharded path (parallel/mesh.py) forces 'xla' — Pallas custom calls
+    # have no GSPMD partitioning rule, so under pjit they would replicate.
+    # The shard_map path (parallel/shard_stitch.py) honours it: each chip
+    # executes the kernels locally.
     kernel_impl: str = "auto"
+    # run Pallas kernels in interpreter mode (CPU-mesh testing of the
+    # kernel_impl='pallas' path; never set on real TPUs — interpret mode
+    # is orders of magnitude slower)
+    kernel_interpret: bool = False
 
 
     def __post_init__(self):
