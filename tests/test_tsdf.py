@@ -418,3 +418,170 @@ def test_integrate_rejects_mismatched_color():
     d = jnp.zeros((48, 64), jnp.float32)
     with pytest.raises(ValueError):
         M.integrate(vol, d, intr, I4, color=jnp.zeros((48, 64, 3)))
+
+
+# ---------------------------------------------------------------------------
+# hierarchical (brick) integration
+# ---------------------------------------------------------------------------
+
+def test_integrate_brick_matches_dense_scenes():
+    """Brick classification (FREE / FREE_BORDER / SKIP / REFINE) must
+    reproduce the dense map exactly — conservative bounds mean every
+    unproven brick runs the same per-voxel math, so differences only
+    come from a misclassified brick."""
+    intr = _intr()
+    T2 = np.eye(4, dtype=np.float32)
+    T2[:3, 3] = [0.15, -0.1, -0.1]
+    d1 = render_depth(intr, I4, **SCENE)
+    d2 = render_depth(intr, T2, **SCENE)
+    batched = jnp.stack([jnp.asarray(d1), jnp.asarray(d2)])
+    intr_b = intr.stack([intr])
+    ext_b = jnp.stack([jnp.asarray(I4), jnp.asarray(T2)])
+    # volume deliberately larger than the frustum (border + outside
+    # bricks) and offset (near-camera bricks)
+    for origin in [(-0.64, -0.64, 0.0), (-0.3, -0.2, -0.4)]:
+        va = M.TSDFVolume.create((64, 64, 64), 0.02, origin=origin)
+        va = M.integrate(va, batched, intr_b, ext_b, depth_scale=1.0,
+                         method="dense")
+        vb = M.TSDFVolume.create((64, 64, 64), 0.02, origin=origin)
+        vb = M.integrate(vb, batched, intr_b, ext_b, depth_scale=1.0,
+                         method="brick")
+        np.testing.assert_allclose(np.asarray(va.tsdf),
+                                   np.asarray(vb.tsdf), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(va.weight),
+                                   np.asarray(vb.weight), atol=1e-6)
+
+
+def test_integrate_brick_matches_dense_color_mask_gates():
+    intr = _intr()
+    rng = np.random.default_rng(3)
+    d1 = render_depth(intr, I4, **SCENE)
+    color = rng.integers(0, 256, (2, 48, 64, 3), dtype=np.uint8)
+    batched = jnp.stack([jnp.asarray(d1), jnp.asarray(d1) * 0.5])
+    intr_b = intr.stack([intr])
+    ext_b = jnp.stack([jnp.asarray(I4), jnp.asarray(I4)])
+    kw = dict(depth_scale=1.0, color=jnp.asarray(color),
+              cam_mask=jnp.asarray([True, True]),
+              z_min=0.3, z_max=0.8, max_weight=1.5)
+    va = M.TSDFVolume.create((64, 64, 64), 0.02,
+                             origin=(-0.64, -0.64, 0.0), with_rgb=True)
+    va = M.integrate(va, batched, intr_b, ext_b, method="dense", **kw)
+    vb = M.TSDFVolume.create((64, 64, 64), 0.02,
+                             origin=(-0.64, -0.64, 0.0), with_rgb=True)
+    vb = M.integrate(vb, batched, intr_b, ext_b, method="brick", **kw)
+    np.testing.assert_allclose(np.asarray(va.tsdf), np.asarray(vb.tsdf),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(va.weight),
+                               np.asarray(vb.weight), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(va.rgb), np.asarray(vb.rgb),
+                               atol=1e-3)
+
+
+def test_integrate_brick_invalid_depth_regions():
+    """Holes (d = 0) and out-of-range depth must classify conservatively:
+    footprints touching them refine, entirely-invalid footprints skip."""
+    intr = _intr()
+    d = render_depth(intr, I4, **SCENE)
+    d[10:30, 20:40] = 0.0            # a dead sensor patch
+    d[:8, :] = 9.0                   # beyond z_max band
+    kw = dict(depth_scale=1.0, z_max=2.0)
+    va = M.TSDFVolume.create((64, 64, 64), 0.02, origin=(-0.64, -0.64, 0.0))
+    va = M.integrate(va, jnp.asarray(d), intr, I4, method="dense", **kw)
+    vb = M.TSDFVolume.create((64, 64, 64), 0.02, origin=(-0.64, -0.64, 0.0))
+    vb = M.integrate(vb, jnp.asarray(d), intr, I4, method="brick", **kw)
+    np.testing.assert_allclose(np.asarray(va.tsdf), np.asarray(vb.tsdf),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(va.weight),
+                               np.asarray(vb.weight), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_integrate_brick_overflow_falls_back_dense():
+    """A noise depth frame turns most of the frustum into band/boundary
+    bricks; at 128³ that overflows the per-camera refine capacity
+    (NB//8) and the lax.cond fallback must keep the result exact."""
+    intr = _intr()
+    rng = np.random.default_rng(7)
+    d = rng.uniform(0.3, 1.2, (48, 64)).astype(np.float32)
+    va = M.TSDFVolume.create((128, 128, 128), 0.01,
+                             origin=(-0.64, -0.64, 0.0))
+    va = M.integrate(va, jnp.asarray(d), intr, I4, depth_scale=1.0,
+                     method="dense")
+    vb = M.TSDFVolume.create((128, 128, 128), 0.01,
+                             origin=(-0.64, -0.64, 0.0))
+    vb = M.integrate(vb, jnp.asarray(d), intr, I4, depth_scale=1.0,
+                     method="brick")
+    np.testing.assert_allclose(np.asarray(va.tsdf), np.asarray(vb.tsdf),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(va.weight),
+                               np.asarray(vb.weight), atol=1e-6)
+
+
+def test_integrate_method_validation():
+    vol = M.TSDFVolume.create((12, 12, 12), 0.05)  # not 8-divisible
+    intr = _intr()
+    d = jnp.zeros((48, 64), jnp.float32)
+    with pytest.raises(ValueError, match="8-divisible"):
+        M.integrate(vol, d, intr, I4, method="brick")
+    with pytest.raises(ValueError, match="method"):
+        M.integrate(vol, d, intr, I4, method="fast")
+    # auto on a non-divisible grid silently uses dense
+    out = M.integrate(vol, d, intr, I4, method="auto")
+    assert out.tsdf.shape == (12, 12, 12)
+
+
+# ---------------------------------------------------------------------------
+# prior-windowed ray casting
+# ---------------------------------------------------------------------------
+
+def _fused_scene_vol():
+    intr = _intr()
+    vol = _plane_vol()
+    d = render_depth(intr, I4, **SCENE)
+    vol = M.integrate(vol, jnp.asarray(d), intr, I4, depth_scale=1.0)
+    return vol, intr, d
+
+
+def test_raycast_prior_window_matches_full():
+    vol, intr, d = _fused_scene_vol()
+    full = M.raycast(vol, intr, I4, t_min=0.1, t_max=2.0)
+    pri = M.raycast(vol, intr, I4, t_min=0.1, t_max=2.0,
+                    prior_depth=jnp.asarray(d), prior_window=0.3,
+                    depth_scale=1.0)
+    both = np.asarray(full.valid) & np.asarray(pri.valid)
+    assert both.mean() > 0.5
+    # windowed march finds the same surface where both are valid — up to
+    # occlusion boundaries, where the full march may hit a grazing front
+    # surface the prior window (centered on the live depth of the BACK
+    # surface) legitimately skips; those edge pixels are a small fraction
+    dd = np.abs(np.asarray(full.depth) - np.asarray(pri.depth))[both]
+    assert np.median(dd) < 1e-3
+    assert (dd > 5e-3).mean() < 0.02
+    # and it must not lose hits the full march found near the prior:
+    # every full-march hit within the window of the live depth is found
+    lost = np.asarray(full.valid) & ~np.asarray(pri.valid) \
+        & (np.abs(np.asarray(full.depth) - d) < 0.15) & (d > 0)
+    assert lost.mean() < 0.02
+
+
+def test_track_prior_window_matches_full_march():
+    vol, intr, d = _fused_scene_vol()
+    # perturb the pose, recover it two ways
+    ang = 0.02
+    Rp = np.array([[np.cos(ang), 0, np.sin(ang)],
+                   [0, 1, 0],
+                   [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, :3] = Rp
+    T0[:3, 3] = [0.02, -0.015, 0.01]
+    kw = dict(depth_scale=1.0, stride=1, t_min=0.1, t_max=2.0)
+    full = M.track(vol, jnp.asarray(d), intr, jnp.asarray(T0),
+                   prior_window=None, **kw)
+    pri = M.track(vol, jnp.asarray(d), intr, jnp.asarray(T0),
+                  prior_window=0.3, **kw)
+    # both recover ~identity; prior-window must be as accurate
+    for res in (full, pri):
+        T = np.asarray(res.T)
+        assert np.abs(T[:3, 3]).max() < 5e-3
+        assert np.abs(T[:3, :3] - np.eye(3)).max() < 5e-3
+    assert int(pri.n_matched) > 0.8 * int(full.n_matched)
