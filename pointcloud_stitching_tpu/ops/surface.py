@@ -80,11 +80,6 @@ _TRI_TABLE = np.array([
     [[_N, _N, _N], [_N, _N, _N]],   # 1111
 ], np.int32)
 
-# per-(tet, tet-local-edge) cube-corner endpoints, precomposed so the
-# kernel does single flat gathers instead of chained index math
-_TET_EDGE_A = _TETS[:, _EDGE_V[:, 0]]          # [6 tets, 6 edges]
-_TET_EDGE_B = _TETS[:, _EDGE_V[:, 1]]
-
 # triangles emitted per cell: 6 tets x 2 slots
 TRIS_PER_CELL = 12
 
@@ -163,76 +158,129 @@ def marching_tetrahedra(field: jax.Array, iso, cell_capacity: int,
     cell_ok = jnp.arange(cap_pad) < n_active
 
     fflat = field.reshape(-1)
-    off = jnp.asarray(_CORNER)                                # [8,3]
-    offf = off.astype(jnp.float32)
-    tets = jnp.asarray(_TETS)                                 # [6,4]
-    tri_table = jnp.asarray(_TRI_TABLE)
-    tea = jnp.asarray(_TET_EDGE_A).reshape(-1)
-    teb = jnp.asarray(_TET_EDGE_B).reshape(-1)
+
+    # Composed static tables, one column per output slot n = (t·2+s)·3+v
+    # (tet t, triangle slot s, triangle vertex v): the cube-corner ids of
+    # the slot's edge endpoints for every case. Composing
+    # case→edge→corner at trace time turns the kernel's chained runtime
+    # gathers into 15-deep where-chains over [36, chunk] planes — the
+    # AoS form's [chunk,6,2,3,3] temporaries tiled at ~42× on TPU (the
+    # (3,3) minor dims pad to (8,128)) and made this extractor ~25×
+    # slower than the same arithmetic in slot-major layout.
+    _ts = [(n // 6, (n // 3) % 2, n % 3) for n in range(36)]
+    a36 = np.zeros((16, 36), np.int32)
+    b36 = np.zeros((16, 36), np.int32)
+    ok12 = np.zeros((16, 12), bool)
+    for c in range(16):
+        for n, (t, s, v) in enumerate(_ts):
+            e = max(int(_TRI_TABLE[c, s, v]), 0)
+            a36[c, n] = _TETS[t, _EDGE_V[e, 0]]
+            b36[c, n] = _TETS[t, _EDGE_V[e, 1]]
+        for m in range(12):
+            ok12[c, m] = _TRI_TABLE[c, m % 2, 0] >= 0
+    offf = _CORNER.astype(np.float32)                         # [8,3] static
 
     def cell_geom(args):
         sel_c, ok_c = args                                    # [chunk]
         ci = sel_c // (cy * cz)
         cj = (sel_c // cz) % cy
         ck = sel_c % cz
-        cell_ijk = jnp.stack([ci, cj, ck], -1).astype(jnp.float32)
+        cf = [ci.astype(jnp.float32), cj.astype(jnp.float32),
+              ck.astype(jnp.float32)]
 
-        # 8 corner values per active cell (flat gathers)
-        idx8 = ((ci[:, None] + off[:, 0]) * (Y * Z)
-                + (cj[:, None] + off[:, 1]) * Z
-                + (ck[:, None] + off[:, 2]))                  # [chunk,8]
-        vals8 = fflat[idx8]                                   # [chunk,8]
+        # 8 corner-value planes per active cell (flat gathers — the only
+        # gathers in the kernel)
+        v8 = [fflat[(ci + int(ox)) * (Y * Z) + (cj + int(oy)) * Z
+                    + (ck + int(oz))] for ox, oy, oz in _CORNER]
 
-        # tet cases
-        tvals = vals8[:, tets]                                # [chunk,6,4]
-        inside = tvals > iso
-        case = jnp.sum(inside.astype(jnp.int32)
-                       * jnp.asarray([1, 2, 4, 8], jnp.int32), -1)
+        # per-tet case planes (bit i = tet vertex i inside)
+        cases = []
+        for t in range(6):
+            c = (v8[_TETS[t, 0]] > iso).astype(jnp.int32)
+            for bit, tv in enumerate(_TETS[t, 1:4], start=1):
+                c = c + (v8[tv] > iso).astype(jnp.int32) * (1 << bit)
+            cases.append(c)
 
-        # triangle edge ids from the case table
-        tri_e = tri_table[case]                               # [chunk,6,2,3]
-        tri_valid = (tri_e[..., 0] >= 0) & ok_c[:, None, None]
-        e = jnp.maximum(tri_e, 0)                             # clamp pads
+        case36 = jnp.stack([cases[t] for t, _, _ in _ts])     # [36, chunk]
 
-        # edge endpoints as cube corner ids: table[tet, edge]
-        tet_id = jnp.arange(6, dtype=jnp.int32)[None, :, None, None]
-        ca = tea[tet_id * 6 + e]                              # [chunk,6,2,3]
-        cb = teb[tet_id * 6 + e]
+        def by_case(cols):
+            """15-deep where-chain: per-slot [36] columns picked by case."""
+            out = jnp.broadcast_to(
+                jnp.asarray(cols[0])[:, None], case36.shape)
+            for c in range(1, 16):
+                out = jnp.where(case36 == c,
+                                jnp.asarray(cols[c])[:, None], out)
+            return out
 
-        def corner_gather(tab, c):                            # vals8 by id
-            flat = c.reshape(chunk, -1)
-            return jnp.take_along_axis(tab, flat, axis=1).reshape(c.shape)
+        def by_corner(ids, planes):
+            """7-deep where-chain: [36,chunk] int ids pick [chunk] planes."""
+            out = jnp.broadcast_to(planes[0][None, :], ids.shape)
+            for k in range(1, 8):
+                out = jnp.where(ids == k, planes[k][None, :], out)
+            return out
 
-        va = corner_gather(vals8, ca)
-        vb = corner_gather(vals8, cb)
-        pa = cell_ijk[:, None, None, None, :] + offf[ca]      # [chunk,6,2,3,3]
-        pb = cell_ijk[:, None, None, None, :] + offf[cb]
+        # corner ids per slot under each case (static [16,36] columns),
+        # then the endpoint VALUES by id-select over the 8 corner planes
+        # and the endpoint OFFSETS by case-select over static columns
+        ida = by_case([a36[c] for c in range(16)])            # [36, chunk]
+        idb = by_case([b36[c] for c in range(16)])
+        va = by_corner(ida, v8)
+        vb = by_corner(idb, v8)
+        oa = [by_case([offf[a36[c], ax] for c in range(16)])
+              for ax in range(3)]                             # 3×[36,chunk]
+        ob = [by_case([offf[b36[c], ax] for c in range(16)])
+              for ax in range(3)]
 
         # interpolate the crossing; a used edge always straddles iso so
         # the denominator is nonzero, but guard the padded slots
         denom = vb - va
         denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-        t = jnp.clip((iso - va) / denom, 0.0, 1.0)
-        verts = origin + leaf * (pa + t[..., None] * (pb - pa))
+        tt = jnp.clip((iso - va) / denom, 0.0, 1.0)
+        vx = [origin[ax] + leaf * (cf[ax][None, :] + oa[ax]
+                                   + tt * (ob[ax] - oa[ax]))
+              for ax in range(3)]                             # 3×[36,chunk]
 
         # orient: normal away from the tet's inside-corner centroid
-        pcorn = (origin + leaf
-                 * (cell_ijk[:, None, None, :] + offf[tets]))  # [chunk,6,4,3]
-        w_in = inside.astype(jnp.float32)[..., None]
-        pin = (jnp.sum(pcorn * w_in, 2)
-               / jnp.maximum(jnp.sum(w_in, 2), 1e-12))        # [chunk,6,3]
-        v0, v1, v2 = verts[..., 0, :], verts[..., 1, :], verts[..., 2, :]
-        n = jnp.cross(v1 - v0, v2 - v0)
-        cen = (v0 + v1 + v2) / 3.0
-        flip = jnp.sum(n * (cen - pin[:, :, None, :]), -1) < 0
-        v1f = jnp.where(flip[..., None], v2, v1)
-        v2f = jnp.where(flip[..., None], v1, v2)
-        verts = jnp.stack([v0, v1f, v2f], axis=-2)            # [chunk,6,2,3,3]
+        pin = []                                              # 3×[12,chunk]
+        for t6 in range(6):
+            w = [(v8[_TETS[t6, v]] > iso).astype(jnp.float32)
+                 for v in range(4)]
+            wsum = jnp.maximum(w[0] + w[1] + w[2] + w[3], 1e-12)
+            pin.append([origin[ax] + leaf * (cf[ax] + sum(
+                w[v] * float(offf[_TETS[t6, v], ax]) for v in range(4))
+                / wsum) for ax in range(3)])
+        pinx = [jnp.stack([pin[m // 2][ax] for m in range(12)])
+                for ax in range(3)]
 
-        # (corner, axis)-major SoA: the big triangle axis goes minor
-        soa = verts.reshape(chunk * TRIS_PER_CELL, 9).T
-        return (soa.reshape(3, 3, chunk * TRIS_PER_CELL),
-                tri_valid.reshape(chunk * TRIS_PER_CELL))
+        v0 = [vx[ax][0::3] for ax in range(3)]                # [12, chunk]
+        v1 = [vx[ax][1::3] for ax in range(3)]
+        v2 = [vx[ax][2::3] for ax in range(3)]
+        e1 = [v1[ax] - v0[ax] for ax in range(3)]
+        e2 = [v2[ax] - v0[ax] for ax in range(3)]
+        nx = e1[1] * e2[2] - e1[2] * e2[1]
+        ny = e1[2] * e2[0] - e1[0] * e2[2]
+        nz = e1[0] * e2[1] - e1[1] * e2[0]
+        cen = [(v0[ax] + v1[ax] + v2[ax]) / 3.0 for ax in range(3)]
+        flip = (nx * (cen[0] - pinx[0]) + ny * (cen[1] - pinx[1])
+                + nz * (cen[2] - pinx[2])) < 0
+        v1f = [jnp.where(flip, v2[ax], v1[ax]) for ax in range(3)]
+        v2f = [jnp.where(flip, v1[ax], v2[ax]) for ax in range(3)]
+
+        # validity straight from the case table
+        tv = jnp.zeros((12,) + ok_c.shape, bool)
+        case12 = jnp.stack([cases[m // 2] for m in range(12)])
+        for c in range(16):
+            tv = jnp.where(case12 == c,
+                           jnp.asarray(ok12[c])[:, None], tv)
+        tri_valid = tv & ok_c[None, :]
+
+        # (corner, axis)-major SoA: the big triangle axis goes minor;
+        # triangle order n = cell·12 + t·2 + s matches the AoS original
+        corners = (v0, v1f, v2f)
+        soa = jnp.stack([
+            jnp.stack([corners[i][j].T.reshape(-1) for j in range(3)])
+            for i in range(3)])
+        return soa, tri_valid.T.reshape(-1)
 
     if n_chunks == 1:
         verts_soa, tri_valid = cell_geom((sel, cell_ok))
