@@ -41,10 +41,12 @@ boundaries don't grow fake walls.
 
 Measured steady states (one TPU v5e, 256³ volume, 1 cm leaf; analytic
 scene, scratch/verify_tsdf3.py r3 / scratch/tsdf_perf_r4.py r4):
-integrate 4×848×480 frames 503–708 ms across rounds (~126–177
-ms/camera — almost entirely the 16.7M-element random depth-image
-gather, which alone measures 123 ms in isolation; the projection math
-is ~4 ms), raycast 848×480 903 ms full-march / 235 ms prior-window at
+integrate 4×848×480 frames 503–708 ms across rounds with the dense
+gather (~126–177 ms/camera — almost entirely the 16.7M-element random
+depth-image gather, which alone measures 123 ms in isolation; the
+projection math is ~4 ms) and 268–345 ms with method='mxu_pallas'
+(kernels/patch_gather.py one-hot MXU lookup, bitwise-equal result —
+scratch/pallas_integrate_tpu.py), raycast 848×480 903 ms full-march / 235 ms prior-window at
 stride 2, track (2 rounds × 6 Gauss-Newton iters, stride 2) 1.78 s
 full-march / 436 ms with the default ±0.3 m prior window (recovers a
 1.5°+3 cm perturbation to 0.000°/0.3 mm), extract_cloud 175 ms,
@@ -56,6 +58,7 @@ cadence (or on a cropped volume) alongside the 12 ms stitching path.
 """
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -162,17 +165,20 @@ def integrate(vol: TSDFVolume, depth: jax.Array, intr: Intrinsics,
       cam_mask: [ncam] bool — False drops a camera (a dead slot in the
         streaming runtime) without recompiling.
       z_min/z_max: per-camera depth validity range (meters).
-      method: 'auto' | 'brick' | 'dense'. 'dense' is the original
-        one-gather-per-voxel map (the oracle); 'brick' is the
-        hierarchical integrator (see _integrate_brick_jit) that skips /
-        batch-updates far-from-surface bricks and runs the exact
-        per-voxel path only near the truncation band — same result
-        within float-accumulation order. 'auto' currently picks dense:
-        measured on the TPU (4×848×480 @256³, scene with invalid-pixel
-        stripes), brick ran 1005 ms vs dense 708 ms — depth holes push
-        the REFINE count past its static capacity and the per-camera
-        lax.cond falls back to the dense math *plus* the classification
-        overhead. Opt in explicitly on hole-free frames.
+      method: 'auto' | 'mxu' | 'mxu_pallas' | 'mxu_xla' | 'brick' |
+        'dense'. 'dense' is the original one-gather-per-voxel map (the
+        oracle). The 'mxu' family replaces the 16.7M-row random depth
+        gather with brick-local one-hot MXU contractions — bitwise the
+        dense result, depth-only, 8-divisible grids: 'mxu_pallas' keeps
+        the one-hots in VMEM (kernels/patch_gather.py — the fast path),
+        'mxu_xla' streams them through HBM (any backend, sharding-safe,
+        measured no faster than dense), 'mxu' picks by backend. 'brick'
+        is the hierarchical integrator that skips / batch-updates
+        far-from-surface bricks; exact within float-accumulation order
+        but measured SLOWER than dense on frames with depth holes
+        (1005 vs 708 ms — REFINE overflow falls back to dense plus the
+        classification overhead). 'auto' picks mxu_pallas when eligible
+        (8-divisible, no color, TPU backend), else dense.
 
     Returns the new volume.
     """
@@ -189,22 +195,56 @@ def integrate(vol: TSDFVolume, depth: jax.Array, intr: Intrinsics,
             if jnp.asarray(intr.fx).ndim == 0 else intr
     if cam_mask is None:
         cam_mask = jnp.ones((depth.shape[0],), bool)
-    if method not in ("auto", "brick", "dense"):
+    methods = ("auto", "brick", "dense", "mxu", "mxu_pallas", "mxu_xla")
+    if method not in methods:
         raise ValueError(f"unknown integrate method {method!r}")
     divisible = all(s % _BRICK == 0 for s in vol.shape)
-    if method == "brick" and not divisible:
+    if method.startswith(("brick", "mxu")) and not divisible:
         raise ValueError(
-            f"brick integration needs 8-divisible grid, got {vol.shape}")
-    use_brick = method == "brick"   # 'auto' → dense (see docstring)
-    impl = _integrate_brick_jit if use_brick else _integrate_jit
+            f"{method} integration needs 8-divisible grid, got {vol.shape}")
+    on_tpu = jax.default_backend() == "tpu"
+    if method == "auto":
+        # the one-hot lookup covers every depth-only 8-divisible volume
+        # exactly (near-camera bricks take the gather fallback), but only
+        # the Pallas kernel beats the dense gather — the XLA form loses
+        # to it (801 vs 729 ms, scratch/mxu_sweep_tpu.out)
+        method = "mxu_pallas" if (divisible and color is None and on_tpu) \
+            else "dense"
+    elif method == "mxu":
+        method = "mxu_pallas" if on_tpu else "mxu_xla"
     # canonical f32 scalars: avoids one recompile per distinct python
     # float (same cache-hygiene rule as voxel_map_update)
-    return impl(vol, depth, intr, jnp.asarray(extrinsics),
-                jnp.asarray(depth_scale, jnp.float32),
-                jnp.asarray(max_weight, jnp.float32),
-                color, cam_mask,
-                jnp.asarray(z_min, jnp.float32),
-                jnp.asarray(z_max, jnp.float32))
+    args = (vol, depth, intr, jnp.asarray(extrinsics),
+            jnp.asarray(depth_scale, jnp.float32),
+            jnp.asarray(max_weight, jnp.float32))
+    tail = (cam_mask, jnp.asarray(z_min, jnp.float32),
+            jnp.asarray(z_max, jnp.float32))
+    if method.startswith("mxu"):
+        if color is not None:
+            raise ValueError(
+                "method='mxu' does not take color yet — use 'dense' or "
+                "'brick' (or method='auto', which routes rgb to dense)")
+        return _integrate_mxu_jit(
+            *args, *tail, use_pallas=method == "mxu_pallas",
+            interpret=method == "mxu_pallas" and not on_tpu)
+    impl = _integrate_brick_jit if method == "brick" else _integrate_jit
+    return impl(*args, color, *tail)
+
+
+def _terms_from_depth(d, p_cz, pix_ok, trunc, z_min, z_max, mask_c):
+    """Curless–Levoy terms given an already-looked-up depth d [N] (meters).
+
+    Shared by every integrator (dense / brick-refine / mxu) so the update
+    math cannot drift between them. Returns (wt = w·t_obs, w_obs, obs,
+    sdf); d at pix_ok-false voxels is DON'T-CARE (gated to zero weight),
+    which is what lets the mxu path substitute 0 there.
+    """
+    d_ok = pix_ok & (d > z_min) & (d > 0.0) & (d < z_max)
+    sdf = d - p_cz
+    obs = d_ok & (sdf > -trunc) & mask_c
+    t_obs = jnp.minimum(sdf / trunc, 1.0)
+    w_obs = obs.astype(jnp.float32)
+    return w_obs * t_obs, w_obs, obs, sdf
 
 
 def _voxel_update_terms(p_w, depth_flat, intr_c, inv_ext_c, trunc,
@@ -224,11 +264,8 @@ def _voxel_update_terms(p_w, depth_flat, intr_c, inv_ext_c, trunc,
     pix_ok = in_front & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
     flat = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
     d = depth_flat[flat]
-    d_ok = pix_ok & (d > z_min) & (d > 0.0) & (d < z_max)
-    sdf = d - p_c[:, 2]
-    obs = d_ok & (sdf > -trunc) & mask_c
-    t_obs = jnp.minimum(sdf / trunc, 1.0)
-    w_obs = obs.astype(jnp.float32)
+    wt, w_obs, obs, sdf = _terms_from_depth(
+        d, p_c[:, 2], pix_ok, trunc, z_min, z_max, mask_c)
     rgb4 = None
     if color_flat is not None:
         near = obs & (jnp.abs(sdf) <= trunc)
@@ -236,7 +273,7 @@ def _voxel_update_terms(p_w, depth_flat, intr_c, inv_ext_c, trunc,
         rgb_px = color_flat[flat].astype(jnp.float32)
         rgb4 = jnp.concatenate([wc[:, None] * rgb_px, wc[:, None]],
                                axis=-1)
-    return w_obs * t_obs, w_obs, rgb4
+    return wt, w_obs, rgb4
 
 
 @partial(jax.jit, donate_argnames=("vol",))
@@ -570,6 +607,180 @@ def _integrate_brick_jit(vol: TSDFVolume, depth, intr, extrinsics,
         tsdf=_from_bricks(t_new, shape),
         weight=_from_bricks(jnp.minimum(w_new, max_weight), shape),
         origin=vol.origin, leaf=vol.leaf, trunc=vol.trunc, rgb=new_rgb)
+
+
+# --------------------------------------------------------------------------
+# MXU (one-hot matmul) integration
+# --------------------------------------------------------------------------
+#
+# The dense map's cost is the 16.7M-row random HBM gather from the depth
+# image (~123 ms/camera at 256³ — module docstring); TPU gathers move one
+# element per cycle per lane and waste the 32-byte HBM access granularity.
+# But the access pattern has *structure* XLA's gather can't exploit: an 8³
+# voxel brick projects into a small, contiguous image patch. So turn the
+# random gather into dense MXU work:
+#
+#   per brick:  patch = dynamic_slice(depth, (v0, u0), (64, 64))   # rows
+#               rows  = onehot(v_local) @ patch     # MXU, one-hot exact
+#               d     = sum(rows * (iota == u_local), -1)          # VPU
+#
+# One-hot rows select exactly one element, so with HIGHEST precision
+# (bf16x3 limb decomposition of the patch side; the 0/1 side is exact in
+# any format) the result is BITWISE the gathered f32 value — parity with
+# the dense path is exact equality, not a tolerance. Bricks whose valid
+# footprint exceeds the static patch (camera closer than roughly
+# 8·leaf·f/PATCH ≈ 0.5 m at 1 cm/421 px) are patched by a brick-granular
+# gather capped at `kb` bricks, and if even that overflows a lax.cond
+# falls back to the dense gather for that camera — results never depend
+# on the capacities (same contract as the brick integrator).
+#
+# Cost model per camera at 256³/64²: one-hot + row temporaries are
+# ~512·64·4 B/brick streamed twice ≈ 17 GB… in f32; the einsum is 69 G
+# MACs (×3 limb passes) — both bounded by HBM streaming at ~2 GB read+
+# write per [chunk] step, which the MXU overlaps. Measured numbers live
+# in the module docstring once benched.
+
+_PATCH = 64        # image patch edge (pixels) for the XLA one-hot lookup
+_MXU_CHUNK = 1024  # bricks per lax.map step (measured best of 256/1k/4k)
+
+
+def _mxu_depth_lookup(depth_m_c, ui, vi, pix_ok, H: int, W: int,
+                      use_pallas: bool, interpret: bool):
+    """depth_m_c[vi, ui] for brick-grouped voxels via one-hot MXU dots.
+
+    ui/vi [NB, 512] int32 CLIPPED image coords, pix_ok [NB, 512] marks
+    voxels whose unclipped projection is valid. Returns (d [NB, 512] f32,
+    fits [NB] bool). d is exact (bitwise the gathered value) for every
+    pix_ok voxel of a fitting brick; non-fitting bricks and pix_ok-false
+    voxels carry don't-care values (0 or an alignment-slop pixel) — the
+    caller patches the former and the update math gates the latter.
+
+    Two backends: the Pallas kernel (kernels/patch_gather.py) keeps the
+    one-hots in VMEM and DMAs 128x256 windows — the fast path; the XLA
+    form below streams [chunk, 512, 64] one-hots through HBM and is
+    bound by its vmapped-dynamic_slice patch extraction (measured
+    72 of 77 ms/camera at 256³ — scratch/mxu_sweep_tpu.out), kept as
+    the sharding-safe / any-backend fallback.
+    """
+    nb = ui.shape[0]
+    big = jnp.int32(1 << 20)
+    u_min = jnp.min(jnp.where(pix_ok, ui, big), axis=1)
+    u_max = jnp.max(jnp.where(pix_ok, ui, -1), axis=1)
+    v_min = jnp.min(jnp.where(pix_ok, vi, big), axis=1)
+    v_max = jnp.max(jnp.where(pix_ok, vi, -1), axis=1)
+    none_ok = ~jnp.any(pix_ok, axis=1)
+
+    if use_pallas:
+        from ..kernels.patch_gather import SPAN_U, SPAN_V, patch_gather
+        fits = none_ok | ((u_max - u_min < SPAN_U)
+                          & (v_max - v_min < SPAN_V))
+        u0 = jnp.where(none_ok, 0, u_min)
+        v0 = jnp.where(none_ok, 0, v_min)
+        d = patch_gather(depth_m_c, v0, u0, vi - v0[:, None],
+                         ui - u0[:, None], interpret=interpret)
+        return d, fits
+
+    pv, pu = min(_PATCH, H), min(_PATCH, W)
+    fits = none_ok | ((u_max - u_min < pu) & (v_max - v_min < pv))
+    # clamped patch origin still covers the span: u0 = min(u_min, W-pu)
+    # and u_max <= W-1 give iu in [0, pu) whenever the brick fits
+    u0 = jnp.clip(jnp.where(none_ok, 0, u_min), 0, W - pu)
+    v0 = jnp.clip(jnp.where(none_ok, 0, v_min), 0, H - pv)
+    iu = ui - u0[:, None]
+    iv = vi - v0[:, None]
+
+    def chunk_fn(args):
+        v0c, u0c, ivc, iuc = args
+        patches = jax.vmap(
+            lambda v_, u_: jax.lax.dynamic_slice(
+                depth_m_c, (v_, u_), (pv, pu)))(v0c, u0c)   # [C, pv, pu]
+        ov = (ivc[:, :, None] == jnp.arange(pv, dtype=jnp.int32)) \
+            .astype(jnp.float32)                            # [C, 512, pv]
+        rows = jnp.einsum('bvp,bpq->bvq', ov, patches,
+                          precision=jax.lax.Precision.HIGHEST)
+        sel = iuc[:, :, None] == jnp.arange(pu, dtype=jnp.int32)
+        return jnp.sum(jnp.where(sel, rows, 0.0), axis=-1)  # [C, 512]
+
+    c = math.gcd(_MXU_CHUNK, nb)
+    d = jax.lax.map(chunk_fn,
+                    (v0.reshape(-1, c), u0.reshape(-1, c),
+                     iv.reshape(-1, c, _BVOX), iu.reshape(-1, c, _BVOX)))
+    return d.reshape(nb, _BVOX), fits
+
+
+@partial(jax.jit, donate_argnames=("vol",),
+         static_argnames=("use_pallas", "interpret"))
+def _integrate_mxu_jit(vol: TSDFVolume, depth, intr, extrinsics,
+                       depth_scale, max_weight, cam_mask,
+                       z_min, z_max, use_pallas: bool = False,
+                       interpret: bool = False) -> TSDFVolume:
+    shape = vol.shape
+    X, Y, Z = shape
+    nb = (X // _BRICK) * (Y // _BRICK) * (Z // _BRICK)
+    kb = min(nb, max(64, nb // 64))   # near-camera fallback bricks/camera
+    ncam, H, W = depth.shape
+
+    depth_m = depth.astype(jnp.float32) * depth_scale
+    inv_ext = se3_inverse(extrinsics)
+    bids = jnp.arange(nb, dtype=jnp.int32)
+    p_w_b = _brick_voxel_world(bids, shape, vol.origin, vol.leaf) \
+        .reshape(-1, 3)                                     # brick-major
+
+    def camera_terms(c):
+        intr_c = _cam_slice(intr, c)
+        depth_c = depth_m[c]
+        depth_flat = depth_c.reshape(-1)
+        p_c = se3_apply(inv_ext[c], p_w_b)
+        uv, in_front = project(p_c, intr_c)
+        ui = jnp.round(uv[:, 0]).astype(jnp.int32)
+        vi = jnp.round(uv[:, 1]).astype(jnp.int32)
+        pix_ok = in_front & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+        uib = jnp.clip(ui, 0, W - 1).reshape(nb, _BVOX)
+        vib = jnp.clip(vi, 0, H - 1).reshape(nb, _BVOX)
+        d_mxu, fits = _mxu_depth_lookup(
+            depth_c, uib, vib, pix_ok.reshape(nb, _BVOX), H, W,
+            use_pallas, interpret)
+        flat = vib * W + uib
+
+        def patched(_):
+            # gather ONLY the non-fitting bricks (sentinel nb rows are
+            # dropped by the OOB-scatter contract)
+            (bad,) = jnp.nonzero(~fits, size=kb, fill_value=nb)
+            rows = flat[jnp.clip(bad, 0, nb - 1)]           # [kb, 512]
+            return d_mxu.at[bad].set(depth_flat[rows], mode='drop')
+
+        def full(_):
+            return depth_flat[flat.reshape(-1)].reshape(nb, _BVOX)
+
+        d = jax.lax.cond(jnp.sum(~fits) > kb, full, patched, None)
+        wt, w_obs, _, _ = _terms_from_depth(
+            d.reshape(-1), p_c[:, 2], pix_ok, vol.trunc,
+            z_min, z_max, cam_mask[c])
+        return wt, w_obs
+
+    def body(c, acc):
+        sum_wt, sum_w = acc
+        wt, w = camera_terms(c)
+        return sum_wt + wt, sum_w + w
+
+    V = nb * _BVOX
+    sum_wt, sum_w = jax.lax.fori_loop(
+        0, ncam, body,
+        (jnp.zeros((V,), jnp.float32), jnp.zeros((V,), jnp.float32)))
+
+    # merge in brick-major space — the exact dense-path arithmetic on a
+    # permutation of the voxels, transposed back at the end
+    w_b = _to_bricks(vol.weight, shape).reshape(-1)
+    t_b = _to_bricks(vol.tsdf, shape).reshape(-1)
+    w_new = w_b + sum_w
+    t_new = jnp.where(w_new > 0.0,
+                      (t_b * w_b + sum_wt) / jnp.maximum(w_new, 1e-12),
+                      1.0)
+    return TSDFVolume(
+        tsdf=_from_bricks(t_new.reshape(nb, _BVOX), shape),
+        weight=_from_bricks(
+            jnp.minimum(w_new, max_weight).reshape(nb, _BVOX), shape),
+        origin=vol.origin, leaf=vol.leaf, trunc=vol.trunc, rgb=None)
 
 
 # --------------------------------------------------------------------------

@@ -93,6 +93,29 @@ assert ang_err < 0.1 and t_err < 2e-3
 cloud = M.extract_cloud(vol, capacity=262144)
 print("extract_cloud:", int(jnp.sum(cloud.mask)), "points", flush=True)
 
+# mxu integrate (kernels/patch_gather.py on the real Mosaic path):
+# bitwise-equal volume vs the dense gather, by construction
+vmx = M.TSDFVolume.create(shape=(192, 192, 192), leaf=0.015,
+                          origin=(-1.44, -1.44, 0.2))
+vmx = M.integrate(vmx, d0, intr, T0, method="mxu")
+assert np.array_equal(np.asarray(vmx.tsdf), np.asarray(vol.tsdf))
+assert np.array_equal(np.asarray(vmx.weight), np.asarray(vol.weight))
+print("integrate[mxu]: bitwise == dense", flush=True)
+
+# mesh extraction (ops/surface.py composed-table kernel): triangles on
+# the analytic surface
+verts, valid, n_act = M.extract_mesh(vol, cell_capacity=131072)
+ntri = int(jnp.sum(valid))
+v0s = np.asarray(verts)[:, :, np.asarray(valid)]   # [3 corners, 3 coords, T]
+ctr = v0s.mean(axis=0).T                           # triangle centroids [T, 3]
+sph = np.array(SCENE["spheres"][0][0], np.float32)
+r_err = np.abs(np.linalg.norm(ctr - sph, axis=1) - SCENE["spheres"][0][1])
+near0 = r_err < 0.02
+print(f"extract_mesh: {ntri} tris ({int(n_act)} active cells); "
+      f"{int(near0.sum())} centroids within 2 cm of sphere-0 radius",
+      flush=True)
+assert ntri > 20000 and int(near0.sum()) > 1000
+
 # steady-state timings (sync by pulling a scalar through the tunnel)
 def timeit(fn, n=5):
     r = fn()

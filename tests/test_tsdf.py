@@ -523,11 +523,109 @@ def test_integrate_method_validation():
     d = jnp.zeros((48, 64), jnp.float32)
     with pytest.raises(ValueError, match="8-divisible"):
         M.integrate(vol, d, intr, I4, method="brick")
+    with pytest.raises(ValueError, match="8-divisible"):
+        M.integrate(vol, d, intr, I4, method="mxu")
     with pytest.raises(ValueError, match="method"):
         M.integrate(vol, d, intr, I4, method="fast")
     # auto on a non-divisible grid silently uses dense
     out = M.integrate(vol, d, intr, I4, method="auto")
     assert out.tsdf.shape == (12, 12, 12)
+    # mxu is depth-only; rgb volumes must route/raise explicitly
+    volc = M.TSDFVolume.create((16, 16, 16), 0.05, with_rgb=True)
+    color = jnp.zeros((48, 64, 3), jnp.uint8)
+    with pytest.raises(ValueError, match="color"):
+        M.integrate(volc, d, intr, I4, color=color, method="mxu")
+    out = M.integrate(volc, d, intr, I4, color=color, method="auto")
+    assert out.rgb is not None   # auto routed rgb to dense, no raise
+
+
+# ---------------------------------------------------------------------------
+# MXU (one-hot matmul) integration
+# ---------------------------------------------------------------------------
+
+def _bitwise_vs_dense(va, vb):
+    assert np.array_equal(np.asarray(va.tsdf), np.asarray(vb.tsdf))
+    assert np.array_equal(np.asarray(va.weight), np.asarray(vb.weight))
+
+
+def test_integrate_mxu_matches_dense_bitwise():
+    """The one-hot MXU depth lookup selects exactly one patch element at
+    HIGHEST precision, so parity with the dense gather is BITWISE
+    equality, not a tolerance (tsdf.py: _mxu_depth_lookup)."""
+    intr = _intr()
+    T2 = np.eye(4, dtype=np.float32)
+    T2[:3, 3] = [0.15, -0.1, -0.1]
+    d1 = render_depth(intr, I4, **SCENE)
+    d2 = render_depth(intr, T2, **SCENE)
+    d1[10:30, 20:40] = 0.0           # dead sensor patch
+    batched = jnp.stack([jnp.asarray(d1), jnp.asarray(d2)])
+    intr_b = intr.stack([intr])
+    ext_b = jnp.stack([jnp.asarray(I4), jnp.asarray(T2)])
+    # offset origins: border bricks, behind-camera bricks, and (second
+    # origin) near-camera bricks that overflow the 64-pixel patch and
+    # take the brick-granular gather fallback
+    for origin in [(-0.64, -0.64, 0.0), (-0.3, -0.2, -0.4)]:
+        va = M.TSDFVolume.create((64, 64, 64), 0.02, origin=origin)
+        vb = M.TSDFVolume.create((64, 64, 64), 0.02, origin=origin)
+        for _ in range(2):
+            va = M.integrate(va, batched, intr_b, ext_b, depth_scale=1.0,
+                             method="dense")
+            vb = M.integrate(vb, batched, intr_b, ext_b, depth_scale=1.0,
+                             method="mxu")
+        _bitwise_vs_dense(va, vb)
+
+
+def test_integrate_mxu_gates_match_dense():
+    intr = _intr()
+    d1 = render_depth(intr, I4, **SCENE)
+    batched = jnp.stack([jnp.asarray(d1), jnp.asarray(d1) * 0.5])
+    intr_b = intr.stack([intr])
+    ext_b = jnp.stack([jnp.asarray(I4), jnp.asarray(I4)])
+    kw = dict(depth_scale=1.0, cam_mask=jnp.asarray([True, False]),
+              z_min=0.3, z_max=0.8, max_weight=1.5)
+    va = M.TSDFVolume.create((64, 64, 64), 0.02, origin=(-0.64, -0.64, 0.0))
+    va = M.integrate(va, batched, intr_b, ext_b, method="dense", **kw)
+    vb = M.TSDFVolume.create((64, 64, 64), 0.02, origin=(-0.64, -0.64, 0.0))
+    vb = M.integrate(vb, batched, intr_b, ext_b, method="mxu", **kw)
+    _bitwise_vs_dense(va, vb)
+
+
+def test_integrate_mxu_pallas_interpret_matches_dense():
+    """The Pallas patch-gather variant (kernels/patch_gather.py), in
+    interpret mode on CPU — covers the VMEM one-hot formulation and the
+    alignment-slop contract, including near-camera fallback bricks."""
+    intr = _intr()
+    d1 = render_depth(intr, I4, **SCENE)
+    d1[::37, :] = 0.0
+    batched = jnp.stack([jnp.asarray(d1), jnp.asarray(d1) * 0.9])
+    intr_b = intr.stack([intr])
+    ext_b = jnp.stack([jnp.asarray(I4), jnp.asarray(I4)])
+    for origin in [(-0.64, -0.64, 0.0), (-0.3, -0.2, -0.4)]:
+        va = M.TSDFVolume.create((32, 32, 32), 0.04, origin=origin)
+        va = M.integrate(va, batched, intr_b, ext_b, depth_scale=1.0,
+                         method="dense")
+        vb = M.TSDFVolume.create((32, 32, 32), 0.04, origin=origin)
+        vb = M.integrate(vb, batched, intr_b, ext_b, depth_scale=1.0,
+                         method="mxu_pallas")
+        _bitwise_vs_dense(va, vb)
+
+
+def test_integrate_mxu_noise_overflows_to_full_gather():
+    """A noise frame from INSIDE the volume blows past the kb
+    near-camera brick cap; the per-camera lax.cond full-gather fallback
+    must keep the result exact (tsdf.py: _integrate_mxu_jit)."""
+    intr = _intr()
+    rng = np.random.default_rng(7)
+    d = rng.uniform(0.05, 0.4, (48, 64)).astype(np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [0.32, 0.32, 0.3]     # camera inside the grid
+    va = M.TSDFVolume.create((64, 64, 64), 0.01, origin=(0.0, 0.0, 0.0))
+    va = M.integrate(va, jnp.asarray(d), intr, T, depth_scale=1.0,
+                     method="dense")
+    vb = M.TSDFVolume.create((64, 64, 64), 0.01, origin=(0.0, 0.0, 0.0))
+    vb = M.integrate(vb, jnp.asarray(d), intr, T, depth_scale=1.0,
+                     method="mxu")
+    _bitwise_vs_dense(va, vb)
 
 
 # ---------------------------------------------------------------------------
