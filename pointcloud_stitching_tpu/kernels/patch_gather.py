@@ -26,11 +26,15 @@ contracts over u (window lanes × onehot sublanes); the v-select is a
 sublane reduce. No relayouts, no transposes, no vector gathers (Mosaic
 has none — "Only 2D gather is supported" per-lane only).
 
-Exactness: a one-hot row selects exactly one f32 window element; with
-HIGHEST precision (3-limb bf16 decomposition) the dot reproduces it
-bitwise, so the kernel's output equals the XLA gather bit for bit. Out-
-of-window local indices (invalid pixels, oversized bricks) select
-nothing and read 0.0 — callers gate those voxels anyway.
+Exactness: a one-hot row selects exactly one f32 window element, so
+the dot reproduces it bitwise when each MXU pass is exact — either
+HIGHEST precision or an explicit Veltkamp bf16-limb split of the
+window (3 limbs for arbitrary f32, 2 when the image holds <= 16
+significant bits, e.g. raw u16 depth); the limb modes cost 2-3 MXU
+passes instead of HIGHEST's 6 and measured 64.2 -> 39.6/43.5 ms per
+32768 bricks (scratch/pg_ab_tpu.out). Out-of-window local indices
+(invalid pixels, oversized bricks) select nothing and read 0.0 —
+callers gate those voxels anyway.
 
 DMA starts are clamped to [0, Hp-128] × [0, Wp-256] on the host and the
 image is padded to at least 512×1024 (f32 zeros), so no dynamic window
@@ -59,8 +63,31 @@ SPAN_V = _WV - 8
 SPAN_U = _WU - 128
 
 
+def _bf16_limbs(v, n: int):
+    """Exact bf16 limb decomposition via Veltkamp splits.
+
+    NOT an f32->bf16->f32 cast chain — --xla_allow_excess_precision
+    (on in this toolchain) can fold that to a no-op and zero the
+    residual limbs (see kernels/segment_reduce.py, which this mirrors).
+    n=3 reconstructs any f32 exactly (8+8+8 >= 24 significand bits);
+    n=2 is exact only for values with <= 16 significant bits (raw u16
+    depth images).
+    """
+    split = jnp.float32(65537.0)            # 2^16 + 1
+    c = v * split
+    hi_f = c - (c - v)
+    hi = hi_f.astype(jnp.bfloat16)
+    r1 = v - hi_f
+    if n == 2:
+        return [hi, r1.astype(jnp.bfloat16)]
+    c2 = r1 * split
+    mid_f = c2 - (c2 - r1)
+    mid = mid_f.astype(jnp.bfloat16)
+    return [hi, mid, (r1 - mid_f).astype(jnp.bfloat16)]
+
+
 def _kernel(v0_ref, u0_ref, iv_ref, iu_ref, img_hbm, out_ref,
-            win, sem, *, bps):
+            win, sem, *, bps, mode):
     step = pl.program_id(0)
 
     def dma(j):
@@ -80,23 +107,45 @@ def _kernel(v0_ref, u0_ref, iv_ref, iu_ref, img_hbm, out_ref,
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (_WV, 512), 0)
     for j in range(bps):
         dma(j).wait()
-        ou = (iu_ref[j:j + 1, :] == iota_u).astype(jnp.float32)
-        rows = jax.lax.dot(win[j], ou,
-                           precision=jax.lax.Precision.HIGHEST)
+        if mode == "highest":
+            ou = (iu_ref[j:j + 1, :] == iota_u).astype(jnp.float32)
+            rows = jax.lax.dot(win[j], ou,
+                               precision=jax.lax.Precision.HIGHEST)
+        else:
+            # limb dots: the one-hot is exact in bf16 and each product
+            # selects a single limb, so summing the row groups rebuilds
+            # the f32 window value bitwise at 2-3 MXU passes instead of
+            # HIGHEST's 6 (measured 64.2 -> 39.6 ms per 32768 bricks
+            # for bf16x2, scratch/pg_ab_tpu.out)
+            ou = (iu_ref[j:j + 1, :] == iota_u).astype(jnp.bfloat16)
+            limbs = _bf16_limbs(win[j], 2 if mode == "bf16x2" else 3)
+            d = jax.lax.dot_general(
+                jnp.concatenate(limbs, axis=0), ou,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            rows = d[0:_WV]
+            for i in range(1, len(limbs)):
+                rows = rows + d[i * _WV:(i + 1) * _WV]
         sel = iv_ref[j:j + 1, :] == iota_v
         out_ref[j:j + 1, :] = jnp.sum(jnp.where(sel, rows, 0.0),
                                       axis=0, keepdims=True)
 
 
-@partial(jax.jit, static_argnames=("bricks_per_step", "interpret"))
+@partial(jax.jit,
+         static_argnames=("bricks_per_step", "mode", "interpret"))
 def patch_gather(img: jax.Array, v0: jax.Array, u0: jax.Array,
                  iv: jax.Array, iu: jax.Array,
-                 bricks_per_step: int = 16,
+                 bricks_per_step: int = 16, mode: str = "auto",
                  interpret: bool = False) -> jax.Array:
     """img[v0[b] + iv[b,k], u0[b] + iu[b,k]] for brick-grouped indices.
 
     Args:
       img: [H, W] f32; padded internally to ≥ 512×1024 with zeros.
+      mode: one-hot dot exactness strategy — 'bf16x3' (3 limb passes,
+        exact for any f32), 'bf16x2' (2 passes, exact ONLY for values
+        with <= 16 significant bits, e.g. raw u16 depth cast to f32),
+        'highest' (XLA HIGHEST, 6 passes, the reference), or 'auto':
+        bf16x3, the fastest always-exact mode.
       v0/u0: [NB] int32 window starts (any values — clamped and aligned
         down to 8/128 here; the returned values honor the ORIGINAL
         v0/u0 as the local-index origin, i.e. the caller's iv/iu are
@@ -110,6 +159,10 @@ def patch_gather(img: jax.Array, v0: jax.Array, u0: jax.Array,
     Returns [NB, 512] f32 gathered values, bitwise equal to
     ``img[v0+iv, u0+iu]`` wherever those indices land in the window.
     """
+    if mode == "auto":
+        mode = "bf16x3"
+    if mode not in ("bf16x3", "bf16x2", "highest"):
+        raise ValueError(f"unknown patch_gather mode {mode!r}")
     nb = v0.shape[0]
     H, W = img.shape
     hp = max(512, -(-H // 8) * 8)
@@ -149,7 +202,7 @@ def patch_gather(img: jax.Array, v0: jax.Array, u0: jax.Array,
         ],
     )
     out = pl.pallas_call(
-        partial(_kernel, bps=bps),
+        partial(_kernel, bps=bps, mode=mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbp, 512), jnp.float32),
         interpret=interpret,

@@ -645,7 +645,9 @@ _MXU_CHUNK = 1024  # bricks per lax.map step (measured best of 256/1k/4k)
 
 
 def _mxu_depth_lookup(depth_m_c, ui, vi, pix_ok, H: int, W: int,
-                      use_pallas: bool, interpret: bool):
+                      use_pallas: bool, interpret: bool,
+                      depth_raw_c=None, depth_scale=None,
+                      raw_is_int: bool = False):
     """depth_m_c[vi, ui] for brick-grouped voxels via one-hot MXU dots.
 
     ui/vi [NB, 512] int32 CLIPPED image coords, pix_ok [NB, 512] marks
@@ -656,11 +658,15 @@ def _mxu_depth_lookup(depth_m_c, ui, vi, pix_ok, H: int, W: int,
     caller patches the former and the update math gates the latter.
 
     Two backends: the Pallas kernel (kernels/patch_gather.py) keeps the
-    one-hots in VMEM and DMAs 128x256 windows — the fast path; the XLA
-    form below streams [chunk, 512, 64] one-hots through HBM and is
-    bound by its vmapped-dynamic_slice patch extraction (measured
-    72 of 77 ms/camera at 256³ — scratch/mxu_sweep_tpu.out), kept as
-    the sharding-safe / any-backend fallback.
+    one-hots in VMEM and DMAs 128x256 windows — the fast path; it
+    gathers the PRE-scale image (depth_raw_c) and multiplies by
+    depth_scale afterwards, which is bitwise the dense path's value
+    (same two f32 factors) but lets a u16-sourced image use the 2-pass
+    bf16x2 limb mode (<= 16 significant bits) instead of 3 passes.
+    The XLA form below streams [chunk, 512, 64] one-hots through HBM
+    and is bound by its vmapped-dynamic_slice patch extraction
+    (measured 72 of 77 ms/camera at 256³ — scratch/mxu_sweep_tpu.out),
+    kept as the sharding-safe / any-backend fallback.
     """
     nb = ui.shape[0]
     big = jnp.int32(1 << 20)
@@ -676,9 +682,13 @@ def _mxu_depth_lookup(depth_m_c, ui, vi, pix_ok, H: int, W: int,
                           & (v_max - v_min < SPAN_V))
         u0 = jnp.where(none_ok, 0, u_min)
         v0 = jnp.where(none_ok, 0, v_min)
-        d = patch_gather(depth_m_c, v0, u0, vi - v0[:, None],
-                         ui - u0[:, None], interpret=interpret)
-        return d, fits
+        if depth_raw_c is None:
+            depth_raw_c, depth_scale = depth_m_c, jnp.float32(1.0)
+        d = patch_gather(depth_raw_c, v0, u0, vi - v0[:, None],
+                         ui - u0[:, None],
+                         mode="bf16x2" if raw_is_int else "bf16x3",
+                         interpret=interpret)
+        return d * depth_scale, fits
 
     pv, pu = min(_PATCH, H), min(_PATCH, W)
     fits = none_ok | ((u_max - u_min < pu) & (v_max - v_min < pv))
@@ -720,7 +730,12 @@ def _integrate_mxu_jit(vol: TSDFVolume, depth, intr, extrinsics,
     kb = min(nb, max(64, nb // 64))   # near-camera fallback bricks/camera
     ncam, H, W = depth.shape
 
-    depth_m = depth.astype(jnp.float32) * depth_scale
+    # the Pallas lookup gathers the PRE-scale image so a u16 source can
+    # use the 2-pass bf16x2 limb mode (raw values have <= 16 significant
+    # bits); raw*scale after the gather is bitwise the dense value
+    raw_is_int = jnp.issubdtype(depth.dtype, jnp.integer)
+    depth_raw = depth.astype(jnp.float32)
+    depth_m = depth_raw * depth_scale
     inv_ext = se3_inverse(extrinsics)
     bids = jnp.arange(nb, dtype=jnp.int32)
     p_w_b = _brick_voxel_world(bids, shape, vol.origin, vol.leaf) \
@@ -739,7 +754,8 @@ def _integrate_mxu_jit(vol: TSDFVolume, depth, intr, extrinsics,
         vib = jnp.clip(vi, 0, H - 1).reshape(nb, _BVOX)
         d_mxu, fits = _mxu_depth_lookup(
             depth_c, uib, vib, pix_ok.reshape(nb, _BVOX), H, W,
-            use_pallas, interpret)
+            use_pallas, interpret, depth_raw_c=depth_raw[c],
+            depth_scale=depth_scale, raw_is_int=bool(raw_is_int))
         flat = vib * W + uib
 
         def patched(_):
@@ -768,18 +784,19 @@ def _integrate_mxu_jit(vol: TSDFVolume, depth, intr, extrinsics,
         0, ncam, body,
         (jnp.zeros((V,), jnp.float32), jnp.zeros((V,), jnp.float32)))
 
-    # merge in brick-major space — the exact dense-path arithmetic on a
-    # permutation of the voxels, transposed back at the end
-    w_b = _to_bricks(vol.weight, shape).reshape(-1)
-    t_b = _to_bricks(vol.tsdf, shape).reshape(-1)
-    w_new = w_b + sum_w
+    # merge in the volume's natural layout: only the two camera-sum
+    # arrays cross from brick-major back (2 transposes, not a 4-transpose
+    # volume round trip — the update arithmetic is elementwise, so it
+    # commutes with the layout permutation bitwise)
+    sum_wt = _from_bricks(sum_wt.reshape(nb, _BVOX), shape)
+    sum_w = _from_bricks(sum_w.reshape(nb, _BVOX), shape)
+    w_new = vol.weight + sum_w
     t_new = jnp.where(w_new > 0.0,
-                      (t_b * w_b + sum_wt) / jnp.maximum(w_new, 1e-12),
+                      (vol.tsdf * vol.weight + sum_wt)
+                      / jnp.maximum(w_new, 1e-12),
                       1.0)
     return TSDFVolume(
-        tsdf=_from_bricks(t_new.reshape(nb, _BVOX), shape),
-        weight=_from_bricks(
-            jnp.minimum(w_new, max_weight).reshape(nb, _BVOX), shape),
+        tsdf=t_new, weight=jnp.minimum(w_new, max_weight),
         origin=vol.origin, leaf=vol.leaf, trunc=vol.trunc, rgb=None)
 
 

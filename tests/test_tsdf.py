@@ -609,6 +609,16 @@ def test_integrate_mxu_pallas_interpret_matches_dense():
                          method="mxu_pallas")
         _bitwise_vs_dense(va, vb)
 
+    # u16 source: the kernel gathers the raw integer-valued image with
+    # the 2-pass bf16x2 limb mode and scales after — still bitwise
+    b16 = (np.stack([d1, d1 * 0.9]) * 1000.0).astype(np.uint16)
+    va = M.TSDFVolume.create((32, 32, 32), 0.04, origin=(-0.64, -0.64, 0))
+    va = M.integrate(va, jnp.asarray(b16), intr_b, ext_b, method="dense")
+    vb = M.TSDFVolume.create((32, 32, 32), 0.04, origin=(-0.64, -0.64, 0))
+    vb = M.integrate(vb, jnp.asarray(b16), intr_b, ext_b,
+                     method="mxu_pallas")
+    _bitwise_vs_dense(va, vb)
+
 
 def test_integrate_mxu_noise_overflows_to_full_gather():
     """A noise frame from INSIDE the volume blows past the kb
