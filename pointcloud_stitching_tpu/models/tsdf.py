@@ -1228,7 +1228,7 @@ def track(vol: TSDFVolume, depth: jax.Array, intr: Intrinsics,
           depth_scale: float = 0.001, dist_gate: float = 0.1,
           normal_gate: float = 0.5, stride: int = 2,
           t_min: float = 0.2, t_max: float = 8.0,
-          prior_window: Optional[float] = 0.3) -> TrackResult:
+          prior_window: Optional[float] = None) -> TrackResult:
     """Refine a camera pose against the volume (KinFu frame-to-model).
 
     Ray-casts the model from the current estimate, then runs projective
@@ -1256,13 +1256,17 @@ def track(vol: TSDFVolume, depth: jax.Array, intr: Intrinsics,
         ``acos`` of this dot product (live normals from the depth grid).
       stride: tracking resolution (2 = quarter of the pixels; KinFu
         tracks on a pyramid — one strided level is the flat equivalent).
-      prior_window: march the model raycast only ±this band (meters)
-        around each pixel's live depth (see raycast's prior_depth) —
-        the march is the dominant tracking cost, and in the tracking
-        regime the live frame bounds the model surface. Must exceed the
+      prior_window: OPT-IN fast path — march the model raycast only
+        ±this band (meters) around each pixel's live depth (see
+        raycast's prior_depth). The march is the dominant tracking cost
+        (~10× at default settings), and in the tracking regime the live
+        frame bounds the model surface — but the band must exceed the
         largest expected model↔live displacement (0.3 m covers several
-        degrees of pose error at room scale). None restores the full
-        [t_min, t_max] march.
+        degrees of pose error at room scale), and frames whose live
+        depth is largely invalid lose their model view with it. The
+        default None marches the full [t_min, t_max] range — always
+        safe. Callers in a streaming loop (small inter-frame motion,
+        mostly-valid depth) should pass 0.3.
 
     Returns TrackResult(T, rms, n_matched).
     """
@@ -1372,9 +1376,13 @@ def _track_jit(vol: TSDFVolume, depth, intr, T_init, model: RaycastResult,
         evals, evecs = jnp.linalg.eigh(A)
         lam_max = jnp.maximum(evals[-1], 1e-12)
         keep = evals > 1e-5 * lam_max
+        # eigenbasis products at HIGHEST precision: default-precision
+        # matmul truncates to bf16 (~4e-3 relative) and biases the final
+        # iteration's step (the repo-wide mm() invariant, ops/se3.py)
         coef = jnp.where(keep,
-                         (evecs.T @ b) / jnp.maximum(evals, 1e-12), 0.0)
-        xi = evecs @ coef
+                         mm(evecs.T, b[:, None])[:, 0]
+                         / jnp.maximum(evals, 1e-12), 0.0)
+        xi = mm(evecs, coef[:, None])[:, 0]
         dT = se3_from_rt(so3_exp(xi[:3]), xi[3:])
         T_new = se3_compose(dT, T)
         rms = jnp.sqrt(jnp.sum(wgt * r * r) / jnp.maximum(n_in, 1.0))

@@ -124,7 +124,15 @@ def decompress(data: bytes, expected_size: int,
                force_python: bool = False) -> bytes:
     """Decompress an LZF stream whose decoded size is known (PCD headers
     carry it). Raises ValueError on corrupt input."""
-    if expected_size == 0 and not data:
+    if expected_size == 0:
+        if data:
+            # reject BEFORE backend dispatch: the native path's
+            # capacity-overrun return value (0) would equal
+            # expected_size and silently accept the corrupt stream,
+            # while the Python path raises — one contract, checked here
+            raise ValueError(
+                "corrupt LZF stream: header says 0 decoded bytes but "
+                f"the stream carries {len(data)}")
         return b""
     if force_python or not available():
         return _decompress_py(data, expected_size)

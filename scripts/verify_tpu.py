@@ -82,7 +82,7 @@ dT = np.eye(4, dtype=np.float32)
 dT[:3, :3] = [[np.cos(ang), -np.sin(ang), 0],
               [np.sin(ang), np.cos(ang), 0], [0, 0, 1]]
 dT[:3, 3] = [0.008, -0.006, 0.005]
-res = M.track(vol, d0, intr, jnp.asarray(dT) @ T0)
+res = M.track(vol, d0, intr, jnp.asarray(dT) @ T0, prior_window=0.3)
 Re = np.asarray(res.T[:3, :3])
 ang_err = np.rad2deg(np.arccos(np.clip((np.trace(Re) - 1) / 2, -1, 1)))
 t_err = float(np.linalg.norm(np.asarray(res.T[:3, 3])))
@@ -128,7 +128,7 @@ def timeit(fn, n=5):
 
 t_rcf = timeit(lambda: M.raycast(vol, intr, T0, stride=2))
 t_rcp = timeit(lambda: M.raycast(vol, intr, T0, stride=2, prior_depth=d0))
-t_tk = timeit(lambda: M.track(vol, d0, intr, T0), n=3)
+t_tk = timeit(lambda: M.track(vol, d0, intr, T0, prior_window=0.3), n=3)
 print(f"steady 424x240@192^3: raycast full {t_rcf:.1f} ms, "
       f"raycast(prior) {t_rcp:.1f} ms, track {t_tk:.1f} ms", flush=True)
 

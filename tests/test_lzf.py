@@ -81,6 +81,11 @@ def test_corrupt_stream_raises(force_py):
     # stream decoding to fewer bytes than the header claimed
     with pytest.raises(ValueError):
         lzf.decompress(b"\x00a", 5, force_python=force_py)
+    # header claims 0 decoded bytes but the stream is non-empty: must
+    # raise on BOTH backends (the native capacity-overrun return value
+    # equals 0 and would otherwise be mistaken for success)
+    with pytest.raises(ValueError):
+        lzf.decompress(b"\x00a", 0, force_python=force_py)
 
 
 # --- PCD binary_compressed integration -----------------------------------
