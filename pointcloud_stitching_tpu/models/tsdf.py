@@ -168,17 +168,23 @@ def integrate(vol: TSDFVolume, depth: jax.Array, intr: Intrinsics,
       method: 'auto' | 'mxu' | 'mxu_pallas' | 'mxu_xla' | 'brick' |
         'dense'. 'dense' is the original one-gather-per-voxel map (the
         oracle). The 'mxu' family replaces the 16.7M-row random depth
-        gather with brick-local one-hot MXU contractions — bitwise the
-        dense result, depth-only, 8-divisible grids: 'mxu_pallas' keeps
-        the one-hots in VMEM (kernels/patch_gather.py — the fast path),
-        'mxu_xla' streams them through HBM (any backend, sharding-safe,
-        measured no faster than dense), 'mxu' picks by backend. 'brick'
-        is the hierarchical integrator that skips / batch-updates
-        far-from-surface bricks; exact within float-accumulation order
-        but measured SLOWER than dense on frames with depth holes
-        (1005 vs 708 ms — REFINE overflow falls back to dense plus the
-        classification overhead). 'auto' picks mxu_pallas when eligible
-        (8-divisible, no color, TPU backend), else dense.
+        gather with brick-local one-hot MXU contractions, pruned by the
+        brick classifier so only truncation-band / boundary bricks are
+        gathered at all (FREE bricks broadcast +1, SKIP bricks cost
+        nothing; overflow of the static brick capacities lax.cond-falls
+        back to the unpruned full-grid lookup, so results never depend
+        on the capacities) — BITWISE the dense result, any grid shape
+        (non-8-divisible volumes are padded internally), color included
+        (integer color channels ride ONE packed 24-bit one-hot gather;
+        float color takes three). 'mxu_pallas' keeps the one-hots in
+        VMEM (kernels/patch_gather.py — the fast path), 'mxu_xla'
+        streams them through HBM (any backend, sharding-safe, measured
+        no faster than dense unpruned), 'mxu' picks by backend. 'brick'
+        is the older hierarchical integrator that routes REFINE bricks
+        through the random gather; kept as the scatter-path oracle but
+        superseded by the mxu family (which prunes the same way AND
+        replaces the gather). 'auto' picks mxu_pallas on TPU, else
+        dense.
 
     Returns the new volume.
     """
@@ -199,17 +205,17 @@ def integrate(vol: TSDFVolume, depth: jax.Array, intr: Intrinsics,
     if method not in methods:
         raise ValueError(f"unknown integrate method {method!r}")
     divisible = all(s % _BRICK == 0 for s in vol.shape)
-    if method.startswith(("brick", "mxu")) and not divisible:
+    if method == "brick" and not divisible:
         raise ValueError(
             f"{method} integration needs 8-divisible grid, got {vol.shape}")
     on_tpu = jax.default_backend() == "tpu"
     if method == "auto":
-        # the one-hot lookup covers every depth-only 8-divisible volume
-        # exactly (near-camera bricks take the gather fallback), but only
-        # the Pallas kernel beats the dense gather — the XLA form loses
-        # to it (801 vs 729 ms, scratch/mxu_sweep_tpu.out)
-        method = "mxu_pallas" if (divisible and color is None and on_tpu) \
-            else "dense"
+        # the pruned one-hot lookup covers every volume exactly (color
+        # packed, non-divisible grids padded, near-camera bricks take
+        # the gather fallback), but only the Pallas kernel beats the
+        # dense gather — the XLA form loses to it unpruned (801 vs
+        # 729 ms, scratch/mxu_sweep_tpu.out)
+        method = "mxu_pallas" if on_tpu else "dense"
     elif method == "mxu":
         method = "mxu_pallas" if on_tpu else "mxu_xla"
     # canonical f32 scalars: avoids one recompile per distinct python
@@ -220,12 +226,8 @@ def integrate(vol: TSDFVolume, depth: jax.Array, intr: Intrinsics,
     tail = (cam_mask, jnp.asarray(z_min, jnp.float32),
             jnp.asarray(z_max, jnp.float32))
     if method.startswith("mxu"):
-        if color is not None:
-            raise ValueError(
-                "method='mxu' does not take color yet — use 'dense' or "
-                "'brick' (or method='auto', which routes rgb to dense)")
         return _integrate_mxu_jit(
-            *args, *tail, use_pallas=method == "mxu_pallas",
+            *args, color, *tail, use_pallas=method == "mxu_pallas",
             interpret=method == "mxu_pallas" and not on_tpu)
     impl = _integrate_brick_jit if method == "brick" else _integrate_jit
     return impl(*args, color, *tail)
@@ -359,10 +361,11 @@ def _integrate_jit(vol: TSDFVolume, depth, intr, extrinsics, depth_scale,
 #               EXACT dense math via _voxel_update_terms, gathers and
 #               all, scattered back at brick granularity.
 #
-# Classification bounds are conservative by construction: pooled 64×64
-# min/max depth tiles (+global fallback for close-up bricks), corner-
-# projected footprint boxes (perspective images of convex boxes are
-# convex; a margin absorbs Brown–Conrady bending and f32 rounding), and
+# Classification bounds are conservative by construction: two-level
+# 3×3-neighborhood-folded depth tiles (16-px fine / 64-px coarse, plus
+# a global fallback for the widest footprints — see _tile_stats),
+# corner-projected footprint boxes (perspective images of convex boxes
+# are convex; a margin absorbs Brown–Conrady bending and f32 rounding), and
 # a 1e-4 m slack on every trunc comparison — anything uncertain lands in
 # REFINE, which is exact. If a camera's REFINE/FREE_BORDER selection
 # overflows its static capacity (NB//8 and NB//4 bricks), a lax.cond
@@ -372,7 +375,6 @@ def _integrate_jit(vol: TSDFVolume, depth, intr, extrinsics, depth_scale,
 
 _BRICK = 8
 _BVOX = _BRICK ** 3
-_POOL = 64                  # depth-pyramid tile edge (pixels)
 _BBOX_MARGIN_PX = 3.0       # footprint slack: distortion bend + rounding
 _FM = 1e-4                  # meters of slack on trunc comparisons
 
@@ -417,6 +419,52 @@ def _brick_voxel_world(bids: jax.Array, shape, origin, leaf) -> jax.Array:
     return origin + g * leaf
 
 
+def _tile_stats(depth_m_c, z_min, z_max, tile: int):
+    """Per-tile valid-depth stats with a 3×3 tile-neighborhood fold.
+
+    Returns (dmin, dmax, allv) [⌈H/tile⌉, ⌈W/tile⌉] where entry (i, j)
+    bounds the 3·tile-px window centered on tile (i, j) — so ONE read
+    per brick conservatively bounds any footprint spanning ≤ 2 tiles
+    (the round-3 classifier read a 2×2 block = 4 gathers per stat and
+    bounded a 2·tile window; the fold moves that work into a cheap
+    separable image-space pass and HALVES the window per read, which is
+    what shrinks silhouette-shadow REFINE cones). Pads: +inf / -inf /
+    True, so out-of-image pixels never poison a tile (they're
+    pix_ok-false, not bad-depth).
+    """
+    H, W = depth_m_c.shape
+    valid = (depth_m_c > jnp.maximum(z_min, 0.0)) & (depth_m_c < z_max)
+    ph, pw = -(-H // tile), -(-W // tile)
+    pad = ((0, ph * tile - H), (0, pw * tile - W))
+    dmin = jnp.pad(jnp.where(valid, depth_m_c, jnp.inf), pad,
+                   constant_values=jnp.inf) \
+        .reshape(ph, tile, pw, tile).min(axis=(1, 3))
+    dmax = jnp.pad(jnp.where(valid, depth_m_c, -jnp.inf), pad,
+                   constant_values=-jnp.inf) \
+        .reshape(ph, tile, pw, tile).max(axis=(1, 3))
+    allv = jnp.pad(valid, pad, constant_values=True) \
+        .reshape(ph, tile, pw, tile).all(axis=(1, 3))
+
+    def fold3(a, op, ident):
+        p = jnp.pad(a, 1, constant_values=ident)
+        rows = op(op(p[:-2], p[1:-1]), p[2:])
+        return op(op(rows[:, :-2], rows[:, 1:-1]), rows[:, 2:])
+
+    return (fold3(dmin, jnp.minimum, jnp.inf),
+            fold3(dmax, jnp.maximum, -jnp.inf),
+            fold3(allv, jnp.logical_and, True))
+
+
+# fine tile: the window is 3·tile px and a brick uses it only when its
+# margined footprint spans ≤ 2 tiles — 32 px fits the common regime
+# (8·leaf·f/z ≈ 30 px at 1 cm/421 px/1.2 m) with a 96-px window; 16/24/48
+# measured WORSE refine counts on the r5 bench scene (16 pushes typical
+# footprints to the coarse level, 48 widens the window past the old 2×2
+# block read — scratch/classify_sweep.py)
+_TILE_F = 32
+_TILE_C = 64       # coarse fallback tile (192-px window)
+
+
 def _classify_bricks(depth_m_c, intr_c, inv_ext_c, shape, origin, leaf,
                      trunc, z_min, z_max):
     """Per-brick class flags for one camera: (free_full, free_border,
@@ -425,21 +473,14 @@ def _classify_bricks(depth_m_c, intr_c, inv_ext_c, shape, origin, leaf,
     H, W = depth_m_c.shape
     nb = (X // _BRICK) * (Y // _BRICK) * (Z // _BRICK)
 
-    # pooled depth stats over valid pixels (valid = the dense path's
-    # d_ok depth test); pads: +inf / -inf / True so out-of-image pixels
-    # never make a tile invalid (they're pix_ok-false, not bad-depth)
-    valid = (depth_m_c > jnp.maximum(z_min, 0.0)) & (depth_m_c < z_max)
-    ph, pw = -(-H // _POOL), -(-W // _POOL)
-    pad = ((0, ph * _POOL - H), (0, pw * _POOL - W))
-    dmin_p = jnp.pad(jnp.where(valid, depth_m_c, jnp.inf), pad,
-                     constant_values=jnp.inf) \
-        .reshape(ph, _POOL, pw, _POOL).min(axis=(1, 3))
-    dmax_p = jnp.pad(jnp.where(valid, depth_m_c, -jnp.inf), pad,
-                     constant_values=-jnp.inf) \
-        .reshape(ph, _POOL, pw, _POOL).max(axis=(1, 3))
-    allv_p = jnp.pad(valid, pad, constant_values=True) \
-        .reshape(ph, _POOL, pw, _POOL).all(axis=(1, 3))
-    dmin_g, dmax_g, allv_g = dmin_p.min(), dmax_p.max(), allv_p.all()
+    # two-level neighborhood-folded depth stats (see _tile_stats): the
+    # fine level serves the bulk of the volume with a 48-px window, the
+    # coarse level catches near-camera bricks, the global scalars catch
+    # anything wider still
+    fine = _tile_stats(depth_m_c, z_min, z_max, _TILE_F)
+    coarse = _tile_stats(depth_m_c, z_min, z_max, _TILE_C)
+    dmin_g, dmax_g = fine[0].min(), fine[1].max()
+    allv_g = fine[2].all()
 
     # brick corner boxes → camera-frame z range + footprint pixel box.
     # z is linear in position so the corner min/max is exact; the pinhole
@@ -467,21 +508,28 @@ def _classify_bricks(depth_m_c, intr_c, inv_ext_c, shape, origin, leaf,
     fully_in = (u0 >= 0) & (u1 <= W - 1) & (v0 >= 0) & (v1 <= H - 1)
     fully_out = (u1 < 0) | (u0 > W - 1) | (v1 < 0) | (v0 > H - 1)
 
-    tu0 = jnp.floor(u0 / _POOL).astype(jnp.int32)
-    tu1 = jnp.floor(u1 / _POOL).astype(jnp.int32)
-    tv0 = jnp.floor(v0 / _POOL).astype(jnp.int32)
-    tv1 = jnp.floor(v1 / _POOL).astype(jnp.int32)
-    span_ok = (tu1 - tu0 <= 1) & (tv1 - tv0 <= 1)
+    def level(tile, stats):
+        """One folded read per stat; fits when the footprint spans ≤ 2
+        tiles (the fold at floor(·/tile) of the min corner then covers
+        it: window [t−1, t+2)·tile ⊇ tiles {t, t+1})."""
+        ph, pw = stats[0].shape
+        tu0 = jnp.floor(u0 / tile).astype(jnp.int32)
+        tv0 = jnp.floor(v0 / tile).astype(jnp.int32)
+        fits = ((jnp.floor(u1 / tile).astype(jnp.int32) - tu0 <= 1)
+                & (jnp.floor(v1 / tile).astype(jnp.int32) - tv0 <= 1))
+        iv = jnp.clip(tv0, 0, ph - 1)
+        iu = jnp.clip(tu0, 0, pw - 1)
+        return fits, tuple(s[iv, iu] for s in stats)
 
-    def pooled(pool, red, fallback):
-        vals = jnp.stack([
-            pool[jnp.clip(tv0 + a, 0, ph - 1), jnp.clip(tu0 + b, 0, pw - 1)]
-            for a in (0, 1) for b in (0, 1)])
-        return jnp.where(span_ok, red(vals), fallback)
+    fits_f, vf = level(_TILE_F, fine)
+    fits_c, vc = level(_TILE_C, coarse)
 
-    dmin_r = pooled(dmin_p, lambda s: s.min(axis=0), dmin_g)
-    dmax_r = pooled(dmax_p, lambda s: s.max(axis=0), dmax_g)
-    allv_r = pooled(allv_p, lambda s: s.all(axis=0), allv_g)
+    def pick(i, glob):
+        return jnp.where(fits_f, vf[i], jnp.where(fits_c, vc[i], glob))
+
+    dmin_r = pick(0, dmin_g)
+    dmax_r = pick(1, dmax_g)
+    allv_r = pick(2, allv_g)
 
     free_c = in_front_all & allv_r & (dmin_r - zmax_b >= trunc + _FM)
     # dmax_r == -inf (footprint entirely invalid) makes this true too —
@@ -634,76 +682,96 @@ def _integrate_brick_jit(vol: TSDFVolume, depth, intr, extrinsics,
 # falls back to the dense gather for that camera — results never depend
 # on the capacities (same contract as the brick integrator).
 #
-# Cost model per camera at 256³/64²: one-hot + row temporaries are
-# ~512·64·4 B/brick streamed twice ≈ 17 GB… in f32; the einsum is 69 G
-# MACs (×3 limb passes) — both bounded by HBM streaming at ~2 GB read+
-# write per [chunk] step, which the MXU overlaps. Measured numbers live
-# in the module docstring once benched.
+# On top of the lookup, the integrator PRUNES with the same classifier
+# the brick integrator uses (_classify_bricks): only REFINE bricks —
+# the truncation band, valid/invalid depth boundaries, image-border and
+# near-camera bricks — are gathered at all; FREE bricks broadcast their
+# provable +1 per camera, FREE_BORDER bricks run the per-voxel bounds
+# test with no gather, SKIP bricks cost nothing. Unlike the brick
+# integrator (whose overflow fallback is the dense random gather, making
+# overflow CATASTROPHIC — 1005 vs 708 ms on hole-riddled frames), an
+# overflowing camera here falls back to the unpruned full-grid one-hot
+# lookup, so the worst case is round 4's measured 268–345 ms, not a
+# regression past dense. Every per-voxel delta is a single value added
+# into a zero buffer per camera (categories are mutually exclusive), and
+# cameras accumulate in the same fori_loop order as dense — so pruning
+# preserves BITWISE parity, not just a tolerance.
+#
+# Color rides the same one-hot windows: 8-bit channels pack into ONE
+# integer-valued f32 image (r + 256·g + 65536·b ≤ 2²⁴−1, exactly
+# representable; bf16x3 limbs reproduce any f32 bitwise) so a colored
+# integrate costs ONE extra gathered plane; wider color dtypes gather
+# three f32-cast planes. Non-8-divisible grids are padded internally —
+# bricks tile the padded grid, and the padded voxels' terms are sliced
+# off before the elementwise merge, so results are exact for any shape.
 
 _PATCH = 64        # image patch edge (pixels) for the XLA one-hot lookup
 _MXU_CHUNK = 1024  # bricks per lax.map step (measured best of 256/1k/4k)
 
 
-def _mxu_depth_lookup(depth_m_c, ui, vi, pix_ok, H: int, W: int,
-                      use_pallas: bool, interpret: bool,
-                      depth_raw_c=None, depth_scale=None,
-                      raw_is_int: bool = False):
-    """depth_m_c[vi, ui] for brick-grouped voxels via one-hot MXU dots.
+def _plan_windows(ui, vi, pix_ok, H: int, W: int, use_pallas: bool):
+    """Per-brick window plan shared by every image plane gathered at the
+    same voxel indices (depth + color ride identical windows).
 
-    ui/vi [NB, 512] int32 CLIPPED image coords, pix_ok [NB, 512] marks
-    voxels whose unclipped projection is valid. Returns (d [NB, 512] f32,
-    fits [NB] bool). d is exact (bitwise the gathered value) for every
-    pix_ok voxel of a fitting brick; non-fitting bricks and pix_ok-false
-    voxels carry don't-care values (0 or an alignment-slop pixel) — the
-    caller patches the former and the update math gates the latter.
-
-    Two backends: the Pallas kernel (kernels/patch_gather.py) keeps the
-    one-hots in VMEM and DMAs 128x256 windows — the fast path; it
-    gathers the PRE-scale image (depth_raw_c) and multiplies by
-    depth_scale afterwards, which is bitwise the dense path's value
-    (same two f32 factors) but lets a u16-sourced image use the 2-pass
-    bf16x2 limb mode (<= 16 significant bits) instead of 3 passes.
-    The XLA form below streams [chunk, 512, 64] one-hots through HBM
-    and is bound by its vmapped-dynamic_slice patch extraction
-    (measured 72 of 77 ms/camera at 256³ — scratch/mxu_sweep_tpu.out),
-    kept as the sharding-safe / any-backend fallback.
+    ui/vi [K, 512] int32 CLIPPED image coords, pix_ok [K, 512] marks
+    voxels whose unclipped projection is valid. Returns (v0, u0, fits):
+    window starts [K] and a mask of bricks whose valid footprint fits
+    one window. For the XLA backend the starts are clamped so the
+    static patch stays in bounds; the Pallas kernel clamps and aligns
+    internally (kernels/patch_gather.py), so its starts pass through
+    raw and local indices stay relative to the returned starts in both
+    backends.
     """
-    nb = ui.shape[0]
     big = jnp.int32(1 << 20)
     u_min = jnp.min(jnp.where(pix_ok, ui, big), axis=1)
     u_max = jnp.max(jnp.where(pix_ok, ui, -1), axis=1)
     v_min = jnp.min(jnp.where(pix_ok, vi, big), axis=1)
     v_max = jnp.max(jnp.where(pix_ok, vi, -1), axis=1)
     none_ok = ~jnp.any(pix_ok, axis=1)
-
     if use_pallas:
-        from ..kernels.patch_gather import SPAN_U, SPAN_V, patch_gather
+        from ..kernels.patch_gather import SPAN_U, SPAN_V
         fits = none_ok | ((u_max - u_min < SPAN_U)
                           & (v_max - v_min < SPAN_V))
         u0 = jnp.where(none_ok, 0, u_min)
         v0 = jnp.where(none_ok, 0, v_min)
-        if depth_raw_c is None:
-            depth_raw_c, depth_scale = depth_m_c, jnp.float32(1.0)
-        d = patch_gather(depth_raw_c, v0, u0, vi - v0[:, None],
-                         ui - u0[:, None],
-                         mode="bf16x2" if raw_is_int else "bf16x3",
-                         interpret=interpret)
-        return d * depth_scale, fits
-
+        return v0, u0, fits
     pv, pu = min(_PATCH, H), min(_PATCH, W)
     fits = none_ok | ((u_max - u_min < pu) & (v_max - v_min < pv))
     # clamped patch origin still covers the span: u0 = min(u_min, W-pu)
     # and u_max <= W-1 give iu in [0, pu) whenever the brick fits
     u0 = jnp.clip(jnp.where(none_ok, 0, u_min), 0, W - pu)
     v0 = jnp.clip(jnp.where(none_ok, 0, v_min), 0, H - pv)
-    iu = ui - u0[:, None]
-    iv = vi - v0[:, None]
+    return v0, u0, fits
+
+
+def _onehot_gather(img, v0, u0, iv, iu, use_pallas: bool,
+                   interpret: bool, mode: str):
+    """img[v0+iv, u0+iu] via one-hot MXU dots — ONE [H, W] f32 plane.
+
+    Bitwise the gathered value for every index that lands in its brick's
+    window (fitting bricks' pix_ok voxels); elsewhere don't-care (0 or an
+    alignment-slop pixel) — callers patch non-fitting bricks and the
+    update math gates invalid voxels. ``mode`` is the limb-exactness
+    strategy for the Pallas backend (kernels/patch_gather.py keeps the
+    one-hots in VMEM — the fast path); the XLA form streams
+    [chunk, 512, 64] one-hots through HBM at HIGHEST precision and is
+    bound by its vmapped-dynamic_slice patch extraction (measured 72 of
+    77 ms/camera at 256³ — scratch/mxu_sweep_tpu.out), kept as the
+    sharding-safe / any-backend fallback.
+    """
+    if use_pallas:
+        from ..kernels.patch_gather import patch_gather
+        return patch_gather(img, v0, u0, iv, iu, mode=mode,
+                            interpret=interpret)
+    nb = v0.shape[0]
+    H, W = img.shape
+    pv, pu = min(_PATCH, H), min(_PATCH, W)
 
     def chunk_fn(args):
         v0c, u0c, ivc, iuc = args
         patches = jax.vmap(
             lambda v_, u_: jax.lax.dynamic_slice(
-                depth_m_c, (v_, u_), (pv, pu)))(v0c, u0c)   # [C, pv, pu]
+                img, (v_, u_), (pv, pu)))(v0c, u0c)         # [C, pv, pu]
         ov = (ivc[:, :, None] == jnp.arange(pv, dtype=jnp.int32)) \
             .astype(jnp.float32)                            # [C, 512, pv]
         rows = jnp.einsum('bvp,bpq->bvq', ov, patches,
@@ -715,89 +783,220 @@ def _mxu_depth_lookup(depth_m_c, ui, vi, pix_ok, H: int, W: int,
     d = jax.lax.map(chunk_fn,
                     (v0.reshape(-1, c), u0.reshape(-1, c),
                      iv.reshape(-1, c, _BVOX), iu.reshape(-1, c, _BVOX)))
-    return d.reshape(nb, _BVOX), fits
+    return d.reshape(nb, _BVOX)
 
 
 @partial(jax.jit, donate_argnames=("vol",),
          static_argnames=("use_pallas", "interpret"))
 def _integrate_mxu_jit(vol: TSDFVolume, depth, intr, extrinsics,
-                       depth_scale, max_weight, cam_mask,
+                       depth_scale, max_weight, color, cam_mask,
                        z_min, z_max, use_pallas: bool = False,
                        interpret: bool = False) -> TSDFVolume:
-    shape = vol.shape
+    X0, Y0, Z0 = vol.shape
+    # any-shape: bricks tile an internally padded grid; the pad voxels
+    # are real world positions whose terms get computed and then sliced
+    # off before the elementwise merge, so results are exact
+    shape = tuple(-(-s // _BRICK) * _BRICK for s in (X0, Y0, Z0))
     X, Y, Z = shape
     nb = (X // _BRICK) * (Y // _BRICK) * (Z // _BRICK)
-    kb = min(nb, max(64, nb // 64))   # near-camera fallback bricks/camera
+    # tiered gather capacities: the kernel's cost is proportional to the
+    # STATIC capacity (sentinel-padded), so a per-camera lax.cond chain
+    # picks the smallest tier that fits its REFINE count — a thin-band
+    # rig pays nb//8, the plane-heavy r5 bench scene lands nb//3
+    # (measured 8.6k/32768 refine), pepper-hole frames nb//2, and only
+    # a band-saturating frame pays the full unpruned grid
+    gcaps = sorted({min(nb, max(256, nb // 8)),
+                    min(nb, max(256, nb // 3)),
+                    min(nb, max(256, nb // 2))})
+    bcap = min(nb, max(256, nb // 8))   # FREE_BORDER bricks/camera
     ncam, H, W = depth.shape
+    has_rgb = vol.rgb is not None
 
     # the Pallas lookup gathers the PRE-scale image so a u16 source can
     # use the 2-pass bf16x2 limb mode (raw values have <= 16 significant
     # bits); raw*scale after the gather is bitwise the dense value
-    raw_is_int = jnp.issubdtype(depth.dtype, jnp.integer)
+    raw_is_int = bool(jnp.issubdtype(depth.dtype, jnp.integer))
+    depth_mode = "bf16x2" if raw_is_int else "bf16x3"
     depth_raw = depth.astype(jnp.float32)
     depth_m = depth_raw * depth_scale
     inv_ext = se3_inverse(extrinsics)
-    bids = jnp.arange(nb, dtype=jnp.int32)
-    p_w_b = _brick_voxel_world(bids, shape, vol.origin, vol.leaf) \
-        .reshape(-1, 3)                                     # brick-major
 
-    def camera_terms(c):
-        intr_c = _cam_slice(intr, c)
-        depth_c = depth_m[c]
-        depth_flat = depth_c.reshape(-1)
-        p_c = se3_apply(inv_ext[c], p_w_b)
+    # color planes riding the same one-hot windows: 8-bit channels pack
+    # into ONE integer-valued f32 image (≤ 24 significant bits — bf16x3
+    # reproduces any f32 bitwise); wider dtypes gather three f32-cast
+    # planes (the dense path gathers then casts, and per-element
+    # cast-then-gather is the same value)
+    packed_rgb = has_rgb and color.dtype == jnp.uint8
+    if has_rgb:
+        colf = color.astype(jnp.float32)
+        col_planes = (colf[..., 0] + 256.0 * colf[..., 1]
+                      + 65536.0 * colf[..., 2],) if packed_rgb \
+            else tuple(colf[..., i] for i in range(3))
+    else:
+        col_planes = ()
+
+    def unpack_rgb(planes):
+        """[K*512] gathered plane(s) → [K*512, 3] exact channel values."""
+        if packed_rgb:
+            p = planes[0]
+            b = jnp.floor(p / 65536.0)          # /2^16 is exact scaling
+            rem = p - b * 65536.0               # integers ≤ 2^24: exact
+            g = jnp.floor(rem / 256.0)
+            r = rem - g * 256.0
+            return jnp.stack([r, g, b], axis=-1)
+        return jnp.stack(planes, axis=-1)
+
+    def lookup_terms(bsel, c, intr_c):
+        """Per-voxel (wt, w, rgb4) for bricks ``bsel`` [K] of camera c
+        via the one-hot lookup. Sentinel rows (bsel == nb) carry
+        don't-care values — callers drop them at scatter time."""
+        K = bsel.shape[0]
+        p_w = _brick_voxel_world(bsel, shape, vol.origin, vol.leaf) \
+            .reshape(-1, 3)
+        p_c = se3_apply(inv_ext[c], p_w)
         uv, in_front = project(p_c, intr_c)
         ui = jnp.round(uv[:, 0]).astype(jnp.int32)
         vi = jnp.round(uv[:, 1]).astype(jnp.int32)
         pix_ok = in_front & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
-        uib = jnp.clip(ui, 0, W - 1).reshape(nb, _BVOX)
-        vib = jnp.clip(vi, 0, H - 1).reshape(nb, _BVOX)
-        d_mxu, fits = _mxu_depth_lookup(
-            depth_c, uib, vib, pix_ok.reshape(nb, _BVOX), H, W,
-            use_pallas, interpret, depth_raw_c=depth_raw[c],
-            depth_scale=depth_scale, raw_is_int=bool(raw_is_int))
+        uib = jnp.clip(ui, 0, W - 1).reshape(K, _BVOX)
+        vib = jnp.clip(vi, 0, H - 1).reshape(K, _BVOX)
+        v0, u0, fits = _plan_windows(
+            uib, vib, pix_ok.reshape(K, _BVOX), H, W, use_pallas)
+        fits = fits | (bsel == nb)      # sentinels never eat kb slots
+        iv = vib - v0[:, None]
+        iu = uib - u0[:, None]
+        d = _onehot_gather(depth_raw[c], v0, u0, iv, iu, use_pallas,
+                           interpret, depth_mode) * depth_scale
+        cols = tuple(_onehot_gather(p[c], v0, u0, iv, iu, use_pallas,
+                                    interpret, "bf16x3")
+                     for p in col_planes)
         flat = vib * W + uib
+        kb = min(K, max(64, K // 8))    # near-camera fallback bricks
 
         def patched(_):
-            # gather ONLY the non-fitting bricks (sentinel nb rows are
+            # gather ONLY the non-fitting bricks (fill_value K rows are
             # dropped by the OOB-scatter contract)
-            (bad,) = jnp.nonzero(~fits, size=kb, fill_value=nb)
-            rows = flat[jnp.clip(bad, 0, nb - 1)]           # [kb, 512]
-            return d_mxu.at[bad].set(depth_flat[rows], mode='drop')
+            (bad,) = jnp.nonzero(~fits, size=kb, fill_value=K)
+            rows = flat[jnp.clip(bad, 0, K - 1)]            # [kb, 512]
+            return (d.at[bad].set(depth_m[c].reshape(-1)[rows],
+                                  mode="drop"),
+                    *(cp.at[bad].set(plane[c].reshape(-1)[rows],
+                                     mode="drop")
+                      for cp, plane in zip(cols, col_planes)))
 
         def full(_):
-            return depth_flat[flat.reshape(-1)].reshape(nb, _BVOX)
+            r = flat.reshape(-1)
+            return (depth_m[c].reshape(-1)[r].reshape(K, _BVOX),
+                    *(plane[c].reshape(-1)[r].reshape(K, _BVOX)
+                      for plane in col_planes))
 
-        d = jax.lax.cond(jnp.sum(~fits) > kb, full, patched, None)
-        wt, w_obs, _, _ = _terms_from_depth(
-            d.reshape(-1), p_c[:, 2], pix_ok, vol.trunc,
+        out = jax.lax.cond(jnp.sum(~fits) > kb, full, patched, None)
+        wt, w_obs, obs, sdf = _terms_from_depth(
+            out[0].reshape(-1), p_c[:, 2], pix_ok, vol.trunc,
             z_min, z_max, cam_mask[c])
-        return wt, w_obs
+        rgb4 = None
+        if has_rgb:
+            near = obs & (jnp.abs(sdf) <= vol.trunc)
+            wc = near.astype(jnp.float32)
+            rgb_px = unpack_rgb([cp.reshape(-1) for cp in out[1:]])
+            rgb4 = jnp.concatenate([wc[:, None] * rgb_px, wc[:, None]],
+                                   axis=-1).reshape(K, _BVOX, 4)
+        return wt.reshape(K, _BVOX), w_obs.reshape(K, _BVOX), rgb4
+
+    no_rgb_delta = jnp.zeros((1, 1, 4), jnp.float32)
+
+    def camera_deltas(c):
+        intr_c = _cam_slice(intr, c)
+        free_full, free_border, refine = _classify_bricks(
+            depth_m[c], intr_c, inv_ext[c], shape, vol.origin, vol.leaf,
+            vol.trunc, z_min, z_max)
+        n_refine = jnp.sum(refine)
+        border_over = jnp.sum(free_border) > bcap
+
+        def pruned(gcap, _):
+            (rb,) = jnp.nonzero(refine, size=gcap, fill_value=nb)
+            wt, w, rgb4 = lookup_terms(rb, c, intr_c)
+            d_wt = jnp.zeros((nb, _BVOX), jnp.float32) \
+                .at[rb].add(wt, mode="drop")
+            d_w = jnp.zeros((nb, _BVOX), jnp.float32) \
+                .at[rb].add(w, mode="drop")
+            d_rgb = jnp.zeros((nb, _BVOX, 4), jnp.float32) \
+                .at[rb].add(rgb4, mode="drop") if has_rgb else no_rgb_delta
+            # FREE_BORDER: classification proved sdf >= trunc and valid
+            # depth for every in-image pixel — only the per-voxel bounds
+            # test runs, no gather (same move as _integrate_brick_jit;
+            # color needs nothing: |sdf| <= trunc is provably false)
+            (bb,) = jnp.nonzero(free_border, size=bcap, fill_value=nb)
+            p_wb = _brick_voxel_world(bb, shape, vol.origin, vol.leaf)
+            q_c = se3_apply(inv_ext[c], p_wb.reshape(-1, 3))
+            uvb, in_front = project(q_c, intr_c)
+            ub = jnp.round(uvb[:, 0]).astype(jnp.int32)
+            vb = jnp.round(uvb[:, 1]).astype(jnp.int32)
+            ok = (in_front & (ub >= 0) & (ub < W) & (vb >= 0) & (vb < H)
+                  & cam_mask[c])
+            wb = ok.astype(jnp.float32).reshape(bcap, _BVOX)
+            d_wt = d_wt.at[bb].add(wb, mode="drop")
+            d_w = d_w.at[bb].add(wb, mode="drop")
+            # FREE interior bricks: every voxel contributes exactly 1.0
+            # (t_obs clamps to 1) — broadcast INTO the per-camera delta,
+            # keeping the camera accumulation order identical to dense
+            # (merge-time broadcast like the brick integrator would
+            # reorder the f32 sum and break bitwise parity)
+            fb = (free_full & cam_mask[c]).astype(jnp.float32)[:, None]
+            return d_wt + fb, d_w + fb, d_rgb
+
+        def unpruned(_):
+            bids = jnp.arange(nb, dtype=jnp.int32)
+            wt, w, rgb4 = lookup_terms(bids, c, intr_c)
+            return wt, w, rgb4 if has_rgb else no_rgb_delta
+
+        def tiered(x, caps=tuple(gcaps)):
+            if len(caps) == 1:
+                return pruned(caps[0], x)
+            return jax.lax.cond(n_refine > caps[0],
+                                lambda y: tiered(y, caps[1:]),
+                                partial(pruned, caps[0]), x)
+
+        return jax.lax.cond(border_over | (n_refine > gcaps[-1]),
+                            unpruned, tiered, None)
 
     def body(c, acc):
-        sum_wt, sum_w = acc
-        wt, w = camera_terms(c)
-        return sum_wt + wt, sum_w + w
+        sum_wt, sum_w, sum_rgb = acc
+        d_wt, d_w, d_rgb = camera_deltas(c)
+        return sum_wt + d_wt, sum_w + d_w, sum_rgb + d_rgb
 
-    V = nb * _BVOX
-    sum_wt, sum_w = jax.lax.fori_loop(
+    init_rgb = jnp.zeros((nb, _BVOX, 4), jnp.float32) if has_rgb \
+        else no_rgb_delta
+    sum_wt, sum_w, sum_rgb = jax.lax.fori_loop(
         0, ncam, body,
-        (jnp.zeros((V,), jnp.float32), jnp.zeros((V,), jnp.float32)))
+        (jnp.zeros((nb, _BVOX), jnp.float32),
+         jnp.zeros((nb, _BVOX), jnp.float32), init_rgb))
 
-    # merge in the volume's natural layout: only the two camera-sum
-    # arrays cross from brick-major back (2 transposes, not a 4-transpose
+    # merge in the volume's natural layout: only the camera-sum arrays
+    # cross from brick-major back (2 transposes, not a 4-transpose
     # volume round trip — the update arithmetic is elementwise, so it
-    # commutes with the layout permutation bitwise)
-    sum_wt = _from_bricks(sum_wt.reshape(nb, _BVOX), shape)
-    sum_w = _from_bricks(sum_w.reshape(nb, _BVOX), shape)
+    # commutes with the layout permutation bitwise), cropping the
+    # internal padding first
+    crop = (slice(0, X0), slice(0, Y0), slice(0, Z0))
+    sum_wt = _from_bricks(sum_wt, shape)[crop]
+    sum_w = _from_bricks(sum_w, shape)[crop]
     w_new = vol.weight + sum_w
     t_new = jnp.where(w_new > 0.0,
                       (vol.tsdf * vol.weight + sum_wt)
                       / jnp.maximum(w_new, 1e-12),
                       1.0)
+    new_rgb = None
+    if has_rgb:
+        sum_rgb = _from_bricks(sum_rgb, shape)[crop]
+        rw_old = jnp.minimum(vol.weight, max_weight)
+        rgb_acc = vol.rgb * rw_old[..., None] + sum_rgb[..., :3]
+        rw_new = rw_old + sum_rgb[..., 3]
+        new_rgb = jnp.where(rw_new[..., None] > 0.0,
+                            rgb_acc / jnp.maximum(rw_new, 1e-12)[..., None],
+                            0.0)
     return TSDFVolume(
         tsdf=t_new, weight=jnp.minimum(w_new, max_weight),
-        origin=vol.origin, leaf=vol.leaf, trunc=vol.trunc, rgb=None)
+        origin=vol.origin, leaf=vol.leaf, trunc=vol.trunc, rgb=new_rgb)
 
 
 # --------------------------------------------------------------------------

@@ -93,14 +93,15 @@ assert ang_err < 0.1 and t_err < 2e-3
 cloud = M.extract_cloud(vol, capacity=262144)
 print("extract_cloud:", int(jnp.sum(cloud.mask)), "points", flush=True)
 
-# mxu integrate (kernels/patch_gather.py on the real Mosaic path):
-# bitwise-equal volume vs the dense gather, by construction
-vmx = M.TSDFVolume.create(shape=(192, 192, 192), leaf=0.015,
+# `vol` above came from method='auto' — the pruned mxu_pallas path on
+# TPU (kernels/patch_gather.py on the real Mosaic path). Re-integrate
+# with the dense gather oracle: bitwise-equal by construction.
+vdn = M.TSDFVolume.create(shape=(192, 192, 192), leaf=0.015,
                           origin=(-1.44, -1.44, 0.2))
-vmx = M.integrate(vmx, d0, intr, T0, method="mxu")
-assert np.array_equal(np.asarray(vmx.tsdf), np.asarray(vol.tsdf))
-assert np.array_equal(np.asarray(vmx.weight), np.asarray(vol.weight))
-print("integrate[mxu]: bitwise == dense", flush=True)
+vdn = M.integrate(vdn, d0, intr, T0, method="dense")
+assert np.array_equal(np.asarray(vdn.tsdf), np.asarray(vol.tsdf))
+assert np.array_equal(np.asarray(vdn.weight), np.asarray(vol.weight))
+print("integrate[auto=mxu_pallas]: bitwise == dense", flush=True)
 
 # mesh extraction (ops/surface.py composed-table kernel): triangles on
 # the analytic surface

@@ -523,20 +523,23 @@ def test_integrate_method_validation():
     d = jnp.zeros((48, 64), jnp.float32)
     with pytest.raises(ValueError, match="8-divisible"):
         M.integrate(vol, d, intr, I4, method="brick")
-    with pytest.raises(ValueError, match="8-divisible"):
-        M.integrate(vol, d, intr, I4, method="mxu")
     with pytest.raises(ValueError, match="method"):
         M.integrate(vol, d, intr, I4, method="fast")
-    # auto on a non-divisible grid silently uses dense
-    out = M.integrate(vol, d, intr, I4, method="auto")
+    # mxu pads non-divisible grids internally (brick does not); fresh
+    # volumes each call — integrate donates its input
+    out = M.integrate(vol, d, intr, I4, method="mxu")
     assert out.tsdf.shape == (12, 12, 12)
-    # mxu is depth-only; rgb volumes must route/raise explicitly
-    volc = M.TSDFVolume.create((16, 16, 16), 0.05, with_rgb=True)
+    out = M.integrate(M.TSDFVolume.create((12, 12, 12), 0.05), d, intr,
+                      I4, method="auto")
+    assert out.tsdf.shape == (12, 12, 12)
+    # colored volumes ride the packed one-hot gather — no raise
     color = jnp.zeros((48, 64, 3), jnp.uint8)
-    with pytest.raises(ValueError, match="color"):
-        M.integrate(volc, d, intr, I4, color=color, method="mxu")
+    volc = M.TSDFVolume.create((16, 16, 16), 0.05, with_rgb=True)
+    out = M.integrate(volc, d, intr, I4, color=color, method="mxu")
+    assert out.rgb is not None
+    volc = M.TSDFVolume.create((16, 16, 16), 0.05, with_rgb=True)
     out = M.integrate(volc, d, intr, I4, color=color, method="auto")
-    assert out.rgb is not None   # auto routed rgb to dense, no raise
+    assert out.rgb is not None
 
 
 # ---------------------------------------------------------------------------
@@ -636,6 +639,54 @@ def test_integrate_mxu_noise_overflows_to_full_gather():
     vb = M.integrate(vb, jnp.asarray(d), intr, T, depth_scale=1.0,
                      method="mxu")
     _bitwise_vs_dense(va, vb)
+
+
+def test_integrate_mxu_color_matches_dense_bitwise():
+    """uint8 color packs all three channels into ONE integer-valued f32
+    one-hot gather (r + 256g + 65536b ≤ 2²⁴−1, unpacked exactly); float
+    color gathers three planes — both bitwise the dense path's
+    gather-then-cast (tsdf.py: _integrate_mxu_jit col_planes)."""
+    intr = _intr()
+    rng = np.random.default_rng(3)
+    d1 = render_depth(intr, I4, **SCENE)
+    d1[5:9, 11:17] = 0.0             # dead patch: refine-brick coverage
+    color = rng.integers(0, 256, (2, 48, 64, 3), dtype=np.uint8)
+    batched = jnp.stack([jnp.asarray(d1), jnp.asarray(d1) * 0.9])
+    intr_b = intr.stack([intr])
+    ext_b = jnp.stack([jnp.asarray(I4), jnp.asarray(I4)])
+    for col in (jnp.asarray(color),
+                jnp.asarray(color).astype(jnp.float32)):
+        for method in ("mxu_xla", "mxu_pallas"):
+            kw = dict(depth_scale=1.0, color=col)
+            va = M.TSDFVolume.create((32, 32, 32), 0.04,
+                                     origin=(-0.64, -0.64, 0.0),
+                                     with_rgb=True)
+            va = M.integrate(va, batched, intr_b, ext_b, method="dense",
+                             **kw)
+            vb = M.TSDFVolume.create((32, 32, 32), 0.04,
+                                     origin=(-0.64, -0.64, 0.0),
+                                     with_rgb=True)
+            vb = M.integrate(vb, batched, intr_b, ext_b, method=method,
+                             **kw)
+            _bitwise_vs_dense(va, vb)
+            assert np.array_equal(np.asarray(va.rgb), np.asarray(vb.rgb))
+
+
+def test_integrate_mxu_any_shape_matches_dense_bitwise():
+    """Non-8-divisible grids are padded internally to brick multiples and
+    cropped after the elementwise merge — bitwise for any shape."""
+    intr = _intr()
+    d1 = render_depth(intr, I4, **SCENE)
+    for method in ("mxu_xla", "mxu_pallas"):
+        va = M.TSDFVolume.create((20, 28, 13), 0.05,
+                                 origin=(-0.5, -0.7, 0.0))
+        va = M.integrate(va, jnp.asarray(d1), intr, I4, depth_scale=1.0,
+                         method="dense")
+        vb = M.TSDFVolume.create((20, 28, 13), 0.05,
+                                 origin=(-0.5, -0.7, 0.0))
+        vb = M.integrate(vb, jnp.asarray(d1), intr, I4, depth_scale=1.0,
+                         method=method)
+        _bitwise_vs_dense(va, vb)
 
 
 # ---------------------------------------------------------------------------
