@@ -52,6 +52,13 @@ class StitchOutput(NamedTuple):
     cloud: PointCloud           # fused, downsampled world-frame cloud
     extrinsics: jax.Array       # [ncam, 4, 4] refined extrinsics
     metrics: StitchMetrics
+    # raw device-resident inputs of the frame that produced this output,
+    # attached by the streaming client (None from direct pipeline calls):
+    # lets consumers run depth-domain models (TSDF integrate, tracking)
+    # on the exact frame the stitch saw, without a second H2D transfer
+    depth: Optional[jax.Array] = None       # [ncam, H, W] raw units
+    color: Optional[jax.Array] = None       # [ncam, H, W, 3] aligned rgb
+    cam_mask: Optional[jax.Array] = None    # [ncam] bool
 
 
 def autofit_out_leaf(points_out: jax.Array, leaf: jax.Array, *,

@@ -407,7 +407,15 @@ class MulticameraClient:
             return self.pipeline.step_points(d_xyz, d_pmask, rgb=d_rgb,
                                              cam_mask=d_mask)
         d_depths, d_colors = dev
-        return self.pipeline(d_depths, colors=d_colors, cam_mask=d_mask)
+        out = self.pipeline(d_depths, colors=d_colors, cam_mask=d_mask)
+        # attach the frame's raw device inputs so on_frame consumers
+        # (e.g. stitch_cli's --tsdf keyframe integrate) can run
+        # depth-domain models on the exact frame the stitch saw —
+        # references only, no copies, and pipelined mode pairs them
+        # with the right frame (the client may already be dispatching
+        # frame n+1 when on_frame(n) runs)
+        return out._replace(depth=d_depths, color=d_colors,
+                            cam_mask=d_mask)
 
     @staticmethod
     def _sync(out: StitchOutput) -> int:

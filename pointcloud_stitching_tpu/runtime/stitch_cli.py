@@ -129,6 +129,32 @@ def main(argv=None):
                     help="resume accumulation from a .npz map checkpoint "
                          "(leaf/color come from the file; --map-leaf may "
                          "be omitted)")
+    ap.add_argument("--tsdf-leaf", type=float, default=None,
+                    help="fuse depth keyframes into a persistent TSDF "
+                         "volume at this voxel size (meters) — the "
+                         "KinectFusion scene model (watertight meshes via "
+                         "pcs-mesh, free-space carving); integrates every "
+                         "--tsdf-every frames alongside the streaming "
+                         "stitch and saves to --tsdf-out on exit")
+    ap.add_argument("--tsdf-shape", default="256,256,256",
+                    metavar="X,Y,Z", help="TSDF grid shape in voxels")
+    ap.add_argument("--tsdf-origin", default=None, metavar="x,y,z",
+                    help="world position of voxel (0,0,0)'s center "
+                         "(meters; default centers the grid on XY and "
+                         "starts Z at 0)")
+    ap.add_argument("--tsdf-every", type=int, default=10,
+                    help="integrate every K-th stitched frame (keyframe "
+                         "cadence; integrate costs more than a stitch "
+                         "frame, so it rides the stream at 1/K rate)")
+    ap.add_argument("--tsdf-out", default="scene_tsdf.npz",
+                    help="TSDF checkpoint written on exit (resumable via "
+                         "--tsdf-in; pcs-mesh extracts its isosurface)")
+    ap.add_argument("--tsdf-in", default=None,
+                    help="resume from a --tsdf-out checkpoint "
+                         "(shape/leaf/origin/color come from the file)")
+    ap.add_argument("--tsdf-max-weight", type=float, default=64.0,
+                    help="per-voxel evidence cap (bounds how slowly a "
+                         "long-observed voxel adapts to change)")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -167,6 +193,30 @@ def main(argv=None):
                              "(--payload points clouds have no grid to "
                              "derive normals from)")
         updates["with_normals"] = True
+    tsdf_on = args.tsdf_leaf is not None or args.tsdf_in is not None
+    if tsdf_on and args.payload == "points":
+        raise SystemExit("--tsdf-* integrates raw depth frames; the legacy "
+                         "points payload carries none (use --payload "
+                         "depth)")
+    tsdf_shape = tsdf_origin = None
+    if tsdf_on:
+        try:
+            tsdf_shape = tuple(int(v) for v in args.tsdf_shape.split(","))
+            if len(tsdf_shape) != 3 or any(s <= 0 for s in tsdf_shape):
+                raise ValueError
+        except ValueError:
+            raise SystemExit(f"bad --tsdf-shape {args.tsdf_shape!r}; "
+                             "want X,Y,Z positive voxel counts")
+        if args.tsdf_origin is not None:
+            try:
+                tsdf_origin = tuple(
+                    float(v) for v in args.tsdf_origin.split(","))
+                if len(tsdf_origin) != 3:
+                    raise ValueError
+            except ValueError:
+                raise SystemExit(f"bad --tsdf-origin {args.tsdf_origin!r}; "
+                                 "want x,y,z meters (use --tsdf-origin=-1,"
+                                 "... for negative corners)")
     if args.crop:
         try:
             lo_s, hi_s = args.crop.split(":")
@@ -270,6 +320,7 @@ def main(argv=None):
             view_sink = _directory_sink(args.view_dir, keep=300)
 
     acc = None
+    tsdf_state = {"vol": None, "frames": 0}
 
     def close_view():
         nonlocal view
@@ -318,6 +369,42 @@ def main(argv=None):
                         decay=args.map_decay, min_weight=args.map_min_weight,
                         with_rgb=out.cloud.rgb is not None)
             acc.update(out.cloud)
+        if tsdf_on and i % max(args.tsdf_every, 1) == 0:
+            # keyframe-cadence TSDF fusion on the exact device-resident
+            # depth the stitch saw (StitchOutput.depth — no extra H2D),
+            # against the frame's REFINED extrinsics. integrate donates
+            # its input volume, so the state swap is allocation-free;
+            # the first keyframe pays the integrate compile.
+            from ..models import tsdf as tsdf_mod
+            vol = tsdf_state["vol"]
+            if vol is None:
+                if args.tsdf_in is not None:
+                    vol = tsdf_mod.load_volume(args.tsdf_in)
+                    if (vol.rgb is not None) and out.color is None:
+                        raise SystemExit(
+                            f"--tsdf-in {args.tsdf_in} carries color but "
+                            "this rig streams none — pass --color or "
+                            "start a fresh volume")
+                else:
+                    leaf = args.tsdf_leaf
+                    org = tsdf_origin if tsdf_origin is not None else (
+                        -tsdf_shape[0] * leaf / 2.0,
+                        -tsdf_shape[1] * leaf / 2.0, 0.0)
+                    # rgb only for depth-aligned color streams (the
+                    # non-aligned DEPTH16_COLOR_NATIVE color image has
+                    # its own geometry; TSDF color needs per-depth-pixel
+                    # alignment)
+                    vol = tsdf_mod.TSDFVolume.create(
+                        tsdf_shape, leaf, origin=org,
+                        with_rgb=(out.color is not None
+                                  and cfg.color_height is None))
+            color = out.color if vol.rgb is not None else None
+            tsdf_state["vol"] = tsdf_mod.integrate(
+                vol, out.depth, intr, out.extrinsics,
+                depth_scale=cfg.depth_scale,
+                max_weight=args.tsdf_max_weight, color=color,
+                cam_mask=out.cam_mask, z_min=cfg.z_min, z_max=cfg.z_max)
+            tsdf_state["frames"] += 1
         if publisher is not None and publisher.num_subscribers:
             publisher.publish_cloud(out.cloud)
         if view is not None and i % max(args.view_every, 1) == 0:
@@ -374,6 +461,12 @@ def main(argv=None):
             save_cloud(args.map_out, acc.cloud())
         print(f"saved accumulated map ({int(acc.state.count())} voxels) "
               f"to {args.map_out}")
+    if tsdf_state["vol"] is not None:
+        from ..models.tsdf import save_volume
+        save_volume(args.tsdf_out, tsdf_state["vol"])
+        occ = int(np.asarray(tsdf_state["vol"].weight > 0).sum())
+        print(f"saved TSDF volume ({tsdf_state['frames']} keyframes, "
+              f"{occ} observed voxels) to {args.tsdf_out}")
     print(metrics)
     return metrics
 

@@ -13,6 +13,11 @@ reconstructs the **isosurface of the accumulated scene** instead — the
 pcl::MarchingCubes role, via ops.surface's marching tetrahedra
 (crack-free by construction, welded + outward-wound on the way out).
 
+A TSDF checkpoint (``pcs-stitch --tsdf-leaf ... --tsdf-out
+scene_tsdf.npz``, or ``models.tsdf.save_volume``) meshes its ZERO level
+set directly — the watertight KinectFusion surface (models.tsdf
+extract_mesh); the .npz kind is auto-detected from its keys.
+
 Usage:
   python -m pointcloud_stitching_tpu.tools.mesh_cli depth.npy out.ply \
       [--frame 0] [--intr cam0.intr.json] [--cal cam0.cal] \
@@ -20,6 +25,8 @@ Usage:
   python -m pointcloud_stitching_tpu.tools.mesh_cli scene.npz out.ply \
       [--iso 0.5] [--min-weight 0] [--saturate 1] [--smooth 1] \
       [--max-nodes 256]
+  python -m pointcloud_stitching_tpu.tools.mesh_cli scene_tsdf.npz \
+      out.ply [--min-weight 1] [--cell-capacity 262144]
 """
 from __future__ import annotations
 
@@ -57,13 +64,20 @@ def main(argv=None):
                    help="3^3 box-filter passes over the field")
     g.add_argument("--max-nodes", type=int, default=256,
                    help="grid cap per axis when fitting the map bounds")
+    g.add_argument("--cell-capacity", type=int, default=262144,
+                   help="TSDF inputs: static surface-cell budget for the "
+                        "marching-tetrahedra extraction (raise if the "
+                        "tool reports saturation)")
     args = ap.parse_args(argv)
 
     from pointcloud_stitching_tpu.utils.platform import apply_platform_override
     apply_platform_override()
 
     if args.depth.endswith(".npz"):
-        return _mesh_map(args)
+        import numpy as np
+        with np.load(args.depth) as z:
+            is_tsdf = "tsdf" in z.files
+        return _mesh_tsdf(args) if is_tsdf else _mesh_map(args)
 
     import jax.numpy as jnp
     import numpy as np
@@ -99,6 +113,31 @@ def main(argv=None):
     print(f"{args.out}: {len(verts)} vertices, {len(faces)} triangles "
           f"(max edge {args.max_edge} m)", flush=True)
     return len(faces)
+
+
+def _mesh_tsdf(args):
+    """TSDF checkpoint -> zero-level-set mesh (the KinectFusion surface:
+    watertight where observed, models.tsdf.extract_mesh + weld_mesh)."""
+    import jax.numpy as jnp
+
+    from pointcloud_stitching_tpu.io.plyio import save_mesh
+    from pointcloud_stitching_tpu.models.tsdf import extract_mesh, load_volume
+    from pointcloud_stitching_tpu.ops.surface import weld_mesh
+
+    vol = load_volume(args.depth)
+    mw = args.min_weight if args.min_weight > 0.0 else 1.0
+    verts, valid, n_active = extract_mesh(
+        vol, cell_capacity=args.cell_capacity, min_weight=mw)
+    n_act = int(n_active)
+    if n_act > args.cell_capacity:
+        print(f"warning: {n_act} surface cells exceed --cell-capacity "
+              f"{args.cell_capacity}; the sorted tail was dropped — "
+              "re-run with a larger budget", flush=True)
+    vw, fw = weld_mesh(verts, jnp.asarray(valid))
+    save_mesh(args.out, vw, fw)
+    print(f"{args.out}: {len(vw)} vertices, {len(fw)} triangles "
+          f"({n_act} surface cells, tsdf zero level)", flush=True)
+    return len(fw)
 
 
 def _mesh_map(args):
