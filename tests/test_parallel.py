@@ -271,3 +271,119 @@ def test_shardmap_stitch_pallas_interpret_matches_single_device():
     np.testing.assert_allclose(np.sort(a, axis=0), np.sort(b, axis=0),
                                atol=1e-4)
     assert int(out_s.metrics.points_in) == int(out_1.metrics.points_in)
+
+
+# ---------------------------------------------------------------------------
+# Z-slab sharded TSDF (parallel/tsdf_shard.py)
+# ---------------------------------------------------------------------------
+
+def _tsdf_scene(pow2=True):
+    """Two-camera analytic scene + a volume whose leaf/origin are exact
+    binary values, so the sharded slab-origin shift is EXACT and parity
+    with the unsharded integrate is bitwise (tsdf_shard.py docstring)."""
+    from test_tsdf import render_depth
+    h, w = 48, 64
+    intr = Intrinsics.create(fx=50.0, fy=50.0, ppx=w / 2.0, ppy=h / 2.0,
+                             width=w, height=h)
+    scene = dict(spheres=[((0.0, 0.1, 1.0), 0.3)],
+                 planes=[((0.0, 0.0, -1.0), -1.8)])
+    T2 = np.eye(4, dtype=np.float32)
+    T2[:3, 3] = [0.1, -0.05, -0.1]
+    d1 = render_depth(intr, np.eye(4, dtype=np.float32), **scene)
+    d2 = render_depth(intr, T2, **scene)
+    d1[10:14, 8:30] = 0.0            # dead patch: refine-brick coverage
+    depth = jnp.stack([jnp.asarray(d1), jnp.asarray(d2)])
+    intr_b = intr.stack([intr])
+    ext = jnp.stack([jnp.eye(4, dtype=jnp.float32), jnp.asarray(T2)])
+    leaf = 0.03125                   # 2^-5: slab origin shifts exact
+    origin = (-0.5, -0.5, 0.25)      # multiples of the leaf
+    return depth, intr_b, ext, leaf, origin
+
+
+def test_sharded_tsdf_integrate_matches_single_device():
+    """Z-slab sharded integrate == unsharded dense, BITWISE (two frames,
+    so prior weights are nonzero on the second)."""
+    from pointcloud_stitching_tpu.models import tsdf as M
+    from pointcloud_stitching_tpu.parallel import (make_sharded_integrate,
+                                                   shard_volume)
+
+    depth, intr_b, ext, leaf, origin = _tsdf_scene()
+    kw = dict(depth_scale=1.0, z_min=0.2, z_max=5.0)
+    shape = (32, 32, 64)
+    ref = M.TSDFVolume.create(shape, leaf, origin=origin)
+    mesh = make_mesh(axis="z")
+    vs = shard_volume(M.TSDFVolume.create(shape, leaf, origin=origin),
+                      mesh, axis="z")
+    fn = make_sharded_integrate(mesh, axis="z", method="dense")
+    for _ in range(2):
+        ref = M.integrate(ref, depth, intr_b, ext, method="dense", **kw)
+        vs = fn(vs, depth, intr_b, ext, **kw)
+    assert np.array_equal(np.asarray(vs.tsdf), np.asarray(ref.tsdf))
+    assert np.array_equal(np.asarray(vs.weight), np.asarray(ref.weight))
+
+
+def test_sharded_tsdf_integrate_mxu_pallas_interpret_color():
+    """The composed program a real multi-chip rig runs: shard_map ->
+    per-slab mxu_pallas integrate (patch_gather in interpret mode on the
+    CPU mesh) with packed uint8 color — bitwise vs unsharded dense."""
+    from pointcloud_stitching_tpu.models import tsdf as M
+    from pointcloud_stitching_tpu.parallel import (make_sharded_integrate,
+                                                   shard_volume)
+
+    depth, intr_b, ext, leaf, origin = _tsdf_scene()
+    rng = np.random.default_rng(0)
+    color = jnp.asarray(rng.integers(0, 256, (*depth.shape, 3),
+                                     dtype=np.uint8))
+    kw = dict(depth_scale=1.0, z_min=0.2, z_max=5.0, color=color)
+    shape = (32, 32, 64)
+    ref = M.TSDFVolume.create(shape, leaf, origin=origin, with_rgb=True)
+    ref = M.integrate(ref, depth, intr_b, ext, method="dense", **kw)
+    mesh = make_mesh(axis="z")
+    vs = shard_volume(
+        M.TSDFVolume.create(shape, leaf, origin=origin, with_rgb=True),
+        mesh, axis="z")
+    fn = make_sharded_integrate(mesh, axis="z", method="mxu_pallas")
+    vs = fn(vs, depth, intr_b, ext, **kw)
+    assert np.array_equal(np.asarray(vs.tsdf), np.asarray(ref.tsdf))
+    assert np.array_equal(np.asarray(vs.weight), np.asarray(ref.weight))
+    assert np.array_equal(np.asarray(vs.rgb), np.asarray(ref.rgb))
+
+
+def test_sharded_tsdf_raycast_matches_single_device():
+    """Per-slab halo-extended march + min-combine vs the unsharded
+    renderer. The slab origin subtraction reassociates (p - org) vs
+    (p - origin) so nearest-voxel rounding can flip on a measure-zero
+    set — tolerance on depth, near-complete agreement on validity."""
+    from pointcloud_stitching_tpu.models import tsdf as M
+    from pointcloud_stitching_tpu.parallel import (make_sharded_integrate,
+                                                   make_sharded_raycast,
+                                                   shard_volume)
+
+    depth, intr_b, ext, leaf, origin = _tsdf_scene()
+    kw = dict(depth_scale=1.0, z_min=0.2, z_max=5.0)
+    shape = (32, 32, 64)
+    ref = M.TSDFVolume.create(shape, leaf, origin=origin)
+    ref = M.integrate(ref, depth, intr_b, ext, method="dense", **kw)
+    mesh = make_mesh(axis="z")
+    vs = shard_volume(M.TSDFVolume.create(shape, leaf, origin=origin),
+                      mesh, axis="z")
+    vs = make_sharded_integrate(mesh, axis="z", method="dense")(
+        vs, depth, intr_b, ext, **kw)
+
+    i0 = Intrinsics.create(fx=50.0, fy=50.0, ppx=32.0, ppy=24.0,
+                           width=64, height=48)
+    T = np.eye(4, dtype=np.float32)
+    rc1 = M.raycast(ref, i0, T, t_min=0.2, t_max=3.0)
+    rcn = make_sharded_raycast(mesh, axis="z", t_min=0.2, t_max=3.0)(
+        vs, i0, T)
+    v1 = np.asarray(rc1.valid)
+    vn = np.asarray(rcn.valid)
+    # rounding flips may move single samples; demand near-total agreement
+    assert (v1 != vn).mean() < 0.01, (v1 != vn).mean()
+    both = v1 & vn
+    assert both.sum() > 500
+    np.testing.assert_allclose(np.asarray(rcn.depth)[both],
+                               np.asarray(rc1.depth)[both], atol=2e-3)
+    nrm = np.asarray(rcn.normal)[both]
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=-1), 1.0,
+                               atol=1e-3)
