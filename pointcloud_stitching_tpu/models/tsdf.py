@@ -39,22 +39,26 @@ Mesh extraction reuses `ops/surface.py`'s marching tetrahedra on the
 occupancy path uses, with unobserved nodes masked out so occlusion
 boundaries don't grow fake walls.
 
-Measured steady states (one TPU v5e, 256³ volume, 1 cm leaf; analytic
-scene, scratch/verify_tsdf3.py r3 / scratch/tsdf_perf_r4.py r4):
-integrate 4×848×480 frames 503–708 ms across rounds with the dense
-gather (~126–177 ms/camera — almost entirely the 16.7M-element random
-depth-image gather, which alone measures 123 ms in isolation; the
-projection math is ~4 ms) and 268–345 ms with method='mxu_pallas'
-(kernels/patch_gather.py one-hot MXU lookup, bitwise-equal result —
-scratch/pallas_integrate_tpu.py), raycast 848×480 903 ms full-march / 235 ms prior-window at
-stride 2, track (2 rounds × 6 Gauss-Newton iters, stride 2) 1.78 s
-full-march / 436 ms with the default ±0.3 m prior window (recovers a
-1.5°+3 cm perturbation to 0.000°/0.3 mm), extract_cloud 175 ms,
-extract_mesh 626 ms at 262k cell capacity. Accuracy against the
-analytic scene: raycast median |Δdepth| 0.03 mm, mesh vertices p99
-2.3 mm from the true surface. The volume is a scene-model/mapping
-layer, not a per-frame streaming stage — integrate at a keyframe
-cadence (or on a cropped volume) alongside the 12 ms stitching path.
+Measured steady states (one TPU v5e, 256³ volume, 1 cm leaf, 4×848×480
+frames; analytic scene, scratch/pruned_integrate_r5.py r5 — the
+driver's BENCH_r05.json `tsdf` block is the canonical artifact):
+integrate **144 ms** with the default brick-pruned one-hot MXU lookup
+(method='auto' → 'mxu_pallas', kernels/patch_gather.py — BITWISE equal
+to the dense oracle) vs 649 ms dense (the dense op IS one
+16.7M-element random depth gather at the chip's ~115–133 M elem/s
+gather issue rate; everything else in the update measures ~5 ms);
+colored integrate 364 ms (one extra packed one-hot plane) vs 874
+dense; noise worst case (classifier overflow → unpruned full-grid
+lookup) 170 ms. Raycast 61 ms prior-window / 306 ms full-march at
+stride 2; track (2 recast rounds × 6 Gauss–Newton iters, stride 2)
+179 ms with a ±0.3 m prior window (recovers a 1.2°+11 mm perturbation
+to 0.000°/0.2 mm); extract_cloud 175 ms; extract_mesh 187 ms at 262k
+cell capacity (trace-time-composed case tables). Accuracy against the
+analytic scene: raycast median |Δdepth| 0.00 mm (p99 3.9 mm), mesh
+vertices p99 2.3 mm from the true surface. At keyframe cadence the
+volume rides the 12 ms streaming path (stitch_cli --tsdf-every); Z-slab
+sharding (parallel/tsdf_shard.py) divides the remaining gather wall by
+the mesh size.
 """
 from __future__ import annotations
 
