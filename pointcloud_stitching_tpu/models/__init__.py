@@ -6,9 +6,9 @@ from .voxel_map import (TemporalAccumulator, VoxelMap, load_map, localize,
                         save_map, voxel_map_update)
 from .pose_graph import (PoseGraphResult, chain_initial_poses,
                          optimize_pose_graph, register_rig)
-from .tsdf import (RaycastResult, TrackResult, TSDFVolume, extract_cloud,
-                   extract_mesh, integrate, load_volume, raycast,
-                   save_volume, track)
+from .tsdf import (RaycastResult, RigTrackResult, TrackResult, TSDFVolume,
+                   extract_cloud, extract_mesh, integrate, load_volume,
+                   raycast, rig_track, save_volume, track)
 
 __all__ = [
     "StitchingPipeline", "StitchMetrics", "StitchOutput", "stitch_step",
@@ -20,6 +20,7 @@ __all__ = [
     "save_map", "voxel_map_update",
     "PoseGraphResult", "chain_initial_poses", "optimize_pose_graph",
     "register_rig",
-    "TSDFVolume", "RaycastResult", "TrackResult", "integrate", "raycast",
-    "track", "extract_cloud", "extract_mesh", "save_volume", "load_volume",
+    "TSDFVolume", "RaycastResult", "TrackResult", "RigTrackResult",
+    "integrate", "raycast", "track", "rig_track",
+    "extract_cloud", "extract_mesh", "save_volume", "load_volume",
 ]

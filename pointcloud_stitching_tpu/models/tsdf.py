@@ -1597,6 +1597,90 @@ def _track_jit(vol: TSDFVolume, depth, intr, T_init, model: RaycastResult,
                        n_matched=nins[-1].astype(jnp.int32))
 
 
+class RigTrackResult(NamedTuple):
+    extrinsics: jax.Array   # [ncam, 4, 4] corrected rig (== input if gated)
+    G: jax.Array            # [4, 4] world-frame correction (I if gated)
+    applied: bool           # the correction passed every gate
+    track: TrackResult      # the anchor camera's raw frame-to-model result
+
+
+def rig_track(vol: TSDFVolume, depth: jax.Array, intr: Intrinsics,
+              extrinsics: jax.Array, cam: int = 0,
+              depth_scale: float = 0.001,
+              prior_window: Optional[float] = 0.3,
+              min_matched: int = 300, max_rms: float = 0.05,
+              max_step: float = 0.5, max_step_rot: float = 0.5,
+              **track_kw) -> RigTrackResult:
+    """Use the persistent volume as an *online extrinsics source* for a rig.
+
+    The streaming stitcher's ring ICP measures only relative inter-camera
+    alignment (camera 0 anchors the chain — models/stitcher.py), so a
+    global rig drift (the mount slips, the whole rig is carried) is
+    invisible to it: every pairwise residual stays zero while the world
+    poses walk away together. Frame-to-model tracking against the scene
+    the volume has already fused is the complementary observation — the
+    KinectFusion loop (the reference has no online correction at all;
+    its .cal extrinsics are frozen — SURVEY.md §2.2 ICP row).
+
+    Tracks camera ``cam`` against the volume with :func:`track`, lifts the
+    single-camera correction to the whole rig under the rigid-rig
+    assumption (every camera is bolted to the same mount, so one
+    world-frame left-correction ``G = T_tracked @ T_est^-1`` moves them
+    all), and gates it: a correction from too few matched pixels, a
+    poor point-to-plane fit, or an implausibly large single-keyframe
+    step (``max_step`` meters / ``max_step_rot`` radians — real drift is
+    slow; a big "correction" means tracking latched onto the wrong
+    geometry) leaves the rig untouched rather than corrupting every
+    camera at once — same defensive posture as the stitcher's
+    ring-closure gate.
+
+    Args:
+      vol: the fused volume (must carry evidence — track a volume with
+        ``weight.sum() == 0`` and the gates reject the result).
+      depth: [ncam, H, W] (or [H, W]) raw u16 / float-meter depth — the
+        exact frame the stitch saw (StitchOutput.depth).
+      intr: per-camera Intrinsics (batched to match, or single).
+      extrinsics: [ncam, 4, 4] (or [4, 4]) current camera→world estimates.
+      cam: which camera anchors the track (default 0 — the ring anchor,
+        so the corrected rig stays consistent with the chain).
+      prior_window: passed to :func:`track` (0.3 m — the streaming
+        regime's fast path; None marches the full ray range).
+      min_matched / max_rms / max_step / max_step_rot: the gates.
+      **track_kw: forwarded to :func:`track` (iterations, rounds, stride,
+        t_min/t_max, ...).
+
+    Returns RigTrackResult. ``applied`` is a host bool (this runs at
+    keyframe cadence on the host side of the streaming loop; the sync it
+    costs is one scalar, amortised over the keyframe interval).
+    """
+    ext = jnp.asarray(extrinsics, jnp.float32)
+    squeeze = ext.ndim == 2
+    if squeeze:
+        ext = ext[None]
+    d = depth if depth.ndim == 3 else depth[None]
+    intr_b = intr if jnp.asarray(intr.fx).ndim else \
+        jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], intr)
+    T_est = ext[cam]
+    res = track(vol, d[cam], _cam_slice(intr_b, cam), T_est,
+                depth_scale=depth_scale, prior_window=prior_window,
+                **track_kw)
+    G = mm(res.T, se3_inverse(T_est))
+    # gate arms (host scalars): fit quality, support, step plausibility
+    dt = float(jnp.linalg.norm(G[:3, 3]))
+    cos_th = (float(jnp.trace(G[:3, :3])) - 1.0) * 0.5
+    ang = math.acos(min(1.0, max(-1.0, cos_th)))
+    ok = (int(res.n_matched) >= int(min_matched)
+          and float(res.rms) <= float(max_rms)
+          and math.isfinite(dt) and dt <= float(max_step)
+          and ang <= float(max_step_rot))
+    if ok:
+        out = mm(G[None], ext)
+    else:
+        out, G = ext, jnp.eye(4, dtype=jnp.float32)
+    return RigTrackResult(extrinsics=out[0] if squeeze else out,
+                          G=G, applied=ok, track=res)
+
+
 # --------------------------------------------------------------------------
 # extraction / persistence
 # --------------------------------------------------------------------------

@@ -155,6 +155,20 @@ def main(argv=None):
     ap.add_argument("--tsdf-max-weight", type=float, default=64.0,
                     help="per-voxel evidence cap (bounds how slowly a "
                          "long-observed voxel adapts to change)")
+    ap.add_argument("--tsdf-track", action="store_true",
+                    help="use the TSDF volume as an ONLINE EXTRINSICS "
+                         "SOURCE: every keyframe, track the anchor camera "
+                         "frame-to-model against the fused scene (KinFu "
+                         "projective ICP) and apply the gated rigid-rig "
+                         "correction to all cameras. Recovers global rig "
+                         "drift (mount slip) that per-frame ring ICP "
+                         "cannot observe — ring corrections are relative "
+                         "with camera 0 anchored. Requires --tsdf-leaf or "
+                         "--tsdf-in; corrections also steer the integrate "
+                         "pose, so the volume stays sharp under drift")
+    ap.add_argument("--tsdf-track-cam", type=int, default=0,
+                    help="which camera anchors the frame-to-model track "
+                         "(default 0, the ring-ICP anchor)")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -198,6 +212,12 @@ def main(argv=None):
         raise SystemExit("--tsdf-* integrates raw depth frames; the legacy "
                          "points payload carries none (use --payload "
                          "depth)")
+    if args.tsdf_track and not tsdf_on:
+        raise SystemExit("--tsdf-track corrects poses against the TSDF "
+                         "volume; give it one (--tsdf-leaf or --tsdf-in)")
+    if args.tsdf_track and not (0 <= args.tsdf_track_cam < ncam):
+        raise SystemExit(f"--tsdf-track-cam {args.tsdf_track_cam} out of "
+                         f"range for {ncam} cameras")
     tsdf_shape = tsdf_origin = None
     if tsdf_on:
         try:
@@ -320,7 +340,8 @@ def main(argv=None):
             view_sink = _directory_sink(args.view_dir, keep=300)
 
     acc = None
-    tsdf_state = {"vol": None, "frames": 0}
+    tsdf_state = {"vol": None, "frames": 0,
+                  "track_seen": 0, "track_applied": 0, "track_last": None}
 
     def close_view():
         nonlocal view
@@ -399,8 +420,28 @@ def main(argv=None):
                         with_rgb=(out.color is not None
                                   and cfg.color_height is None))
             color = out.color if vol.rgb is not None else None
+            ext_kf = out.extrinsics
+            if args.tsdf_track and tsdf_state["frames"] > 0:
+                # frame-to-model BEFORE integrate: correct the rig pose
+                # against the scene already fused, then integrate with the
+                # corrected pose (integrating a drifted keyframe uncorrected
+                # would smear the very model tracking relies on). The gated
+                # world-frame correction G left-multiplies the pipeline's
+                # base extrinsics too, so ring ICP keeps refining relative
+                # drift on top of a tracked global pose.
+                rt = tsdf_mod.rig_track(
+                    vol, out.depth, intr, out.extrinsics,
+                    cam=args.tsdf_track_cam, depth_scale=cfg.depth_scale,
+                    t_min=max(cfg.z_min, 0.05), t_max=cfg.z_max)
+                tsdf_state["track_seen"] += 1
+                tsdf_state["track_last"] = rt.track
+                if rt.applied:
+                    tsdf_state["track_applied"] += 1
+                    ext_kf = rt.extrinsics
+                    from ..ops.se3 import mm as _mm
+                    pipe.extrinsics = _mm(rt.G, pipe.extrinsics)
             tsdf_state["vol"] = tsdf_mod.integrate(
-                vol, out.depth, intr, out.extrinsics,
+                vol, out.depth, intr, ext_kf,
                 depth_scale=cfg.depth_scale,
                 max_weight=args.tsdf_max_weight, color=color,
                 cam_mask=out.cam_mask, z_min=cfg.z_min, z_max=cfg.z_max)
@@ -465,8 +506,15 @@ def main(argv=None):
         from ..models.tsdf import save_volume
         save_volume(args.tsdf_out, tsdf_state["vol"])
         occ = int(np.asarray(tsdf_state["vol"].weight > 0).sum())
-        print(f"saved TSDF volume ({tsdf_state['frames']} keyframes, "
-              f"{occ} observed voxels) to {args.tsdf_out}")
+        line = (f"saved TSDF volume ({tsdf_state['frames']} keyframes, "
+                f"{occ} observed voxels) to {args.tsdf_out}")
+        if args.tsdf_track and tsdf_state["track_seen"]:
+            last = tsdf_state["track_last"]
+            line += (f"; tracking applied {tsdf_state['track_applied']}/"
+                     f"{tsdf_state['track_seen']} corrections "
+                     f"(last rms {float(last.rms) * 1e3:.1f} mm, "
+                     f"{int(last.n_matched)} matched)")
+        print(line)
     print(metrics)
     return metrics
 

@@ -90,6 +90,35 @@ print(f"track: {ang_err:.4f} deg / {t_err*1000:.3f} mm, "
       f"matched {int(res.n_matched)}", flush=True)
 assert ang_err < 0.1 and t_err < 2e-3
 
+# rig_track: the volume as an ONLINE extrinsics source (stitch_cli
+# --tsdf-track). Inject a global rig drift (the mount-slip mode ring ICP
+# cannot observe), track the anchor camera frame-to-model, and check the
+# gated world correction both recovers the anchor and lifts rigidly to a
+# second camera.
+angg = np.deg2rad(1.0)
+D = np.eye(4, dtype=np.float32)
+D[:3, :3] = [[np.cos(angg), 0, np.sin(angg)],
+             [0, 1, 0], [-np.sin(angg), 0, np.cos(angg)]]
+D[:3, 3] = [0.02, -0.01, 0.015]
+d_drift = jnp.asarray(
+    (render_depth(intr, D, **SCENE) * 1000.0).astype(np.uint16))
+T_cal1 = np.eye(4, dtype=np.float32)
+T_cal1[:3, 3] = [0.05, 0.0, -0.02]
+rt = M.rig_track(vol, jnp.stack([d_drift, d_drift]), intr.stack([intr]),
+                 jnp.asarray(np.stack([np.eye(4, dtype=np.float32),
+                                       T_cal1])), prior_window=0.3)
+assert rt.applied
+T0r = np.asarray(rt.extrinsics[0])
+rt_terr = float(np.linalg.norm(T0r[:3, 3] - D[:3, 3]))
+rt_aerr = np.rad2deg(np.arccos(np.clip(
+    (np.trace(T0r[:3, :3].T @ D[:3, :3]) - 1) / 2, -1, 1)))
+print(f"rig_track: drift 25.5 mm/1.0 deg -> residual "
+      f"{rt_terr*1000:.3f} mm / {rt_aerr:.4f} deg", flush=True)
+assert rt_terr < 4e-3 and rt_aerr < 0.15
+np.testing.assert_allclose(np.asarray(rt.extrinsics[1]),
+                           np.asarray(rt.G) @ T_cal1, atol=1e-5)
+print("rig_track: rigid lift to camera 1 OK", flush=True)
+
 cloud = M.extract_cloud(vol, capacity=262144)
 print("extract_cloud:", int(jnp.sum(cloud.mask)), "points", flush=True)
 

@@ -89,7 +89,10 @@ _SLOW = {
     ("test_tools.py", "test_stitch_cli_map_checkpoint_resume"),
     ("test_tools.py", "test_stitch_cli_native_color_with_calibration"),
     ("test_tools.py", "test_stitch_cli_temporal_map"),
+    ("test_tools.py", "test_stitch_cli_tsdf_track_recovers_drift"),
     ("test_tools.py", "test_stitch_cli_with_intr_dir"),
+    ("test_tsdf.py", "test_rig_track_beats_ring_icp_on_global_drift"),
+    ("test_tsdf.py", "test_rig_track_lifts_correction_to_rig"),
     ("test_tsdf.py", "test_track_recovers_perturbed_pose"),
     ("test_vfh.py", "test_per_cluster_workflow_and_degenerate"),
 }

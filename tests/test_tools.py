@@ -695,6 +695,109 @@ def test_stitch_cli_tsdf_resume(tmp_path):
     assert w2.max() > w1.max() and w2.sum() > 1.5 * w1.sum()
 
 
+def test_stitch_cli_tsdf_track_recovers_drift(tmp_path, capsys):
+    """--tsdf-track uses the TSDF volume as an online extrinsics source
+    (VERDICT r4 item 6): a loopback rig whose camera truly slides toward
+    the wall while its .cal pose stays frozen — the mount-slip drift ring
+    ICP cannot observe. Without tracking, keyframes integrate the wall at
+    drifted positions and the fused zero-crossing lands away from the true
+    plane; with --tsdf-track every keyframe is corrected frame-to-model
+    first, so the surface stays anchored where the first keyframe put it.
+
+    Robust to ingest trickle slippage by design: the drift ramp SATURATES
+    (monotone, bounded at 6 cm), frame 0 is pulled at connect (before any
+    compile stall), and the recording is long enough that a wrap cannot
+    happen mid-run — so whatever server frames the keyframes land on, the
+    untracked wall moves and the tracked one does not."""
+    import re
+
+    import pytest  # noqa: F401  (slow marker below)
+
+    from test_tsdf import render_depth
+    from pointcloud_stitching_tpu.io.calio import save_intrinsics
+    from pointcloud_stitching_tpu.models.tsdf import load_volume
+    from pointcloud_stitching_tpu.runtime import stitch_cli
+    from pointcloud_stitching_tpu.utils.config import StitchConfig
+    from pointcloud_stitching_tpu.utils.types import Intrinsics
+
+    h, w, f = 72, 96, 75.0
+    intr = Intrinsics.create(fx=f, fy=f, ppx=w / 2.0, ppy=h / 2.0,
+                             width=w, height=h)
+    scene = dict(planes=[((0.0, 0.0, -1.0), -0.9)])  # wall at z = 0.9
+
+    def truth(k):
+        dz = 0.06 * min(max(k - 2, 0), 12) / 12.0    # saturating slide +z
+        T = np.eye(4, dtype=np.float32)
+        T[2, 3] = dz
+        return T
+
+    ramp = np.stack([
+        np.round(render_depth(intr, truth(k), **scene) * 1000.0)
+        .astype(np.uint16) for k in range(15)])
+    frames = np.concatenate([ramp, np.repeat(ramp[-1:], 2000, axis=0)])
+
+    intr_dir = tmp_path / "intr"
+    os.makedirs(intr_dir)
+    save_intrinsics(str(intr_dir / "cam0.intr.json"), intr)
+    cfg = StitchConfig(num_cameras=1, height=h, width=w,
+                       cam_voxel_leaf=0.02, cam_capacity=8192,
+                       out_voxel_leaf=0.02, out_capacity=8192,
+                       icp_enabled=False, z_min=0.05, z_max=2.0)
+    cfgp = tmp_path / "cfg.json"
+    cfg.save(str(cfgp))
+
+    def run(track, out_path, recording):
+        srv = FakeCameraServer(recording).start()
+        try:
+            stitch_cli.main(
+                ["--camera", f"127.0.0.1:{srv.port}", "--config", str(cfgp),
+                 "--intr-dir", str(intr_dir), "--frames", "12",
+                 "--print-every", "0", "--tsdf-leaf", "0.02",
+                 "--tsdf-shape", "64,48,64", "--tsdf-origin=-0.64,-0.48,0.0",
+                 "--tsdf-every", "3", "--tsdf-out", str(out_path)]
+                + (["--tsdf-track"] if track else []))
+        finally:
+            srv.stop()
+
+    # warmup on a STATIC recording: the first run in a process pays
+    # backend init + every jit compile, which stalls the loop long enough
+    # that keyframe 0's snapshot slides past the drift ramp (the trickle
+    # pulls keep advancing the server) — then the model itself anchors at
+    # a drifted wall and the absolute-position metric below reads noise.
+    # With a warm process, keyframe 0 lands in the flat head of the ramp.
+    static = np.repeat(ramp[:1], 200, axis=0)
+    run(True, tmp_path / "warm.npz", static)
+    capsys.readouterr()
+
+    def wall_rms(path):
+        """RMS distance of the fused zero-crossing from the true wall."""
+        vol = load_volume(str(path))
+        t = np.asarray(vol.tsdf)
+        wt = np.asarray(vol.weight)
+        a, b = t[:, :, :-1], t[:, :, 1:]
+        cross = ((a > 0) & (b <= 0)
+                 & (wt[:, :, :-1] > 0.5) & (wt[:, :, 1:] > 0.5))
+        i, j, k = np.nonzero(cross)
+        frac = a[i, j, k] / np.maximum(a[i, j, k] - b[i, j, k], 1e-12)
+        z = float(vol.origin[2]) + (k + frac) * float(vol.leaf)
+        assert len(z) > 50
+        return float(np.sqrt(np.mean((z - 0.9) ** 2)))
+
+    tracked = tmp_path / "tracked.npz"
+    drifted = tmp_path / "drifted.npz"
+    run(True, tracked, frames.copy())
+    out_text = capsys.readouterr().out
+    m = re.search(r"tracking applied (\d+)/(\d+)", out_text)
+    assert m, out_text[-2000:]
+    assert int(m.group(1)) >= 2 and int(m.group(2)) == 3
+    run(False, drifted, frames.copy())
+
+    err_t, err_n = wall_rms(tracked), wall_rms(drifted)
+    assert err_n > 0.006, (err_t, err_n)   # the drift really moved the wall
+    assert err_t < 0.6 * err_n, (err_t, err_n)
+    assert err_t < 0.012, (err_t, err_n)   # anchored near the true wall
+
+
 def test_stitch_cli_drop_plane(tmp_path):
     """--drop-plane removes the dominant plane from every saved output: a
     constant-depth rig (one big wall) saves nearly empty clouds with the

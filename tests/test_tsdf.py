@@ -347,6 +347,136 @@ def test_track_identity_is_stable():
     assert np.abs(T[:3, :3] - np.eye(3)).max() < 5e-3
 
 
+def _global_drift(ang=0.03, t=(0.02, -0.01, 0.015)):
+    """A small world-frame rig drift (yaw + translation)."""
+    D = np.eye(4, dtype=np.float32)
+    D[:3, :3] = [[np.cos(ang), 0, np.sin(ang)],
+                 [0, 1, 0],
+                 [-np.sin(ang), 0, np.cos(ang)]]
+    D[:3, 3] = t
+    return D
+
+
+def _pose_err(T_got, T_true):
+    """(translation m, rotation rad) between two camera→world poses."""
+    T_got, T_true = np.asarray(T_got), np.asarray(T_true)
+    dt = np.linalg.norm(T_got[:3, 3] - T_true[:3, 3])
+    c = (np.trace(T_got[:3, :3].T @ T_true[:3, :3]) - 1.0) / 2.0
+    return dt, np.arccos(np.clip(c, -1.0, 1.0))
+
+
+def test_rig_track_lifts_correction_to_rig():
+    """rig_track recovers an injected GLOBAL drift and applies the same
+    world-frame correction to every camera of the rig (the rigid-rig
+    lift): the anchor's pose error collapses and camera 1 moves by
+    exactly the anchor's correction G."""
+    intr = _intr(w=96, h=72, f=75.0)
+    vol = _plane_vol(n=72, leaf=0.018)
+    d0 = render_depth(intr, I4, **SCENE)
+    vol = M.integrate(vol, jnp.asarray(d0), intr, I4, depth_scale=1.0)
+
+    D = _global_drift()                       # the rig really moved by D
+    # stale estimates: the calibrated poses (cam 1 offset on the mount)
+    T_cal1 = np.eye(4, dtype=np.float32)
+    T_cal1[:3, 3] = [0.03, 0.0, -0.02]
+    ext_est = np.stack([I4, T_cal1])
+    d_live = render_depth(intr, D, **SCENE)   # what the drifted anchor sees
+
+    rt = M.rig_track(vol, jnp.asarray(np.stack([d_live, d_live])),
+                     intr.stack([intr]), jnp.asarray(ext_est),
+                     depth_scale=1.0, prior_window=None,
+                     iterations=10, stride=1, t_min=0.2, t_max=1.4)
+    assert rt.applied
+    dt0_before, dr0_before = _pose_err(ext_est[0], D)
+    dt0, dr0 = _pose_err(rt.extrinsics[0], D @ I4)
+    assert dt0 < 0.2 * dt0_before and dt0 < 5e-3
+    # rotation recovery is bounded by track()'s own accuracy on this
+    # scene (test_track_recovers_perturbed_pose allows 0.5 deg)
+    assert dr0 < 0.5 * dr0_before and dr0 < np.radians(0.6)
+    # the rigid-rig lift: camera 1 moved by the same world correction
+    np.testing.assert_allclose(np.asarray(rt.extrinsics[1]),
+                               np.asarray(rt.G) @ T_cal1,
+                               rtol=0, atol=1e-5)
+
+
+def test_rig_track_gates_reject_unsupported_fit():
+    """An evidence-free volume cannot source a correction: the gates
+    reject it and the rig comes back untouched (G == I)."""
+    intr = _intr()
+    vol = _plane_vol()                        # never integrated: weight 0
+    d = render_depth(intr, I4, **SCENE)
+    ext = np.stack([I4])
+    rt = M.rig_track(vol, jnp.asarray(d[None]), intr.stack([]),
+                     jnp.asarray(ext), depth_scale=1.0,
+                     prior_window=None, t_min=0.2, t_max=1.4)
+    assert not rt.applied
+    np.testing.assert_array_equal(np.asarray(rt.extrinsics),
+                                  ext.astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(rt.G), I4)
+    # unbatched convenience shape: [H, W] depth + [4, 4] extrinsics
+    rt1 = M.rig_track(vol, jnp.asarray(d), intr, jnp.asarray(I4),
+                      depth_scale=1.0, prior_window=None,
+                      t_min=0.2, t_max=1.4)
+    assert rt1.extrinsics.shape == (4, 4) and not rt1.applied
+
+
+def test_rig_track_beats_ring_icp_on_global_drift():
+    """The VERDICT r4 item-6 contract: on a slow-drift rig the
+    frame-to-model residual is at or below ring ICP's. Ring ICP is
+    relative-only (camera 0 anchors the chain), so a GLOBAL rig drift
+    leaves every pairwise residual near zero while the world poses stay
+    wrong by exactly the drift; rig_track observes the drift against
+    the persistent volume and removes it."""
+    from pointcloud_stitching_tpu.models import stitch_step
+    from pointcloud_stitching_tpu.utils.config import StitchConfig
+
+    h, w, f = 72, 96, 75.0
+    intr = _intr(w=w, h=h, f=f)
+    intr_b = intr.stack([intr])
+    T_cal1 = np.eye(4, dtype=np.float32)
+    T_cal1[:3, 3] = [0.03, 0.0, -0.02]
+    ext_cal = np.stack([I4, T_cal1])
+
+    # the model: both cameras fused at their calibrated (true, pre-drift)
+    # poses — the streaming loop's earlier keyframes
+    vol = _plane_vol(n=72, leaf=0.018)
+    for i, T in enumerate(ext_cal):
+        di = render_depth(intr, T, **SCENE)
+        vol = M.integrate(vol, jnp.asarray(di), intr, T, depth_scale=1.0)
+
+    D = _global_drift()                        # then the mount slips by D
+    T_true = np.stack([D @ I4, D @ T_cal1])
+    depths_u16 = np.stack([
+        np.round(render_depth(intr, T, **SCENE) * 1000.0).astype(np.uint16)
+        for T in T_true])
+
+    cfg = StitchConfig(num_cameras=2, height=h, width=w,
+                       cam_voxel_leaf=0.01, cam_capacity=8192,
+                       out_voxel_leaf=0.01, out_capacity=16384,
+                       icp_voxel_leaf=0.02, icp_capacity=4096,
+                       icp_iterations=5, icp_max_corr_dist=0.2,
+                       icp_query_tile=256, icp_ref_tile=512,
+                       z_min=0.05, z_max=2.0)
+    out = stitch_step(cfg, intr_b, jnp.asarray(ext_cal),
+                      jnp.asarray(depths_u16))
+    ring_dt = max(_pose_err(np.asarray(out.extrinsics)[i], T_true[i])[0]
+                  for i in range(2))
+    # ring ICP cannot see the global drift: its world error stays at
+    # (essentially) the injected drift magnitude
+    drift_dt = np.linalg.norm(D[:3, 3])
+    assert ring_dt > 0.8 * drift_dt
+
+    rt = M.rig_track(vol, jnp.asarray(depths_u16), intr_b,
+                     out.extrinsics, depth_scale=0.001,
+                     prior_window=None, iterations=10, stride=1,
+                     t_min=0.2, t_max=1.4)
+    assert rt.applied
+    track_dt = max(_pose_err(np.asarray(rt.extrinsics)[i], T_true[i])[0]
+                   for i in range(2))
+    assert track_dt <= ring_dt            # the item-6 "done" bar
+    assert track_dt < 0.25 * ring_dt      # and decisively so
+
+
 # ---------------------------------------------------------------------------
 # extraction + persistence
 # ---------------------------------------------------------------------------
