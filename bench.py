@@ -95,7 +95,7 @@ def _probe_env(frame, consume, reps: int = 4) -> tuple[float, float]:
     return rtt, h2d
 
 
-def _stream_bench_interleaved(ncam: int, h: int, w: int, rounds: int = 3,
+def _stream_bench_interleaved(ncam: int, h: int, w: int, rounds: int = 4,
                               frames: int = 20) -> dict:
     """End-to-end loopback streaming, both sync modes interleaved.
 
@@ -133,6 +133,14 @@ def _stream_bench_interleaved(ncam: int, h: int, w: int, rounds: int = 3,
         fps_sync, fps_pipe, p50s, rtts, h2ds = [], [], [], [], []
         eff_sync, eff_pipe = [], []
         stages_sync = stages_pipe = None
+        # each window's efficiency divides by probes BRACKETING it (the
+        # window-opening and window-closing probe averaged): the tunnel
+        # can swing 2x within a minute (r5: the same pipelined window read
+        # 0.95 against one closing probe and 0.56 against another while
+        # the probed transfer drifted 52->73 ms), so a one-sided probe
+        # misattributes drift as feed-path (in)efficiency in either
+        # direction; bracketing is unbiased under linear drift
+        rtt_a, h2d_a = _probe_env(frame, consume)
         for _ in range(rounds):
             client.stages.reset()
             client.metrics.reset()
@@ -140,12 +148,9 @@ def _stream_bench_interleaved(ncam: int, h: int, w: int, rounds: int = 3,
             fps_sync.append(s["fps"])
             p50s.append(s["p50_latency_ms"])
             stages_sync = client.stages.summary()  # this window only
-            # per-window efficiency vs a probe taken RIGHT as the window
-            # closes: the tunnel can swing 10x within one bench run
-            # (measured h2d 8->457 ms/frame in adjacent windows), so a
-            # run-global bound misattributes drift as inefficiency
             rtt_s, h2d_s = _probe_env(frame, consume)
-            eff_sync.append(s["fps"] * (h2d_s + rtt_s))
+            eff_sync.append(s["fps"] * ((h2d_a + h2d_s) / 2
+                                        + (rtt_a + rtt_s) / 2))
             client.stages.reset()  # don't blend the two modes' samples
             t0 = time.time()
             client.run(num_frames=frames, overlap=True, sync_every=8)
@@ -153,9 +158,10 @@ def _stream_bench_interleaved(ncam: int, h: int, w: int, rounds: int = 3,
             fps_pipe.append(round(frames / dt, 2))
             stages_pipe = client.stages.summary()
             rtt, h2d = _probe_env(frame, consume)
-            eff_pipe.append((frames / dt) * h2d)
+            eff_pipe.append((frames / dt) * (h2d_s + h2d) / 2)
             rtts.append((rtt_s + rtt) / 2)
             h2ds.append((h2d_s + h2d) / 2)
+            rtt_a, h2d_a = rtt, h2d  # closing probe opens the next window
         rtt, h2d = float(np.median(rtts)), float(np.median(h2ds))
         bound_sync = 1.0 / (h2d + rtt)
         bound_pipe = 1.0 / h2d
@@ -249,13 +255,20 @@ def _tsdf_bench(rtt_here) -> dict:
                                      dtype=np.uint8))
 
     def timeit(step, n):
+        # median of per-iteration (synced) times, NOT total/n: a one-off
+        # stall in the timed loop (r5 measured a ~117 s remote-compile /
+        # claim hiccup land inside it once, turning a 110 ms integrate
+        # into a published 19.6 s/iter) averages into a lie but medians
+        # into an outlier. Each iteration syncs via a scalar pull, so
+        # subtract the measured RTT from the median.
         step()                       # compile + first run
-        t0 = time.time()
-        out = None
+        float(jnp.sum(step()))       # one synced warm iteration
+        ts = []
         for _ in range(n):
-            out = step()
-        float(jnp.sum(out))
-        return (time.time() - t0 - rtt_here()) / n
+            t0 = time.time()
+            float(jnp.sum(step()))
+            ts.append(time.time() - t0)
+        return max(0.0, float(np.median(ts)) - rtt_here())
 
     res = {"grid": "256^3 @ 1 cm", "frame": "4x848x480 u16"}
 

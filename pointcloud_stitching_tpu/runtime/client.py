@@ -451,7 +451,8 @@ class MulticameraClient:
     def run(self, num_frames: Optional[int] = None,
             on_frame: Optional[Callable[[int, StitchOutput], None]] = None,
             overlap: bool = True, sync_every: int = 1,
-            dead_timeout: Optional[float] = 30.0) -> FrameMetrics:
+            dead_timeout: Optional[float] = 30.0,
+            fps: Optional[float] = None) -> FrameMetrics:
         """Streaming loop. With overlap=True (default) the loop is software-
         pipelined one frame deep: while frame N's program executes on the
         device, the host already snapshots and enqueues frame N+1's
@@ -478,6 +479,15 @@ class MulticameraClient:
         ingest threads' reconnect machinery exists exactly to ride out
         outages longer than any fixed timeout.
 
+        fps paces the loop to that many stitch ticks per second (wall
+        clock). The reference's client is implicitly paced by the 30 FPS
+        camera cadence (src/pcs-multicamera-client.cpp blocks on fresh
+        frames — SURVEY.md §3.2); this client snapshots the freshest slot
+        without blocking, so unpaced it free-runs, re-stitching stale
+        frames and burning host CPU the ingest threads need. Late ticks
+        don't bank debt: a stall resets the schedule instead of triggering
+        a catch-up burst.
+
         The client stays started when run() returns, so bounded runs can be
         issued repeatedly on one client (e.g. alternating sync_every modes
         against the same rig); call stop() — or use the client as a context
@@ -486,11 +496,13 @@ class MulticameraClient:
         if num_frames is not None and num_frames <= 0:
             return self.metrics
         if not overlap:
-            return self._run_serial(num_frames, on_frame, dead_timeout)
+            return self._run_serial(num_frames, on_frame, dead_timeout, fps)
         sync_every = max(int(sync_every), 1)
         self._ensure_stage_ring(sync_every + 2)
         n = 0
         last_alive = time.time()
+        tick = (1.0 / fps) if fps else None
+        next_t = time.time() if tick is not None else 0.0
         pending: Optional[tuple[StitchOutput, float, int]] = None
         try:
             while not self._stop.is_set():
@@ -502,6 +514,13 @@ class MulticameraClient:
                 if num_frames is not None and n + in_flight >= num_frames:
                     nxt = None
                 else:
+                    if tick is not None:
+                        # pace the dispatch side only — the drain below must
+                        # never wait on the schedule, or the pipeline stalls
+                        delay = next_t - time.time()
+                        if delay > 0:
+                            self._stop.wait(delay)
+                        next_t = max(next_t + tick, time.time())
                     t0 = time.time()
                     data, mask = self._snapshot(wake=False)
                     live = int(mask.sum())
@@ -512,6 +531,7 @@ class MulticameraClient:
                         dev, d_mask, npix = self._transfer(data, mask)
                         t2 = time.time()
                         out = self._dispatch(dev, d_mask)
+                        self.stages.record("dispatch", time.time() - t2)
                         self._wake_pulls()  # decode rides under sync_wait
                         # latency is measured snapshot-start -> sync (true
                         # end-to-end frame latency, spans the overlap)
@@ -531,6 +551,15 @@ class MulticameraClient:
                                 break
                             self._stop.wait(0.005)
                     self.stages.record("snapshot", t1 - t0)
+                    # under overlap this stage is the device_put ENQUEUE,
+                    # which backpressures while the previous frame's bytes
+                    # still stream through the transport — on the tunnel it
+                    # therefore reads ~the per-frame transfer time, not host
+                    # work (r5 attribution: frozen-ingest and no-client solo
+                    # loops measure the same inflation; a burst of 8 puts
+                    # serializes at ~the single-transfer time each —
+                    # scratch/h2d_ab_r5). That is the bandwidth floor
+                    # surfacing at enqueue, not a stage to optimize.
                     self.stages.record("h2d", t2 - t1)
                 # drain frame N while N+1 runs (its H2D is already enqueued)
                 if pending is not None:
@@ -556,7 +585,12 @@ class MulticameraClient:
             if pending is not None and not self._stop.is_set() and \
                     (num_frames is None or n < num_frames):
                 p_out, p_t0, p_npix = pending
+                t_wait = time.time()
                 self._sync(p_out)
+                # record the drain sync too (this branch serves unbounded/
+                # stopped runs; bounded windows sync their last frame
+                # in-loop) — the stage table should account every sync
+                self.stages.record("sync_wait", time.time() - t_wait)
                 self.metrics.record(time.time() - p_t0, points=p_npix)
                 if on_frame is not None:
                     on_frame(n, p_out)
@@ -568,15 +602,23 @@ class MulticameraClient:
         return self.metrics
 
     def _run_serial(self, num_frames, on_frame,
-                    dead_timeout: Optional[float] = 30.0) -> FrameMetrics:
+                    dead_timeout: Optional[float] = 30.0,
+                    fps: Optional[float] = None) -> FrameMetrics:
         """Serial loop. Only stitched frames count toward num_frames
         (VERDICT r2 weak #5: dead ticks used to advance n, so a bounded run
         during an outage silently returned fewer frames than requested);
         dead_timeout bounds the wait during a total outage instead."""
         n = 0
         last_alive = time.time()
+        tick = (1.0 / fps) if fps else None
+        next_t = time.time() if tick is not None else 0.0
         try:
             while not self._stop.is_set():
+                if tick is not None:
+                    delay = next_t - time.time()
+                    if delay > 0:
+                        self._stop.wait(delay)
+                    next_t = max(next_t + tick, time.time())
                 out = self.step()
                 if out is None:
                     if num_frames is not None and dead_timeout is not None \

@@ -87,6 +87,11 @@ def main(argv=None):
                     help="directory of per-camera depth→color extrinsic "
                          ".cal files (4x4, sorted by name = camera order); "
                          "identity per camera when omitted")
+    ap.add_argument("--fps", type=float, default=None,
+                    help="pace the stitch loop to this many ticks/sec (the "
+                         "reference client is implicitly paced by the 30 FPS "
+                         "camera cadence — SURVEY.md §3.2; unpaced, this "
+                         "loop free-runs on the freshest frames)")
     ap.add_argument("--trace-dir",
                     help="capture a jax.profiler device trace to this dir")
     ap.add_argument("--record-dir",
@@ -481,9 +486,10 @@ def main(argv=None):
             from ..utils.profiling import trace
             with trace(args.trace_dir):
                 metrics = client.run(num_frames=args.frames,
-                                     on_frame=on_frame)
+                                     on_frame=on_frame, fps=args.fps)
         else:
-            metrics = client.run(num_frames=args.frames, on_frame=on_frame)
+            metrics = client.run(num_frames=args.frames, on_frame=on_frame,
+                                 fps=args.fps)
     except KeyboardInterrupt:
         metrics = client.metrics
     finally:

@@ -210,6 +210,14 @@ try:
     print("stages:", {k: round(v * 1000, 2) for k, v in st.items()},
           flush=True)
     assert frames["n"] == 40
+
+    # paced loop (--fps): 8 frames at 10 FPS must take >= 0.7 s wall
+    # (floor is exact: 7 inter-tick gaps) and still deliver every frame
+    t0 = time.time()
+    m = client.run(num_frames=8, overlap=True, fps=10.0)
+    dt_paced = time.time() - t0
+    print(f"paced: 8 frames at fps=10 took {dt_paced:.2f}s", flush=True)
+    assert dt_paced >= 0.7, dt_paced
 finally:
     client.stop()
     for s in servers:

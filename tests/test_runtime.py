@@ -216,6 +216,32 @@ def test_bounded_overlap_run_dispatches_exactly_n():
             s.stop()
 
 
+def test_run_fps_paces_the_loop():
+    """run(fps=K) paces stitch ticks to the wall clock in both loop modes
+    (the reference client is implicitly paced by the 30 FPS camera
+    cadence; unpaced, this loop free-runs on the freshest frames). The
+    floor is exact — N frames at K FPS cannot finish before (N-1)/K — and
+    a generous ceiling guards against pacing that sleeps per-dispatch-AND-
+    per-drain (double pacing) without flaking on a loaded host."""
+    ncam, h, w = 1, 48, 64
+    srv = FakeCameraServer(synthetic_frames(8, h, w, seed=0)).start()
+    try:
+        client = MulticameraClient([("127.0.0.1", srv.port)],
+                                   _make_pipeline(ncam, h, w)).start()
+        assert client.wait_for_first_frames(timeout=10)
+        client.run(num_frames=2)  # compile outside the timed windows
+        for overlap in (True, False):
+            t0 = time.time()
+            m = client.run(num_frames=10, overlap=overlap, fps=50.0)
+            dt = time.time() - t0
+            assert m.total_frames >= 10
+            assert dt >= 9 / 50.0, (overlap, dt)
+            assert dt < 10 * (2 / 50.0) + 1.0, (overlap, dt)
+    finally:
+        client.stop()
+        srv.stop()
+
+
 def test_run_sync_every_counts_all_frames():
     """sync_every=K syncs (and records a latency sample) only every K-th
     frame but still counts and delivers every frame in order; the final

@@ -704,11 +704,16 @@ def test_stitch_cli_tsdf_track_recovers_drift(tmp_path, capsys):
     plane; with --tsdf-track every keyframe is corrected frame-to-model
     first, so the surface stays anchored where the first keyframe put it.
 
-    Robust to ingest trickle slippage by design: the drift ramp SATURATES
-    (monotone, bounded at 6 cm), frame 0 is pulled at connect (before any
-    compile stall), and the recording is long enough that a wrap cannot
-    happen mid-run — so whatever server frames the keyframes land on, the
-    untracked wall moves and the tracked one does not."""
+    Deterministic by wall-clock pacing (an earlier per-pull ramp design
+    was racy: startup trickle pulls slid keyframe 0 past the whole ramp
+    and the tracked run anchored at full drift). Both sides now pace to
+    30 FPS — the server via its fps replay pacing, the client via the
+    product --fps flag — so the server's frame index is ~30·t while the
+    keyframe times are pinned at t ≈ 0 / 2.5 / 5 / 7.5 s. The drift is a
+    STEP at server frame 40 (t ≈ 1.33 s): keyframe 0 lands in the flat
+    head with ≥ 5x startup margin, keyframes 1–3 land past the step with
+    ≥ 45% mutual pacing-slip margin, and the tail is long enough that
+    the looping replay cannot wrap mid-run (~90 s of tail)."""
     import re
 
     import pytest  # noqa: F401  (slow marker below)
@@ -725,16 +730,19 @@ def test_stitch_cli_tsdf_track_recovers_drift(tmp_path, capsys):
                              width=w, height=h)
     scene = dict(planes=[((0.0, 0.0, -1.0), -0.9)])  # wall at z = 0.9
 
-    def truth(k):
-        dz = 0.06 * min(max(k - 2, 0), 12) / 12.0    # saturating slide +z
+    def pose(dz):
         T = np.eye(4, dtype=np.float32)
         T[2, 3] = dz
         return T
 
-    ramp = np.stack([
-        np.round(render_depth(intr, truth(k), **scene) * 1000.0)
-        .astype(np.uint16) for k in range(15)])
-    frames = np.concatenate([ramp, np.repeat(ramp[-1:], 2000, axis=0)])
+    def depth_at(dz):
+        return np.round(render_depth(intr, pose(dz), **scene)
+                        * 1000.0).astype(np.uint16)
+
+    # step drift: flat head (camera at truth), then the mount slips 6 cm
+    # toward the wall in one step and stays there
+    frames = np.concatenate([np.repeat(depth_at(0.0)[None], 40, axis=0),
+                             np.repeat(depth_at(0.06)[None], 2800, axis=0)])
 
     intr_dir = tmp_path / "intr"
     os.makedirs(intr_dir)
@@ -746,27 +754,28 @@ def test_stitch_cli_tsdf_track_recovers_drift(tmp_path, capsys):
     cfgp = tmp_path / "cfg.json"
     cfg.save(str(cfgp))
 
-    def run(track, out_path, recording):
-        srv = FakeCameraServer(recording).start()
+    def run(track, out_path, recording, paced=True):
+        srv = FakeCameraServer(recording,
+                               fps=30.0 if paced else None).start()
+        pacing = (["--fps", "30", "--frames", "250", "--tsdf-every", "75"]
+                  if paced else ["--frames", "8", "--tsdf-every", "2"])
         try:
             stitch_cli.main(
                 ["--camera", f"127.0.0.1:{srv.port}", "--config", str(cfgp),
-                 "--intr-dir", str(intr_dir), "--frames", "12",
+                 "--intr-dir", str(intr_dir),
                  "--print-every", "0", "--tsdf-leaf", "0.02",
                  "--tsdf-shape", "64,48,64", "--tsdf-origin=-0.64,-0.48,0.0",
-                 "--tsdf-every", "3", "--tsdf-out", str(out_path)]
+                 "--tsdf-out", str(out_path)] + pacing
                 + (["--tsdf-track"] if track else []))
         finally:
             srv.stop()
 
-    # warmup on a STATIC recording: the first run in a process pays
-    # backend init + every jit compile, which stalls the loop long enough
-    # that keyframe 0's snapshot slides past the drift ramp (the trickle
-    # pulls keep advancing the server) — then the model itself anchors at
-    # a drifted wall and the absolute-position metric below reads noise.
-    # With a warm process, keyframe 0 lands in the flat head of the ramp.
-    static = np.repeat(ramp[:1], 200, axis=0)
-    run(True, tmp_path / "warm.npz", static)
+    # warmup on a STATIC recording, unpaced: the first run in a process
+    # pays backend init + every jit compile (stitch, integrate, rig_track);
+    # with a warm process the timed runs' keyframe times hold their pinned
+    # wall-clock schedule
+    static = np.repeat(depth_at(0.0)[None], 300, axis=0)
+    run(True, tmp_path / "warm.npz", static, paced=False)
     capsys.readouterr()
 
     def wall_rms(path):
