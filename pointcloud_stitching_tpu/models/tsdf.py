@@ -42,9 +42,11 @@ boundaries don't grow fake walls.
 Measured steady states (one TPU v5e, 256³ volume, 1 cm leaf, 4×848×480
 frames; analytic scene, scratch/pruned_integrate_r5.py r5 — the
 driver's BENCH_r05.json `tsdf` block is the canonical artifact):
-integrate **144 ms** with the default brick-pruned one-hot MXU lookup
-(method='auto' → 'mxu_pallas', kernels/patch_gather.py — BITWISE equal
-to the dense oracle) vs 649 ms dense (the dense op IS one
+integrate **144 ms** on this scene with the default brick-pruned
+one-hot MXU lookup (method='auto' → 'mxu_pallas',
+kernels/patch_gather.py — BITWISE equal to the dense oracle; pruning
+is scene-dependent — the driver bench's smooth synthetic scene reads
+~84 ms) vs 649 ms dense (the dense op IS one
 16.7M-element random depth gather at the chip's ~115–133 M elem/s
 gather issue rate; everything else in the update measures ~5 ms);
 colored integrate 364 ms (one extra packed one-hot plane) vs 874
