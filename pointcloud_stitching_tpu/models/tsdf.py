@@ -368,13 +368,14 @@ def _integrate_jit(vol: TSDFVolume, depth, intr, extrinsics, depth_scale,
 #               all, scattered back at brick granularity.
 #
 # Classification bounds are conservative by construction: two-level
-# 3×3-neighborhood-folded depth tiles (16-px fine / 64-px coarse, plus
+# 3×3-neighborhood-folded depth tiles (32-px fine / 64-px coarse, plus
 # a global fallback for the widest footprints — see _tile_stats),
 # corner-projected footprint boxes (perspective images of convex boxes
 # are convex; a margin absorbs Brown–Conrady bending and f32 rounding), and
 # a 1e-4 m slack on every trunc comparison — anything uncertain lands in
 # REFINE, which is exact. If a camera's REFINE/FREE_BORDER selection
-# overflows its static capacity (NB//8 and NB//4 bricks), a lax.cond
+# overflows its static capacity (tiered NB//8..NB//2 refine, NB//8
+# border bricks), a lax.cond
 # falls back to the dense map FOR THAT CAMERA, so results never depend
 # on the capacities. Delta accumulation is per-frame across cameras
 # (like the dense path), so max_weight clamp semantics are identical.
@@ -480,7 +481,7 @@ def _classify_bricks(depth_m_c, intr_c, inv_ext_c, shape, origin, leaf,
     nb = (X // _BRICK) * (Y // _BRICK) * (Z // _BRICK)
 
     # two-level neighborhood-folded depth stats (see _tile_stats): the
-    # fine level serves the bulk of the volume with a 48-px window, the
+    # fine level serves the bulk of the volume with a 96-px window, the
     # coarse level catches near-camera bricks, the global scalars catch
     # anything wider still
     fine = _tile_stats(depth_m_c, z_min, z_max, _TILE_F)
@@ -785,11 +786,24 @@ def _onehot_gather(img, v0, u0, iv, iu, use_pallas: bool,
         sel = iuc[:, :, None] == jnp.arange(pu, dtype=jnp.int32)
         return jnp.sum(jnp.where(sel, rows, 0.0), axis=-1)  # [C, 512]
 
-    c = math.gcd(_MXU_CHUNK, nb)
+    # full chunks via sentinel padding, NOT gcd(chunk, nb): the pruned
+    # tier capacities (nb//3, nb//2) and any-shape brick counts are
+    # rarely chunk-divisible, and a gcd chunk degenerates to 1-2 rows —
+    # thousands of serialized map steps (r5 review). Pad rows gather
+    # window (0,0) (in bounds, don't-care) and are sliced off; per-row
+    # values are chunk-size independent, so this stays bitwise.
+    c = min(_MXU_CHUNK, nb)
+    k = -(-nb // c) * c
+    if k != nb:
+        pad = k - nb
+        v0 = jnp.concatenate([v0, jnp.zeros((pad,), v0.dtype)])
+        u0 = jnp.concatenate([u0, jnp.zeros((pad,), u0.dtype)])
+        iv = jnp.concatenate([iv, jnp.zeros((pad, _BVOX), iv.dtype)])
+        iu = jnp.concatenate([iu, jnp.zeros((pad, _BVOX), iu.dtype)])
     d = jax.lax.map(chunk_fn,
                     (v0.reshape(-1, c), u0.reshape(-1, c),
                      iv.reshape(-1, c, _BVOX), iu.reshape(-1, c, _BVOX)))
-    return d.reshape(nb, _BVOX)
+    return d.reshape(k, _BVOX)[:nb]
 
 
 @partial(jax.jit, donate_argnames=("vol",),

@@ -128,8 +128,18 @@ def make_sharded_integrate(mesh: Mesh, axis: str = "z",
            color=None, cam_mask=None, z_min: float = 0.0,
            z_max: float = float("inf")) -> TSDFVolume:
         if depth.ndim == 2:
+            # mirror integrate()'s single-camera promotion IN FULL (intr
+            # and color too): local_fn hands these straight to integrate
+            # with depth already 3-D, so its own promotion won't fire
             depth = depth[None]
-            extrinsics = jnp.asarray(extrinsics)[None]
+            extrinsics = jnp.asarray(extrinsics)
+            if extrinsics.ndim == 2:
+                extrinsics = extrinsics[None]
+            if color is not None and color.ndim == 3:
+                color = color[None]
+            if jnp.asarray(intr.fx).ndim == 0:
+                intr = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a)[None], intr)
         if cam_mask is None:
             cam_mask = jnp.ones((depth.shape[0],), bool)
         key = (vol.rgb is not None, color is not None)
@@ -237,7 +247,18 @@ def make_sharded_raycast(mesh: Mesh, axis: str = "z",
         leaf_f = float(np.asarray(vol.leaf))
         halo_p = halo if halo is not None else (
             int(np.ceil(1.5 * step_f / leaf_f)) + 2)
-        halo_p = min(halo_p, vol.shape[2] // n)
+        if halo_p > vol.shape[2] // n:
+            # a clamped halo would SILENTLY drop crossings near slab
+            # boundaries (neither neighbour sees both march samples);
+            # refuse instead — every remedy changes results or shapes,
+            # so it must be the caller's explicit choice
+            raise ValueError(
+                f"sharded raycast needs a {halo_p}-plane halo "
+                f"(step {step_f:.4g} m at leaf {leaf_f:.4g} m) but the "
+                f"Z slab is only {vol.shape[2] // n} planes deep on this "
+                f"{n}-device mesh — use a smaller step, fewer devices / "
+                f"a deeper grid, or pass halo= explicitly (risking "
+                f"missed crossings at slab boundaries)")
         key = (vol.rgb is not None, step_f, halo_p)
         if key not in cache:
             cache[key] = build(*key)

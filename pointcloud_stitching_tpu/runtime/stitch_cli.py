@@ -411,6 +411,20 @@ def main(argv=None):
                             f"--tsdf-in {args.tsdf_in} carries color but "
                             "this rig streams none — pass --color or "
                             "start a fresh volume")
+                    if (vol.rgb is not None) and cfg.color_height \
+                            is not None:
+                        # same refusal as the fresh-volume path below: a
+                        # DEPTH16_COLOR_NATIVE stream's color has its own
+                        # geometry, and integrate's flat depth-grid
+                        # indices would silently fuse the WRONG pixels'
+                        # color (in-bounds, no error)
+                        raise SystemExit(
+                            f"--tsdf-in {args.tsdf_in} carries color but "
+                            "this rig streams non-depth-aligned color "
+                            "(config sets color_height/color_width); "
+                            "TSDF color needs per-depth-pixel alignment "
+                            "— start a fresh volume or use an aligned "
+                            "color stream")
                 else:
                     leaf = args.tsdf_leaf
                     org = tsdf_origin if tsdf_origin is not None else (
@@ -426,7 +440,15 @@ def main(argv=None):
                                   and cfg.color_height is None))
             color = out.color if vol.rgb is not None else None
             ext_kf = out.extrinsics
-            if args.tsdf_track and tsdf_state["frames"] > 0:
+            # a dead anchor's slot keeps serving its last frame: integrate
+            # drops it via cam_mask, but tracking a STALE frame against
+            # the evolving volume would keep "correcting" the whole rig
+            # toward an outdated pose (it matches old fused geometry
+            # well, so the quality gates alone can't catch it)
+            anchor_live = bool(
+                np.asarray(out.cam_mask)[args.tsdf_track_cam])
+            if args.tsdf_track and tsdf_state["frames"] > 0 \
+                    and anchor_live:
                 # frame-to-model BEFORE integrate: correct the rig pose
                 # against the scene already fused, then integrate with the
                 # corrected pose (integrating a drifted keyframe uncorrected

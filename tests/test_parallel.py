@@ -300,6 +300,61 @@ def _tsdf_scene(pow2=True):
     return depth, intr_b, ext, leaf, origin
 
 
+def test_sharded_tsdf_integrate_single_camera_promotion():
+    """The 2-D depth convenience path must promote intr/color/extrinsics
+    exactly like the unsharded integrate (r5 review: the wrapper expanded
+    only depth, so integrate() skipped its own promotion and _cam_slice
+    crashed on the 0-d intrinsics), and stay bitwise with it."""
+    from pointcloud_stitching_tpu.models import tsdf as M
+    from pointcloud_stitching_tpu.parallel import (make_sharded_integrate,
+                                                   shard_volume)
+    from test_tsdf import render_depth
+
+    h, w = 48, 64
+    intr = Intrinsics.create(fx=50.0, fy=50.0, ppx=w / 2.0, ppy=h / 2.0,
+                             width=w, height=h)
+    d = render_depth(intr, np.eye(4, dtype=np.float32),
+                     spheres=[((0.0, 0.1, 1.0), 0.3)])
+    rng = np.random.default_rng(0)
+    color = jnp.asarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    kw = dict(depth_scale=1.0, z_min=0.2, z_max=5.0, color=color)
+    shape, leaf, origin = (32, 32, 64), 0.03125, (-0.5, -0.5, 0.25)
+    ext = jnp.eye(4, dtype=jnp.float32)          # single [4, 4]
+    ref = M.integrate(
+        M.TSDFVolume.create(shape, leaf, origin=origin, with_rgb=True),
+        jnp.asarray(d), intr, ext, method="dense", **kw)
+    mesh = make_mesh(axis="z")
+    vs = shard_volume(
+        M.TSDFVolume.create(shape, leaf, origin=origin, with_rgb=True),
+        mesh, axis="z")
+    vs = make_sharded_integrate(mesh, axis="z", method="dense")(
+        vs, jnp.asarray(d), intr, ext, **kw)     # 2-D depth, 0-d intr
+    assert np.array_equal(np.asarray(vs.tsdf), np.asarray(ref.tsdf))
+    assert np.array_equal(np.asarray(vs.weight), np.asarray(ref.weight))
+    assert np.array_equal(np.asarray(vs.rgb), np.asarray(ref.rgb))
+
+
+def test_sharded_raycast_refuses_undersized_halo():
+    """A halo wider than the slab would silently drop crossings near slab
+    boundaries; the builder must refuse with actionable guidance instead
+    of clamping (r5 review)."""
+    import pytest
+
+    from pointcloud_stitching_tpu.models import tsdf as M
+    from pointcloud_stitching_tpu.parallel import (make_sharded_raycast,
+                                                   shard_volume)
+
+    mesh = make_mesh(axis="z")                   # 8 devices -> 4-plane slabs
+    vs = shard_volume(
+        M.TSDFVolume.create((16, 16, 32), 0.03125, origin=(0.0, 0.0, 0.0)),
+        mesh, axis="z")
+    i0 = Intrinsics.create(fx=50.0, fy=50.0, ppx=8.0, ppy=8.0,
+                           width=16, height=16)
+    fn = make_sharded_raycast(mesh, axis="z", step=0.5)   # needs 26 planes
+    with pytest.raises(ValueError, match="halo"):
+        fn(vs, i0, jnp.eye(4, dtype=jnp.float32))
+
+
 def test_sharded_tsdf_integrate_matches_single_device():
     """Z-slab sharded integrate == unsharded dense, BITWISE (two frames,
     so prior weights are nonzero on the second)."""
