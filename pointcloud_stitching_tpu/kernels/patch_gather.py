@@ -63,27 +63,9 @@ SPAN_V = _WV - 8
 SPAN_U = _WU - 128
 
 
-def _bf16_limbs(v, n: int):
-    """Exact bf16 limb decomposition via Veltkamp splits.
-
-    NOT an f32->bf16->f32 cast chain — --xla_allow_excess_precision
-    (on in this toolchain) can fold that to a no-op and zero the
-    residual limbs (see kernels/segment_reduce.py, which this mirrors).
-    n=3 reconstructs any f32 exactly (8+8+8 >= 24 significand bits);
-    n=2 is exact only for values with <= 16 significant bits (raw u16
-    depth images).
-    """
-    split = jnp.float32(65537.0)            # 2^16 + 1
-    c = v * split
-    hi_f = c - (c - v)
-    hi = hi_f.astype(jnp.bfloat16)
-    r1 = v - hi_f
-    if n == 2:
-        return [hi, r1.astype(jnp.bfloat16)]
-    c2 = r1 * split
-    mid_f = c2 - (c2 - r1)
-    mid = mid_f.astype(jnp.bfloat16)
-    return [hi, mid, (r1 - mid_f).astype(jnp.bfloat16)]
+# exact bf16 limb decomposition: the shared Veltkamp-split helper
+# (kernels/limbs.py — the one copy of the cast-pair-hazard workaround)
+from .limbs import bf16_limbs as _bf16_limbs
 
 
 def _kernel(v0_ref, u0_ref, iv_ref, iu_ref, img_hbm, out_ref,

@@ -51,27 +51,11 @@ def _accumulate_onehot_dot(pT, v, onehot, precision):
     dims = (((1,), (0,)), ((), ()))
     if precision in ("bf16x3", "bf16x2"):
         oh = onehot.astype(jnp.bfloat16)
-        # Limb extraction must NOT be an f32->bf16->f32 cast pair: under
-        # --xla_allow_excess_precision (on in the TPU toolchain) XLA may fold
-        # that pair to a no-op, zeroing every residual limb and silently
-        # degrading the sum to bf16 (bit us in interpret mode; compiled
-        # Mosaic kept the casts). lax.reduce_precision would be the semantic
-        # fix but has no Mosaic lowering, so use a Veltkamp split: with
-        # s = 2^16+1, c - (c - v) keeps the top 8 significant bits — exactly
-        # bf16's significand — via plain mul/add/sub that no value-safe
-        # compiler can elide. The subsequent bf16 casts are exact (the limbs
-        # are already 8-bit-significand values), so folding them is harmless.
-        split = jnp.float32(65537.0)            # 2^16 + 1
-        c = v * split
-        hi_f = c - (c - v)
-        hi = hi_f.astype(jnp.bfloat16)
-        r1 = v - hi_f
-        c2 = r1 * split
-        mid_f = c2 - (c2 - r1)
-        mid = mid_f.astype(jnp.bfloat16)
-        limbs = [hi, mid]
-        if precision == "bf16x3":
-            limbs.append((r1 - mid_f).astype(jnp.bfloat16))
+        # the shared Veltkamp-split helper (kernels/limbs.py) — NOT an
+        # f32->bf16->f32 cast chain; see its docstring for the
+        # --xla_allow_excess_precision cast-pair-folding hazard
+        from .limbs import bf16_limbs
+        limbs = bf16_limbs(v, 3 if precision == "bf16x3" else 2)
         # one dot with the limbs stacked as extra rows, then add the row
         # groups: per-dot issue overhead, not MXU throughput, dominates at
         # these shapes — stacking measured 6.03 -> 4.78 ms on the 3.26M

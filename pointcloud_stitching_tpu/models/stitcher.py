@@ -305,6 +305,14 @@ def stitch_step(cfg: StitchConfig, intr: Intrinsics, extrinsics: jax.Array,
     """
     ncam = cfg.num_cameras
     assert depths.shape[0] == ncam
+    if colors is not None and cfg.with_normals:
+        # both ride the cloud's rgb channel (the same exclusivity
+        # StitchConfig enforces for with_color): the normals pass below
+        # would silently OVERWRITE the attached color, wasting the color
+        # work and handing consumers normals labeled as rgb
+        raise ValueError("stitch_step got a colors array but "
+                         "cfg.with_normals is set — normals and color "
+                         "both ride the rgb channel; drop one")
 
     depths = decimate_depth(depths, cfg.decimation)
     if cfg.decimation > 1:

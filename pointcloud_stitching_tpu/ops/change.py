@@ -33,13 +33,14 @@ import numpy as np
 from ..utils.types import PointCloud
 from .voxel import _SENTINEL
 
-# the voxel-map bias/bounds (models/voxel_map.py): absolute grid covering
-# ±163 m in x and ±327 m in y/z at a 1 cm leaf. Plain numpy, NOT jnp:
-# module-level jnp arrays initialise the XLA backend at import time, which
-# breaks late jax.distributed.initialize in the multihost children (the
-# same rule voxel_map.py and surface.py follow).
-_BIAS = np.array([16384, 32768, 32768], np.int32)
-_BOUND = np.array([32766, 65534, 65534], np.int32)
+# the voxel-map bias/bounds: imported from the authoritative definition
+# (models/voxel_map.py — an absolute grid covering ±163 m in x and
+# ±327 m in y/z at a 1 cm leaf) so detect_changes_map's query keys can
+# never drift from the map's own grid. Lazy import (inside the deferred
+# function body below would also work, but these are plain numpy and the
+# module keeps voxel_map's no-jnp-at-import rule, so a top import is
+# safe — voxel_map.py itself imports no jnp at module level).
+from ..models.voxel_map import _BIAS, _BOUND  # noqa: E402
 
 
 def _abs_keys(xyz: jax.Array, mask: jax.Array, leaf) -> tuple[jax.Array,

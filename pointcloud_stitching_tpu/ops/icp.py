@@ -38,6 +38,36 @@ def _nn_batched_xla(query, ref, ref_mask, query_tile, ref_tile):
     )(query, ref, ref_mask)
 
 
+def _make_nn_batched(dst: PointCloud, query_tile: int, ref_tile: int,
+                     nn_impl: str, nn_interpret: bool):
+    """Resolve the batched-NN backend once per ICP call: nn(p)->(idx, d2).
+
+    One definition for both batched ICP variants (they used to carry
+    diverging copies). On the Pallas path the reference cloud is
+    loop-invariant, so it is padded/transposed ONCE here; the ref-block
+    width mirrors ops/nn.py's measured size switch — short sweeps want
+    2048 (drift stage 7.75 -> 6.09 ms) but long sweeps want 1024 (the
+    8 MB distance intermediate stalls double buffering: 121 vs 169 ms at
+    131k refs). query_tile is honored by the kernel; ref_tile is an XLA
+    tiling knob with no Pallas meaning — the kernel's ref-block width is
+    the measured switch, deliberately NOT ref_tile.
+    """
+    impl = nn_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from ..kernels.nn_pallas import (nn_batched_prepared,
+                                         prepare_ref_batched)
+        rb = 2048 if dst.xyz.shape[1] <= 8192 else 1024
+        rT, rsq = prepare_ref_batched(dst.xyz, dst.mask, ref_block=rb)
+        return lambda p: nn_batched_prepared(p, rT, rsq, ref_block=rb,
+                                             num_ref=dst.xyz.shape[1],
+                                             query_tile=query_tile,
+                                             interpret=nn_interpret)
+    return lambda p: _nn_batched_xla(p, dst.xyz, dst.mask,
+                                     query_tile, ref_tile)
+
+
 def _trim_weights(w, d2, trim_fraction):
     """Zero the worst trim_fraction of currently-accepted correspondences.
 
@@ -86,27 +116,7 @@ def icp_batched(src: PointCloud, dst: PointCloud,
         init_T = init_T + zero_b[:, None, None]
     max_d2 = jnp.asarray(max_corr_dist, jnp.float32) ** 2
 
-    from .kabsch import kabsch as _kabsch
-
-    impl = nn_impl
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
-        # the reference cloud is loop-invariant: pad/transpose it once.
-        # Ref-block width mirrors ops/nn.py's measured size switch: short
-        # sweeps want 2048 (drift stage 7.75 -> 6.09 ms) but long sweeps
-        # want 1024 (the 8 MB distance intermediate stalls double buffering:
-        # 121 vs 169 ms at 131k refs)
-        from ..kernels.nn_pallas import (nn_batched_prepared,
-                                         prepare_ref_batched)
-        rb = 2048 if dst.xyz.shape[1] <= 8192 else 1024
-        rT, rsq = prepare_ref_batched(dst.xyz, dst.mask, ref_block=rb)
-        nn = lambda p: nn_batched_prepared(p, rT, rsq, ref_block=rb,
-                                           num_ref=dst.xyz.shape[1],
-                                           interpret=nn_interpret)
-    else:
-        nn = lambda p: _nn_batched_xla(p, dst.xyz, dst.mask,
-                                       query_tile, ref_tile)
+    nn = _make_nn_batched(dst, query_tile, ref_tile, nn_impl, nn_interpret)
 
     def body(_, carry):
         T, _, _ = carry
@@ -115,7 +125,7 @@ def icp_batched(src: PointCloud, dst: PointCloud,
         w = (src.mask & (d2 <= max_d2)).astype(jnp.float32)
         w = _trim_weights(w, d2, trim_fraction)
         matched = jnp.take_along_axis(dst.xyz, idx[..., None], axis=1)
-        dT = jax.vmap(_kabsch)(p, matched, w)
+        dT = jax.vmap(kabsch)(p, matched, w)
         n_in = jnp.sum(w, axis=-1)
         err = jnp.sum(w * d2, axis=-1) / jnp.maximum(n_in, 1.0)
         return (mm(dT, T), err, n_in)
@@ -165,21 +175,7 @@ def icp_point_to_plane_batched(src: PointCloud, dst: PointCloud,
         init_T = init_T + zero_b[:, None, None]
     max_d2 = jnp.asarray(max_corr_dist, jnp.float32) ** 2
 
-    impl = nn_impl
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
-        from ..kernels.nn_pallas import (nn_batched_prepared,
-                                         prepare_ref_batched)
-        # size-dependent ref-block width — see icp_batched above
-        rb = 2048 if dst.xyz.shape[1] <= 8192 else 1024
-        rT, rsq = prepare_ref_batched(dst.xyz, dst.mask, ref_block=rb)
-        nn = lambda p: nn_batched_prepared(p, rT, rsq, ref_block=rb,
-                                           num_ref=dst.xyz.shape[1],
-                                           interpret=nn_interpret)
-    else:
-        nn = lambda p: _nn_batched_xla(p, dst.xyz, dst.mask,
-                                       query_tile, ref_tile)
+    nn = _make_nn_batched(dst, query_tile, ref_tile, nn_impl, nn_interpret)
 
     def body(_, carry):
         T, _, _ = carry

@@ -35,9 +35,13 @@ from ..utils.types import PointCloud
 def _radius_moments(xyz, mask, radius, sg, query_tile, ref_tile):
     """Kernel-weighted neighborhood moments per point, blockwise.
 
-    Returns (sum_w [N], sum_wp [N,3], sum_wppT [N,3,3], count [N]) over
-    valid points within ``radius`` (self included), Gaussian weights
-    exp(-d2/sg). The shared engine of mls_smooth and estimate_normals.
+    Returns (sum_w [N], sum_w·(p-q) [N,3], sum_w·(p-q)(p-q)^T [N,3,3],
+    count [N]) over valid points p within ``radius`` of each query q
+    (self included), Gaussian weights exp(-d2/sg) — QUERY-CENTERED
+    displacements, so the downstream covariance never cancels origin-
+    scale moments (see ref_step). The shared engine of mls_smooth,
+    estimate_normals and estimate_curvature:
+    mu = q + swd/sw, cov = swddt/sw - (swd/sw)(swd/sw)^T.
     """
     n = xyz.shape[0]
     r2 = jnp.square(jnp.asarray(radius, jnp.float32))
@@ -51,7 +55,7 @@ def _radius_moments(xyz, mask, radius, sg, query_tile, ref_tile):
         q = jax.lax.dynamic_slice(qxyz, (qi * qt, 0), (qt, 3))
 
         def ref_step(ri, acc):
-            sw, swp, swppt, cnt = acc
+            sw, swd, swddt, cnt = acc
             r = jax.lax.dynamic_slice(rxyz, (ri * rt, 0), (rt, 3))
             rm = jax.lax.dynamic_slice(rmask, (ri * rt,), (rt,))
             d = q[:, None, :] - r[None, :, :]            # [qt, rt, 3]
@@ -60,13 +64,20 @@ def _radius_moments(xyz, mask, radius, sg, query_tile, ref_tile):
             w = jnp.where(inside, jnp.exp(-d2 / jnp.maximum(sg, 1e-12)),
                           0.0)                           # [qt, rt]
             sw = sw + jnp.sum(w, axis=1)
-            swp = swp + jnp.matmul(w, r, precision="highest")
-            # sum(w p p^T): contract the block axis (HIGHEST — the
-            # covariance decides each plane normal; CLAUDE.md bf16 rule)
-            swppt = swppt + jnp.einsum("qr,ri,rj->qij", w, r, r,
+            # QUERY-CENTERED moments (r - q = -d), not origin moments:
+            # E[pp^T] - mu mu^T around the origin is ~|p|^2-scale sums
+            # whose subtraction cancels catastrophically for scenes tens
+            # of meters out (f32 ulp at 1e4 is ~1e-3 — the size of a
+            # whole cm-scale covariance). Displacements are radius-sized,
+            # so every accumulated square is computed at full relative
+            # precision. (HIGHEST — the covariance decides each plane
+            # normal; CLAUDE.md bf16 rule.)
+            swd = swd - jnp.einsum("qr,qri->qi", w, d,
+                                   precision="highest")
+            swddt = swddt + jnp.einsum("qr,qri,qrj->qij", w, d, d,
                                        precision="highest")
             cnt = cnt + jnp.sum(inside, axis=1).astype(jnp.int32)
-            return sw, swp, swppt, cnt
+            return sw, swd, swddt, cnt
 
         return jax.lax.fori_loop(
             0, nr, ref_step,
@@ -74,16 +85,21 @@ def _radius_moments(xyz, mask, radius, sg, query_tile, ref_tile):
              jnp.zeros((qt, 3, 3), jnp.float32),
              jnp.zeros((qt,), jnp.int32)))
 
-    sw, swp, swppt, cnt = jax.lax.map(query_block, jnp.arange(nq))
-    return (sw.reshape(-1)[:n], swp.reshape(-1, 3)[:n],
-            swppt.reshape(-1, 3, 3)[:n], cnt.reshape(-1)[:n])
+    sw, swd, swddt, cnt = jax.lax.map(query_block, jnp.arange(nq))
+    return (sw.reshape(-1)[:n], swd.reshape(-1, 3)[:n],
+            swddt.reshape(-1, 3, 3)[:n], cnt.reshape(-1)[:n])
 
 
-def _local_planes(xyz, sw, swp, swppt):
-    """Per-point weighted centroid + plane normal from moments."""
+def _local_planes(xyz, sw, swd, swddt):
+    """Per-point weighted centroid + plane normal from centered moments.
+
+    The mean displacement is radius-bounded, so the shifted-moment
+    covariance below subtracts small like-sized quantities — no
+    origin-scale cancellation."""
     denom = jnp.maximum(sw, 1e-12)[:, None]
-    mu = swp / denom
-    cov = swppt / denom[..., None] - mu[:, :, None] * mu[:, None, :]
+    md = swd / denom                       # mean displacement from query
+    cov = swddt / denom[..., None] - md[:, :, None] * md[:, None, :]
+    mu = xyz + md
     # guard eigh against the all-zero covariance of unsupported points
     eye = jnp.eye(3, dtype=jnp.float32)
     _, vecs = jnp.linalg.eigh(cov + 1e-12 * eye)
@@ -111,9 +127,9 @@ def estimate_normals(pc: PointCloud, radius, viewpoint=(0.0, 0.0, 0.0),
     xyz, mask = pc.xyz, pc.mask
     r2 = jnp.square(jnp.asarray(radius, jnp.float32))
     sg = r2 if sqr_gauss is None else jnp.asarray(sqr_gauss, jnp.float32)
-    sw, swp, swppt, cnt = _radius_moments(xyz, mask, radius, sg,
+    sw, swd, swddt, cnt = _radius_moments(xyz, mask, radius, sg,
                                           query_tile, ref_tile)
-    _, nrm = _local_planes(xyz, sw, swp, swppt)
+    _, nrm = _local_planes(xyz, sw, swd, swddt)
     vp = jnp.asarray(viewpoint, jnp.float32)
     flip = jnp.sum(nrm * (vp[None, :] - xyz), axis=-1) < 0
     nrm = jnp.where(flip[:, None], -nrm, nrm)
@@ -140,11 +156,11 @@ def estimate_curvature(pc: PointCloud, radius, sqr_gauss=None,
     xyz, mask = pc.xyz, pc.mask
     r2 = jnp.square(jnp.asarray(radius, jnp.float32))
     sg = r2 if sqr_gauss is None else jnp.asarray(sqr_gauss, jnp.float32)
-    sw, swp, swppt, cnt = _radius_moments(xyz, mask, radius, sg,
+    sw, swd, swddt, cnt = _radius_moments(xyz, mask, radius, sg,
                                           query_tile, ref_tile)
     denom = jnp.maximum(sw, 1e-12)[:, None]
-    mu = swp / denom
-    cov = swppt / denom[..., None] - mu[:, :, None] * mu[:, None, :]
+    md = swd / denom                       # centered moments: see engine
+    cov = swddt / denom[..., None] - md[:, :, None] * md[:, None, :]
     vals = jnp.linalg.eigvalsh(cov + 1e-12 * jnp.eye(3, dtype=jnp.float32))
     vals = jnp.maximum(vals, 0.0)                  # clamp fp cancellation
     curv = vals[..., 0] / jnp.maximum(jnp.sum(vals, axis=-1), 1e-12)
@@ -187,9 +203,9 @@ def mls_smooth(pc: PointCloud, radius, sqr_gauss=None,
     xyz, mask = pc.xyz, pc.mask
     r2 = jnp.square(jnp.asarray(radius, jnp.float32))
     sg = r2 if sqr_gauss is None else jnp.asarray(sqr_gauss, jnp.float32)
-    sw, swp, swppt, cnt = _radius_moments(xyz, mask, radius, sg,
+    sw, swd, swddt, cnt = _radius_moments(xyz, mask, radius, sg,
                                           query_tile, ref_tile)
-    mu, nrm = _local_planes(xyz, sw, swp, swppt)
+    mu, nrm = _local_planes(xyz, sw, swd, swddt)
     off = jnp.sum((xyz - mu) * nrm, axis=-1, keepdims=True)
     projected = xyz - off * nrm
 

@@ -118,16 +118,22 @@ def ndt_build(dst: PointCloud, cell_size, min_points: int = 6,
     w = svalid.astype(jnp.float32)
     cnt = jax.ops.segment_sum(w, slot, num_segments=n)
     sx = jax.ops.segment_sum(sxyz * w[:, None], slot, num_segments=n)
-    sxx = jax.ops.segment_sum(
-        (sxyz[:, :, None] * sxyz[:, None, :]) * w[:, None, None],
-        slot, num_segments=n)
     # cell slots beyond the last real cell keep cnt 0 -> invalid below;
     # the dump slot n-1 may mix sentinel points in, but it is only valid
     # if it is ALSO a real cell's slot, in which case the sentinel points
     # contributed weight 0
     denom = jnp.maximum(cnt, 1.0)
     mu = sx / denom[:, None]
-    cov = sxx / denom[:, None, None] - mu[:, :, None] * mu[:, None, :]
+    # covariance from CENTERED residuals (second pass, one mu gather) —
+    # NOT E[pp^T] - mu mu^T: origin moments of a scene tens of meters out
+    # are ~1e4 with f32 ulp ~1e-3, and the subtraction cancels to noise
+    # against ~1e-2-scale cell covariances (same fix as cluster.py's
+    # oriented_bboxes). Residuals are cell-sized, so their squares are
+    # computed at full relative precision.
+    d = (sxyz - mu[slot]) * w[:, None]
+    sdd = jax.ops.segment_sum(d[:, :, None] * d[:, None, :],
+                              slot, num_segments=n)
+    cov = sdd / denom[:, None, None]
 
     # Magnusson regularisation: floor small eigenvalues relative to the
     # largest, reconstruct, invert — all batched

@@ -244,6 +244,13 @@ def _reduce_xla(flags, vals, capacity: int):
 
 def _reduce_pallas(flags, vals, capacity: int, interpret: bool,
                    precision: str = "bf16x3"):
+    # no VMEM guard needed here: the resident (ch_pad, cap+span) out
+    # block measures fine far past the nominal 16 MB/core — the colored
+    # flagship's 16.9 MB block ships in every bench, and an r5 probe
+    # compiled+ran 64 MB blocks on the v5e (scratch/vmem_probe_r5.py).
+    # (_reduce_pallas_batched's 12 MB switch predates that measurement;
+    # it stays because its lax.map fallback is also correct and the
+    # benched cam passes sit under it either way.)
     from ..kernels.segment_reduce import segment_sum_from_flags
     ch = vals.shape[-1]
     if ch % 8:  # pad channels to a full sublane tile

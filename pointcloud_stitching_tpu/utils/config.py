@@ -147,6 +147,15 @@ class StitchConfig:
                 raise ValueError(f"{name} must be positive")
         if self.decimation < 1:
             raise ValueError("decimation must be >= 1")
+        if self.decimation > 1 and (self.height % self.decimation
+                                    or self.width % self.decimation):
+            # decimate_depth's ::d slice yields ceil(H/d) rows but the
+            # stitcher's organized-grid reshape uses H//d — a
+            # non-divisible stride would crash at trace time with an
+            # opaque reshape error; fail here with the actual contract
+            raise ValueError(
+                f"decimation {self.decimation} must divide height "
+                f"{self.height} and width {self.width}")
         if self.out_leaf_autofit and self.out_leaf_max < self.out_voxel_leaf:
             raise ValueError("out_leaf_max must be >= out_voxel_leaf")
         if self.with_normals and self.with_color:

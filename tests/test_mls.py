@@ -128,6 +128,25 @@ def test_estimate_normals_plane_and_sphere():
     assert np.all(inward > 0.97), inward.min()
 
 
+def test_estimate_normals_far_from_origin():
+    """At-range robustness (r5 review): the moments engine accumulates
+    QUERY-CENTERED displacements, so a plane 100 m out gives the same
+    clean normals as one at the origin. The origin-moment form
+    (E[pp^T] - mu mu^T) cancels catastrophically there — second moments
+    ~1e4 with f32 ulp ~1e-3 swamp the ~1e-2-scale local covariance."""
+    from pointcloud_stitching_tpu.ops import estimate_normals
+    rng = np.random.default_rng(11)
+    uv = rng.uniform(-1, 1, (2000, 2)).astype(np.float32)
+    plane = np.stack([uv[:, 0] + 80.0, uv[:, 1] - 60.0,
+                      np.full(2000, 50.0, np.float32)], -1)
+    n, ok = estimate_normals(_cloud(plane), 0.15,
+                             viewpoint=(80.0, -60.0, 0.0))
+    n, ok = np.asarray(n), np.asarray(ok)
+    assert ok.sum() > 1900
+    dots = n[ok] @ np.array([0.0, 0.0, -1.0], np.float32)
+    assert np.all(dots > 0.999), dots.min()
+
+
 def test_estimate_normals_unsupported_zero():
     from pointcloud_stitching_tpu.ops import estimate_normals
     pts = np.array([[0, 0, 1], [5, 5, 5]], np.float32)

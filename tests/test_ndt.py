@@ -56,6 +56,28 @@ def test_build_matches_numpy_cells():
                                    rtol=2e-2, atol=2e-2)
 
 
+def test_build_covariance_far_from_origin():
+    """At-range robustness (r5 review): cell covariances come from
+    per-cell-centered residuals, not E[pp^T] - mu mu^T, so a map 100 m
+    out keeps the same cell shapes as one at the origin."""
+    rng = np.random.default_rng(5)
+    local = rng.uniform(0, 1.0, (400, 3)).astype(np.float32)
+    off = np.array([80.0, -60.0, 50.0], np.float32)
+    cell = 0.25
+    m0 = ndt_build(_pc(local), cell, min_points=6, eigen_floor=0.01)
+    m1 = ndt_build(_pc(local + off), cell, min_points=6, eigen_floor=0.01)
+    v0, v1 = np.asarray(m0.valid), np.asarray(m1.valid)
+    # the shifted grid may split cells differently at boundaries (the
+    # offset is 320/240/200 cells — exact multiples, so it does not),
+    # but every valid cell's inverse covariance must survive the shift
+    assert v0.sum() == v1.sum() and v0.sum() > 10
+    i0 = np.asarray(m0.inv_cov)[v0]
+    i1 = np.asarray(m1.inv_cov)[v1]
+    k0 = np.argsort(np.asarray(m0.keys)[v0])
+    k1 = np.argsort(np.asarray(m1.keys)[v1])
+    np.testing.assert_allclose(i1[k1], i0[k0], rtol=0.02, atol=0.5)
+
+
 def test_recovers_small_offset():
     """NDT's contract: converge from within ~a cell of the truth."""
     xyz, _ = _bumpy_surface(seed=20, n=1500)
