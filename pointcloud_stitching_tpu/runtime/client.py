@@ -172,8 +172,18 @@ class CameraIngest(threading.Thread):
                         self.slot.rgb[...] = rgb
                     self.slot.seq = seq
                     self.slot.stamp = time.time()
-        except (OSError, ConnectionError, ValueError) as e:
-            self.slot.error = str(e)
+        except Exception as e:  # noqa: BLE001 — deliberate breadth:
+            # the decode path raises more than (OSError, ValueError):
+            # zlib.error on a corrupt stream, struct.error on a short
+            # native-color payload, RuntimeError when the snappy codec
+            # isn't built, MemoryError on a hostile size preamble. Any
+            # of those escaping would KILL the thread with slot.alive
+            # still True — no error surfaced, no reconnect, the camera
+            # silently stale forever. The contract of this loop is that
+            # every failure marks the slot dead and feeds the backoff/
+            # resurrect machinery (SURVEY.md §5); a one-frame corruption
+            # then costs one reconnect, not the camera.
+            self.slot.error = f"{type(e).__name__}: {e}"
             self.slot.alive = False
         finally:
             try:

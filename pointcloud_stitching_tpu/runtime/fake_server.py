@@ -78,6 +78,17 @@ class FakeCameraServer:
                 np.full_like(d, 128.0)], axis=-1).astype(np.uint8)
         self.points_payloads: Optional[list[bytes]] = None
         self.points_have_rgb = points and color
+        if points and color and self.colors is not None and \
+                self.colors.shape[1:3] != frames.shape[1:]:
+            # the points payload textures each depth pixel with its own
+            # color pixel; a native-resolution color grid has no such
+            # per-depth alignment (the reference's points path is
+            # depth-aligned too) — without this check the valid-mask
+            # indexing below fails with an opaque IndexError
+            raise ValueError(
+                "points=True needs depth-aligned color; got color "
+                f"{self.colors.shape[1:3]} vs depth {frames.shape[1:]} "
+                "(drop color_shape / pass depth-aligned color_frames)")
         if points:
             h, w = frames.shape[1:]
             fx, fy, ppx, ppy = intrinsics

@@ -73,7 +73,21 @@ def serve(port: int, host: str = "0.0.0.0", width: int = 848,
     pipeline, meta = _open_pipeline(width, height, fps)
     print(f"camera intrinsics: {meta}", flush=True)
     if dump_intr:
-        dump_intrinsics(meta, width, height, dump_intr)
+        if decimation > 1:
+            # the served stream is depth[::d, ::d]: decimated pixel
+            # (u, v) is original (u·d, v·d), so the dumped intrinsics
+            # must scale fx/fy/ppx/ppy and the grid size by 1/d or the
+            # .intr.json could never match the frames it rides with
+            # (the same rescale stitch_cli's own --decimation applies,
+            # models/stitcher.py — and the u,v grids below apply in
+            # reverse for the points payload)
+            d = float(decimation)
+            meta_d = dict(meta, fx=meta["fx"] / d, fy=meta["fy"] / d,
+                          ppx=meta["ppx"] / d, ppy=meta["ppy"] / d)
+            dump_intrinsics(meta_d, width // decimation,
+                            height // decimation, dump_intr)
+        else:
+            dump_intrinsics(meta, width, height, dump_intr)
 
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)

@@ -445,10 +445,12 @@ def main(argv=None):
             # the evolving volume would keep "correcting" the whole rig
             # toward an outdated pose (it matches old fused geometry
             # well, so the quality gates alone can't catch it)
-            anchor_live = bool(
-                np.asarray(out.cam_mask)[args.tsdf_track_cam])
+            # ordering: the cam_mask read is a blocking D2H pull (~28 ms
+            # through the tunnel), so it must short-circuit BEHIND the
+            # cheap host flags — an untracked TSDF rig never pays it
             if args.tsdf_track and tsdf_state["frames"] > 0 \
-                    and anchor_live:
+                    and bool(np.asarray(out.cam_mask)
+                             [args.tsdf_track_cam]):
                 # frame-to-model BEFORE integrate: correct the rig pose
                 # against the scene already fused, then integrate with the
                 # corrected pose (integrating a drifted keyframe uncorrected

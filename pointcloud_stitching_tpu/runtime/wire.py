@@ -75,15 +75,48 @@ def compress(data: bytes, codec: Codec) -> bytes:
     raise ValueError(codec)
 
 
-def decompress(data: bytes, codec: Codec) -> bytes:
+def _snappy_preamble_len(data: bytes) -> int:
+    """Uncompressed length from the snappy varint preamble (no alloc)."""
+    ulen, shift = 0, 0
+    for i in range(min(len(data), 5)):
+        b = data[i]
+        ulen |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return ulen
+        shift += 7
+    raise ValueError("bad snappy length preamble")
+
+
+def decompress(data: bytes, codec: Codec,
+               max_out: Optional[int] = None) -> bytes:
+    """Decompress with an optional output bound.
+
+    max_out guards the DECOMPRESSED size: the framing layer caps the
+    compressed body (MAX_FRAME_BYTES) but a corrupt/hostile stream can
+    claim a multi-GB expansion (zlib bomb; snappy's varint preamble
+    addresses up to 4 GB) which would be allocated before any shape
+    validation runs. Bounded decode fails fast with ValueError instead.
+    """
     if codec == Codec.RAW:
         return data
     if codec == Codec.ZLIB:
-        return zlib.decompress(data)
+        if max_out is None:
+            return zlib.decompress(data)
+        d = zlib.decompressobj()
+        out = d.decompress(data, max_out + 1)
+        if len(out) > max_out or d.unconsumed_tail:
+            raise ValueError(f"zlib payload exceeds {max_out} bytes "
+                             "(corrupt stream?)")
+        if not d.eof:
+            raise zlib.error("incomplete zlib stream")
+        return out
     if codec == Codec.SNAPPY:
         sn = _get_snappy()
         if sn is None:
             raise RuntimeError("native snappy codec not built")
+        if max_out is not None and _snappy_preamble_len(data) > max_out:
+            raise ValueError(f"snappy payload claims more than {max_out} "
+                             "bytes (corrupt stream?)")
         return sn.decompress(data)
     raise ValueError(codec)
 
@@ -164,7 +197,7 @@ def decode_frame(header: bytes, body: bytes):
     with with_rgb=<FLAG_HAS_RGB set>).
     """
     size, kind, codec, flags, _r, seq, rows, cols = _HEADER.unpack(header)
-    raw = decompress(body, Codec(codec))
+    raw = decompress(body, Codec(codec), max_out=MAX_FRAME_BYTES)
     if kind == Kind.DEPTH16:
         arr = np.frombuffer(raw, dtype="<u2").reshape(rows, cols)
         return Kind.DEPTH16, seq, arr

@@ -56,8 +56,11 @@ def main(argv=None):
     g = ap.add_argument_group("voxel-map input (.npz checkpoints)")
     g.add_argument("--iso", type=float, default=0.5,
                    help="occupancy iso level (0..1)")
-    g.add_argument("--min-weight", type=float, default=0.0,
-                   help="ignore voxels below this evidence weight")
+    g.add_argument("--min-weight", type=float, default=None,
+                   help="ignore voxels below this evidence weight "
+                        "(default 0 for voxel-map checkpoints, 1 for "
+                        "TSDF checkpoints; an explicit value — 0 "
+                        "included — is used as given)")
     g.add_argument("--saturate", type=float, default=1.0,
                    help="weight at which occupancy clips to 1")
     g.add_argument("--smooth", type=int, default=1,
@@ -125,7 +128,7 @@ def _mesh_tsdf(args):
     from pointcloud_stitching_tpu.ops.surface import weld_mesh
 
     vol = load_volume(args.depth)
-    mw = args.min_weight if args.min_weight > 0.0 else 1.0
+    mw = 1.0 if args.min_weight is None else args.min_weight
     verts, valid, n_active = extract_mesh(
         vol, cell_capacity=args.cell_capacity, min_weight=mw)
     n_act = int(n_active)
@@ -149,8 +152,9 @@ def _mesh_map(args):
     from pointcloud_stitching_tpu.ops.surface import reconstruct_surface
 
     vmap = load_map(args.depth)
+    mw = 0.0 if args.min_weight is None else args.min_weight
     verts, faces, n_active = reconstruct_surface(
-        vmap, iso=args.iso, min_weight=args.min_weight,
+        vmap, iso=args.iso, min_weight=mw,
         saturate=args.saturate, smooth_iters=args.smooth,
         max_nodes=args.max_nodes)
     save_mesh(args.out, verts, faces)

@@ -63,6 +63,13 @@ def _parse_pairs_arg(arg: str):
 
 def _gui_pick(imgs, maps, radius):
     """cv2 window front-end. Returns pairs or None if no GUI available."""
+    import os
+    # gate on a display server BEFORE touching imshow: cv2's Qt backend
+    # ABORTS the process (not a Python exception) when no display
+    # exists, so try/except alone would never reach the REPL fallback
+    # on a headless box (same gate as view_cli._window_sink)
+    if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
+        return None
     try:
         import cv2
         import numpy as np

@@ -455,6 +455,107 @@ def test_camera_reconnects_after_server_restart():
         srv.stop()
 
 
+def test_camera_survives_corrupt_frame(rng):
+    """A corrupt compressed body raises zlib.error — NOT in the old
+    (OSError, ConnectionError, ValueError) catch list (r5 review): the
+    ingest thread died with slot.alive still True, no error surfaced, no
+    reconnect. The contract: any decode failure marks the slot dead with
+    an error and the backoff/resurrect machinery rides out the fault."""
+    from pointcloud_stitching_tpu.runtime.wire import (
+        HEADER_SIZE, Codec, encode_depth_frame, recv_exact)
+
+    h, w = 60, 106
+    frame = (rng.random((h, w)) * 4000).astype(np.uint16)
+    good = encode_depth_frame(frame, 0, codec=Codec.ZLIB)
+    bad = bytearray(good)
+    for i in range(HEADER_SIZE + 4, min(len(bad), HEADER_SIZE + 64)):
+        bad[i] ^= 0xFF                  # corrupt the zlib body, keep size
+    bad = bytes(bad)
+
+    state = {"conns": 0}
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(2)
+    port = srv.getsockname()[1]
+
+    def serve():
+        while state["conns"] < 4:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            state["conns"] += 1
+            first = state["conns"] == 1
+            try:
+                while True:
+                    recv_exact(conn, 1)
+                    conn.sendall(bad if first else good)
+                    if first:
+                        break           # one poisoned frame, then hang up
+            except (OSError, ConnectionError):
+                pass
+            finally:
+                conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    client = MulticameraClient([("127.0.0.1", port)],
+                               _make_pipeline(1, h, w),
+                               stale_timeout=0.5).start()
+    try:
+        deadline = time.time() + 15
+        out = None
+        while out is None and time.time() < deadline:
+            time.sleep(0.2)
+            out = client.step()
+        assert out is not None, \
+            f"camera never resurrected after the corrupt frame " \
+            f"(errors: {client.camera_errors()})"
+        assert state["conns"] >= 2      # it actually reconnected
+    finally:
+        client.stop()
+        srv.close()
+
+
+def test_wire_decompress_bounded():
+    """decode_frame bounds the DECOMPRESSED size (r5 review): a zlib bomb
+    inside a small body must fail fast with ValueError, not allocate
+    gigabytes; the snappy preamble is rejected before any allocation."""
+    import zlib
+
+    import pytest
+
+    from pointcloud_stitching_tpu.runtime import wire
+
+    bomb = zlib.compress(b"\x00" * 200_000, 9)        # ~200 B compressed
+    with pytest.raises(ValueError, match="exceeds"):
+        wire.decompress(bomb, wire.Codec.ZLIB, max_out=100_000)
+    # in-bound streams round-trip unchanged through the bounded path
+    data = b"abc" * 1000
+    assert wire.decompress(zlib.compress(data), wire.Codec.ZLIB,
+                           max_out=10_000) == data
+    # snappy: a varint preamble claiming ~4 GB is rejected from the
+    # preamble alone (no native decompress call, no allocation)
+    assert wire._snappy_preamble_len(b"\xff\xff\xff\xff\x0f") == 0xFFFFFFFF
+    if wire._get_snappy() is not None:
+        with pytest.raises(ValueError, match="claims"):
+            wire.decompress(b"\xff\xff\xff\xff\x0f" + b"\x00" * 16,
+                            wire.Codec.SNAPPY, max_out=1 << 20)
+
+
+def test_fake_server_rejects_points_with_native_color():
+    """points=True textures each depth pixel with its own color pixel, so
+    a native-resolution color grid must be refused up front (r5 review:
+    it used to crash with an opaque boolean-index IndexError)."""
+    import pytest
+
+    frames = synthetic_frames(2, 24, 32, seed=0)
+    with pytest.raises(ValueError, match="depth-aligned"):
+        FakeCameraServer(frames, points=True, color=True,
+                         color_shape=(48, 64))
+
+
 def test_cloud_publisher_fanout(rng):
     """Stitched-cloud publisher: consumers receive the stream in the wire
     format; a dead consumer is dropped without affecting the rest."""
